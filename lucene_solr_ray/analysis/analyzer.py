@@ -1,0 +1,142 @@
+"""StandardAnalyzer-equivalent analysis chain: tokenize → lowercase → stop.
+
+Semantics mirror the reference:
+
+- ``LowerCaseFilter`` (``lucene/core/src/java/org/apache/lucene/analysis/
+  LowerCaseFilter.java:30-45``) lowercases per *code point* with Java's
+  ``Character.toLowerCase(int)`` — the **simple** case mapping.  Python's
+  ``str.lower()`` applies the full mapping (context-sensitive final sigma,
+  U+0130 → "i"+combining dot); we correct the divergent code points.
+- ``StopFilter`` (``analysis/StopFilter.java:31-110`` via
+  ``FilteringTokenFilter.java:48-57``) drops stopwords and **accumulates the
+  skipped positionIncrements into the next surviving token**.
+- ``StandardAnalyzer()`` defaults to an **empty** stop set
+  (``analysis/standard/StandardAnalyzer.java:49-51``); the classic English
+  set lives in ``analysis/en/EnglishAnalyzer.java:41-52``.
+- Field length for norms = number of tokens emitted by the full chain
+  (``index/DefaultIndexingChain.java:775-892``, ``FieldInvertState``);
+  ``numOverlap`` counts posIncr==0 tokens (never produced by this chain).
+- Multi-valued fields are separated by ``positionIncrementGap`` (the
+  analyzer's, default 0 for StandardAnalyzer; Solr text fields use 100) —
+  ``DefaultIndexingChain.java:888-891``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, Iterable, List, Sequence, Tuple
+
+from lucene_solr_ray.analysis.tokenizer import (
+    DEFAULT_MAX_TOKEN_LENGTH,
+    tokenize,
+)
+
+__all__ = [
+    "StandardAnalyzer",
+    "ENGLISH_STOP_WORDS",
+    "lowercase",
+]
+
+#: ``EnglishAnalyzer.ENGLISH_STOP_WORDS_SET`` (reference
+#: ``lucene/analysis/common/src/java/org/apache/lucene/analysis/en/
+#: EnglishAnalyzer.java:41-52``) — the classic 33-word list.
+ENGLISH_STOP_WORDS: FrozenSet[str] = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+# Code points where Python's full lowercase mapping diverges from Java's
+# simple mapping (Character.toLowerCase): U+0130 LATIN CAPITAL LETTER I WITH
+# DOT ABOVE full-lowers to "i̇" but simple-lowers to "i".
+_SIMPLE_LOWER_FIXUP = {0x130: "i"}
+
+
+def lowercase(token: str) -> str:
+    """Per-code-point simple lowercase, matching ``Character.toLowerCase``."""
+    if token.isascii():
+        return token.lower()
+    out = token.lower()
+    if len(out) != len(token):
+        out = "".join(
+            _SIMPLE_LOWER_FIXUP.get(ord(c), c.lower()) for c in token
+        )
+    # final-sigma: full mapping lowers trailing Σ to ς; simple mapping → σ
+    return out.replace("ς", "σ")
+
+
+class StandardAnalyzer:
+    """tokenize → lowercase → stop-filter; per-field reusable, stateless.
+
+    ``analyze(text)`` returns the surviving terms in order;
+    ``analyze_with_positions(text)`` additionally returns absolute token
+    positions (stop-filter gaps included) and the norm field length.
+    """
+
+    def __init__(
+        self,
+        stop_words: Iterable[str] = (),
+        max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+        position_increment_gap: int = 0,
+    ) -> None:
+        self.stop_words = frozenset(stop_words)
+        self.max_token_length = max_token_length
+        self.position_increment_gap = position_increment_gap
+
+    # -- single value ------------------------------------------------------
+    def analyze(self, text: str) -> List[str]:
+        toks = tokenize(text, self.max_token_length)
+        stop = self.stop_words
+        if stop:
+            return [t for t in map(lowercase, toks) if t not in stop]
+        return [lowercase(t) for t in toks]
+
+    def analyze_with_positions(
+        self, text: str
+    ) -> Tuple[List[str], List[int], int]:
+        """Returns (terms, positions, field_length).
+
+        Positions are absolute (first token at 0); a dropped stopword leaves
+        a gap, exactly as ``StopFilter`` accumulates skipped increments.
+        field_length counts surviving tokens (Σ termFreq), the input to
+        ``computeNorm`` (numOverlap == 0 for this chain).
+        """
+        toks = tokenize(text, self.max_token_length)
+        stop = self.stop_words
+        terms: List[str] = []
+        positions: List[int] = []
+        pos = -1
+        for t in toks:
+            pos += 1
+            lt = lowercase(t)
+            if lt in stop:
+                continue
+            terms.append(lt)
+            positions.append(pos)
+        return terms, positions, len(terms)
+
+    # -- multi-valued field ------------------------------------------------
+    def analyze_multi(
+        self, values: Sequence[str]
+    ) -> Tuple[List[str], List[int], int]:
+        """Analyze a multi-valued field with positionIncrementGap between
+        values (``DefaultIndexingChain.java:888-891``)."""
+        terms: List[str] = []
+        positions: List[int] = []
+        base = 0
+        length = 0
+        for i, v in enumerate(values):
+            if i > 0:
+                base += self.position_increment_gap
+            t, p, fl = self.analyze_with_positions(v)
+            terms.extend(t)
+            positions.extend(pp + base for pp in p)
+            base += (p[-1] + 1) if p else 0
+            length += fl
+        return terms, positions, length
+
+    # -- term frequency vector (the indexing hot path) ---------------------
+    def term_freqs(self, text: str) -> Dict[str, int]:
+        """term → freq for one document field (order-insensitive)."""
+        freqs: Dict[str, int] = {}
+        for t in self.analyze(text):
+            freqs[t] = freqs.get(t, 0) + 1
+        return freqs

@@ -1,0 +1,118 @@
+"""BM25 similarity with Lucene-exact float32 arithmetic.
+
+Reproduces the scoring contract of the reference
+``lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java``
+bit-for-bit in numpy:
+
+- ``idf = (float) log(1 + (docCount - df + 0.5)/(df + 0.5))``  (:109-111,
+  double math, one final float32 cast)
+- ``avgdl = (float) (sumTotalTermFreq / (double) docCount)``  (:125-127)
+- per-norm-byte cache ``cache[b] = k1 * ((1-b) + b * LENGTH_TABLE[b]/avgdl)``
+  computed in float32 (:184-193), where ``LENGTH_TABLE[b] =
+  SmallFloat.byte4ToInt(b)`` as float32 (:151-157)
+- ``weight = (k1 + 1) * boost * idf``  in float32 (:213-220)
+- ``score = weight * (float) (freq / (freq + (double) cache[norm]))``
+  — the tf fraction is computed in float64 with the float32 cache value
+  widened, then cast to float32 and multiplied in float32 (:225-228)
+- defaults ``k1 = 1.2, b = 0.75`` (:64-66)
+
+Norm byte is ``SmallFloat.intToByte4(field_length - num_overlap)`` per
+``computeNorm`` (:160-170, ``discountOverlaps`` default true).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_solr_ray.analysis.smallfloat import BYTE4_DECODE_TABLE
+
+__all__ = ["BM25Similarity", "BM25Scorer"]
+
+#: float32 decoded-length table, == BM25Similarity.LENGTH_TABLE
+_LENGTH_TABLE_F32 = BYTE4_DECODE_TABLE.astype(np.float32)
+
+
+class BM25Similarity:
+    """Stateless similarity: holds (k1, b) and builds per-term scorers."""
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75) -> None:
+        if not np.isfinite(k1) or k1 < 0:
+            raise ValueError(
+                f"illegal k1 value: {k1}, must be a non-negative finite value"
+            )
+        if np.isnan(b) or b < 0 or b > 1:
+            raise ValueError(f"illegal b value: {b}, must be between 0 and 1")
+        self.k1 = np.float32(k1)
+        self.b = np.float32(b)
+
+    @staticmethod
+    def idf(doc_freq: int, doc_count: int) -> np.float32:
+        """float32 of double ``log(1 + (docCount - df + 0.5)/(df + 0.5))``."""
+        return np.float32(
+            np.log(1.0 + (float(doc_count) - doc_freq + 0.5) / (doc_freq + 0.5))
+        )
+
+    @staticmethod
+    def avg_field_length(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        return np.float32(float(sum_total_term_freq) / float(doc_count))
+
+    def scorer(
+        self,
+        boost: float,
+        doc_count: int,
+        sum_total_term_freq: int,
+        doc_freq: int,
+        total_term_freq: int = -1,  # kept for parity; unused by BM25 scoring
+    ) -> "BM25Scorer":
+        idf = self.idf(doc_freq, doc_count)
+        avgdl = self.avg_field_length(sum_total_term_freq, doc_count)
+        # float32 elementwise, same op order as the Java loop
+        one = np.float32(1.0)
+        cache = self.k1 * (
+            (one - self.b) + self.b * _LENGTH_TABLE_F32 / avgdl
+        )  # float32[256]
+        return BM25Scorer(np.float32(boost), self.k1, idf, cache)
+
+
+class BM25Scorer:
+    """Per-term scorer; vectorized ``score(freqs, norm_bytes)``."""
+
+    __slots__ = ("weight", "idf", "_cache_f64", "_max_score")
+
+    def __init__(
+        self,
+        boost: np.float32,
+        k1: np.float32,
+        idf: np.float32,
+        cache_f32: np.ndarray,
+    ) -> None:
+        self.idf = idf
+        # (k1 + 1) * boost * idf, all float32 ops
+        self.weight = np.float32(
+            np.float32(np.float32(k1 + np.float32(1.0)) * boost) * idf
+        )
+        # the tf fraction widens the float32 cache entry to double
+        self._cache_f64 = cache_f32.astype(np.float64)
+        self._max_score = None
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """float32 scores for parallel arrays of term freqs and norm bytes."""
+        norm = self._cache_f64[np.asarray(norm_bytes, dtype=np.uint8)]
+        f = np.asarray(freqs, dtype=np.float64)
+        frac = (f / (f + norm)).astype(np.float32)
+        return self.weight * frac  # float32 * float32
+
+    def score_scalar(self, freq: float, norm_byte: int) -> np.float32:
+        norm = self._cache_f64[norm_byte & 0xFF]
+        f = float(np.float32(freq))
+        return np.float32(self.weight * np.float32(f / (f + norm)))
+
+    def max_score(self) -> np.float32:
+        """Upper bound over all (freq, norm): freq→inf gives weight itself."""
+        return self.weight
+
+    def max_score_for(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.float32:
+        """Exact max over the supplied (freq, norm) impact pairs."""
+        if len(freqs) == 0:
+            return np.float32(0.0)
+        return np.float32(self.score(freqs, norm_bytes).max())
