@@ -1,0 +1,227 @@
+"""Distributed index build: corpus Parquet → committed segment manifests.
+
+The Ray-Data shape of the reference ingest path
+(``IndexWriter.addDocument`` → DWPT → flush,
+``lucene/core/src/java/org/apache/lucene/index/DocumentsWriter.java:55-99``):
+
+1. **Plan shards** from Parquet *metadata only* (row counts per file) —
+   contiguous row slices of ``target docs per segment``, each with a
+   deterministic ``segment_id`` and global ``doc_base``.  This is the
+   docID-assignment rule (doc_id = doc_base + row offset), stable under any
+   parallelism — the analogue of per-DWPT sequential docIDs +
+   ``ctx.docBase`` rebasing.
+2. **Build** — a Ray Data pipeline over the shard list; each task reads its
+   own row slice (columns pruned to the text/id columns), inverts it with
+   the analysis chain, and writes one segment dir atomically.  One shard =
+   one segment = one task: embarrassingly parallel, no shuffle (the
+   all-to-all only appears at *merge* time, as in Lucene).
+3. **Commit** — sum per-segment stats, write ``manifest-N.json`` atomically.
+
+Resume: shards whose segment dir already validates are skipped
+(idempotent + deterministic ⇒ safe), then a new generation is committed.
+
+At 100 TB scale the shard list is ~10^6 rows of metadata — tiny — while all
+heavy I/O happens inside the distributed tasks; planning cost stays O(files).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+from lucene_solr_ray.index.manifest import (
+    commit_manifest,
+    list_valid_segments,
+    segment_dir_name,
+    write_segment_dir,
+)
+from lucene_solr_ray.index.segment import build_segment_tables
+
+__all__ = ["plan_shards", "build_index"]
+
+DEFAULT_DOCS_PER_SEGMENT = 100_000
+
+
+def plan_shards(
+    paths: Sequence[str],
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+) -> List[Dict]:
+    """Metadata-only pass: contiguous row slices with global doc bases."""
+    shards: List[Dict] = []
+    doc_base = 0
+    seg_id = 0
+    for path in paths:
+        num_rows = pq.ParquetFile(path).metadata.num_rows
+        start = 0
+        while start < num_rows:
+            end = min(start + docs_per_segment, num_rows)
+            shards.append(
+                {
+                    "segment_id": seg_id,
+                    "path": path,
+                    "row_start": start,
+                    "row_end": end,
+                    "doc_base": doc_base + start,
+                }
+            )
+            seg_id += 1
+            start = end
+        doc_base += num_rows
+    return shards
+
+
+def _read_shard_columns(shard: Dict, columns: List[str]):
+    """Read [row_start, row_end) of the shard's file, pruned to columns."""
+    f = pq.ParquetFile(shard["path"])
+    md = f.metadata
+    # find covering row groups, then slice off the overhang
+    rg_first = 0
+    acc = 0
+    groups = []
+    first_row_of_groups = None
+    for rg in range(md.num_row_groups):
+        n = md.row_group(rg).num_rows
+        if acc + n > shard["row_start"] and acc < shard["row_end"]:
+            if first_row_of_groups is None:
+                first_row_of_groups = acc
+            groups.append(rg)
+        acc += n
+        if acc >= shard["row_end"]:
+            break
+    if not groups:
+        import pyarrow as pa
+
+        return pa.table({c: [] for c in columns})
+    t = f.read_row_groups(groups, columns=columns)
+    off = shard["row_start"] - first_row_of_groups
+    return t.slice(off, shard["row_end"] - shard["row_start"])
+
+
+class _BuildShard:
+    """One call = one shard → one committed segment dir + manifest row."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        text_col: str,
+        id_col: Optional[str],
+        analyzer: StandardAnalyzer,
+        with_positions: bool,
+        stored_cols: Sequence[str] = (),
+    ) -> None:
+        self.out_dir = out_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.analyzer = analyzer
+        self.with_positions = with_positions
+        self.stored_cols = list(stored_cols)
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        rows = batch.to_pylist()
+        out = []
+        for shard in rows:
+            out.append(self._build_one(shard))
+        return pa.Table.from_pylist(out)
+
+    def _build_one(self, shard: Dict) -> Dict:
+        cols = [self.text_col] + self.stored_cols
+        if self.id_col:
+            cols = [self.id_col] + cols
+        t = _read_shard_columns(shard, cols)
+        texts = t.column(self.text_col).to_pylist()
+        if self.id_col:
+            doc_ids = t.column(self.id_col).to_pylist()
+        else:
+            doc_ids = list(
+                range(shard["doc_base"], shard["doc_base"] + len(texts))
+            )
+        seg = build_segment_tables(
+            doc_ids, texts, self.analyzer, self.with_positions
+        )
+        docmeta = seg.docmeta
+        for c in self.stored_cols:  # docstore columns ride along docmeta
+            docmeta = docmeta.append_column(c, t.column(c))
+        meta = {
+            "segment_id": shard["segment_id"],
+            "stats": seg.stats,
+            "lineage": {
+                "path": shard["path"],
+                "row_start": shard["row_start"],
+                "row_end": shard["row_end"],
+                "doc_base": shard["doc_base"],
+            },
+        }
+        write_segment_dir(
+            self.out_dir, shard["segment_id"], seg.postings, docmeta, meta
+        )
+        return meta
+
+
+def build_index(
+    paths: Sequence[str] | str,
+    out_dir: str,
+    *,
+    text_col: str = "content",
+    id_col: Optional[str] = None,
+    stored_cols: Sequence[str] = (),
+    analyzer: Optional[StandardAnalyzer] = None,
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    with_positions: bool = True,
+    concurrency: Optional[int] = None,
+) -> Dict:
+    """Build (or resume) an index over corpus Parquet; returns the manifest.
+
+    Ray must already be initialised by the caller (driver contract).
+    """
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = [
+            os.path.join(paths, f)
+            for f in sorted(os.listdir(paths))
+            if f.endswith(".parquet")
+        ] if os.path.isdir(paths) else [paths]
+    analyzer = analyzer or StandardAnalyzer()
+    os.makedirs(out_dir, exist_ok=True)
+
+    shards = plan_shards(paths, docs_per_segment)
+    existing = list_valid_segments(out_dir)
+    todo = [s for s in shards if s["segment_id"] not in existing]
+
+    built: List[Dict] = [existing[s["segment_id"]] for s in shards
+                         if s["segment_id"] in existing]
+    if todo:
+        fn = _BuildShard(
+            out_dir, text_col, id_col, analyzer, with_positions, stored_cols
+        )
+        ds = ray.data.from_items(todo)
+        kwargs = {}
+        if concurrency:
+            kwargs["concurrency"] = concurrency
+        res = ds.map_batches(
+            fn, batch_size=1, batch_format="pyarrow", **kwargs
+        )
+        built.extend(res.take_all())
+
+    # normalize nested values that Arrow may have turned into numpy scalars
+    def _py(x):
+        if isinstance(x, dict):
+            return {k: _py(v) for k, v in x.items()}
+        if hasattr(x, "item"):
+            return x.item()
+        return x
+
+    built = [_py(b) for b in built]
+    return commit_manifest(out_dir, built)
+
+
+def segment_paths(out_dir: str, manifest: Dict) -> List[str]:
+    return [
+        os.path.join(out_dir, segment_dir_name(s["segment_id"]))
+        for s in manifest["segments"]
+    ]

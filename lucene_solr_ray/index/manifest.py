@@ -1,0 +1,150 @@
+"""Commit points: atomic per-segment + global manifests (segments_N analogue).
+
+Mirrors the reference's two-phase commit protocol at the filesystem level:
+``segments_N`` lists the live segments and a generation counter
+(``lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java:57-67,
+135-136``; ``IndexWriter.prepareCommit``/``commitInternal``
+``index/IndexWriter.java:3130,3427``).  Ours:
+
+- each segment directory ``seg_<id>/`` is written under a temp name and
+  atomically renamed into place; it contains ``postings.parquet``,
+  ``docmeta.parquet`` and ``segment.json`` (stats + lineage: input file,
+  row range, doc_base, content-sha256 roll-up);
+- ``manifest-<N>.json`` lists the live segment dirs plus summed collection
+  stats; written via tmp+rename; the largest N wins (generation counter).
+
+Resume: a rerun lists valid segment dirs, skips their shards, and commits a
+new generation — the checkpoint/lineage requirement of the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from typing import Dict, List, Optional
+
+__all__ = [
+    "SEGMENT_PREFIX",
+    "segment_dir_name",
+    "write_segment_dir",
+    "read_segment_meta",
+    "list_valid_segments",
+    "commit_manifest",
+    "read_latest_manifest",
+]
+
+SEGMENT_PREFIX = "seg_"
+_MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
+
+
+def segment_dir_name(segment_id: int) -> str:
+    return f"{SEGMENT_PREFIX}{segment_id:06d}"
+
+
+def write_segment_dir(
+    out_dir: str,
+    segment_id: int,
+    postings,
+    docmeta,
+    meta: Dict,
+) -> str:
+    """Write one segment atomically (tmp dir + rename). Idempotent: if the
+    final dir already exists (another attempt won), keep the existing one."""
+    import pyarrow.parquet as pq
+
+    final = os.path.join(out_dir, segment_dir_name(segment_id))
+    if os.path.isdir(final) and os.path.exists(
+        os.path.join(final, "segment.json")
+    ):
+        return final
+    tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        postings, os.path.join(tmp, "postings.parquet"), compression="zstd"
+    )
+    pq.write_table(
+        docmeta, os.path.join(tmp, "docmeta.parquet"), compression="zstd"
+    )
+    with open(os.path.join(tmp, "segment.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # lost the race to a concurrent retry — its segment is identical
+        # (build is deterministic); drop ours
+        import shutil
+
+        if os.path.isdir(final):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return final
+
+
+def read_segment_meta(seg_dir: str) -> Optional[Dict]:
+    p = os.path.join(seg_dir, "segment.json")
+    try:
+        with open(p) as f:
+            meta = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    for fn in ("postings.parquet", "docmeta.parquet"):
+        if not os.path.exists(os.path.join(seg_dir, fn)):
+            return None
+    return meta
+
+
+def list_valid_segments(out_dir: str) -> Dict[int, Dict]:
+    """segment_id → meta for every valid committed segment dir on disk."""
+    out: Dict[int, Dict] = {}
+    if not os.path.isdir(out_dir):
+        return out
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith(SEGMENT_PREFIX) or ".tmp-" in name:
+            continue
+        meta = read_segment_meta(os.path.join(out_dir, name))
+        if meta is not None:
+            out[int(name[len(SEGMENT_PREFIX):])] = meta
+    return out
+
+
+def commit_manifest(out_dir: str, segments: List[Dict]) -> Dict:
+    """Write the next-generation global manifest atomically; returns it."""
+    os.makedirs(out_dir, exist_ok=True)
+    gen = 0
+    for name in os.listdir(out_dir):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            gen = max(gen, int(m.group(1)) + 1)
+    manifest = {
+        "generation": gen,
+        "segments": sorted(segments, key=lambda s: s["segment_id"]),
+        "doc_count": sum(s["stats"]["doc_count"] for s in segments),
+        "sum_total_term_freq": sum(
+            s["stats"]["sum_total_term_freq"] for s in segments
+        ),
+        "sum_doc_freq": sum(s["stats"]["sum_doc_freq"] for s in segments),
+    }
+    tmp = os.path.join(out_dir, f".manifest-{gen}.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.rename(tmp, os.path.join(out_dir, f"manifest-{gen}.json"))
+    return manifest
+
+
+def read_latest_manifest(out_dir: str) -> Optional[Dict]:
+    best = None
+    best_gen = -1
+    if not os.path.isdir(out_dir):
+        return None
+    for name in os.listdir(out_dir):
+        m = _MANIFEST_RE.match(name)
+        if m and int(m.group(1)) > best_gen:
+            best_gen = int(m.group(1))
+            best = name
+    if best is None:
+        return None
+    with open(os.path.join(out_dir, best)) as f:
+        return json.load(f)

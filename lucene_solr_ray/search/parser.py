@@ -1,0 +1,242 @@
+"""Classic query-parser subset (the reference's default syntax).
+
+Covers the grammar subset exercised by the reference query sets
+(``lucene/benchmark/conf/query-terms.txt``, ``query-phrases.txt``) and the
+clause semantics of ``lucene/queryparser/src/java/org/apache/lucene/
+queryparser/classic/QueryParser.jj:196-240`` / ``QueryParserBase.addClause``:
+
+- terms, ``AND``/``&&``, ``OR``/``||``, ``NOT``/``!``, ``+``/``-`` prefixes,
+  parentheses, ``"quoted phrases"`` with ``~slop``, ``term^boost``,
+  ``field:term`` (accepted; this engine indexes a single field so the field
+  name is validated-and-dropped), ``wild*card``/``wild?card``, ``fuzzy~2``,
+  ``/regexp/``, ``[a TO b]``/``{a TO b}`` term ranges, ``*:*`` match-all.
+- default operator is OR (SHOULD); ``AND`` retroactively promotes the
+  previous clause to MUST exactly as ``addClause`` does.
+- query text runs through the same analyzer as indexing; a term that
+  analyzes to nothing (stopword) drops its clause; a term that analyzes to
+  several tokens becomes a SHOULD-disjunction of them.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+from lucene_solr_ray.search.query import (
+    BooleanClause,
+    BooleanQuery,
+    BoostQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+__all__ = ["QueryParser", "parse"]
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<space>\s+)
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<phrase>"(?:[^"\\]|\\.)*")
+  | (?P<regexp>/(?:[^/\\]|\\.)+/)
+  | (?P<range>[\[{][^\]}]*(?:TO)[^\]}]*[\]}])
+  | (?P<term>[^\s()+\-!"^~]+)
+    """,
+    re.VERBOSE,
+)
+
+_SUFFIX_RE = re.compile(r"(?:~(?P<fuzz>\d*(?:\.\d+)?))?(?:\^(?P<boost>\d+(?:\.\d+)?))?")
+
+
+class ParseError(ValueError):
+    pass
+
+
+class QueryParser:
+    def __init__(self, analyzer: Optional[StandardAnalyzer] = None) -> None:
+        self.analyzer = analyzer or StandardAnalyzer()
+
+    # -- lexer -------------------------------------------------------------
+    def _lex(self, s: str) -> List[Tuple[str, str]]:
+        toks: List[Tuple[str, str]] = []
+        pos = 0
+        while pos < len(s):
+            m = _TOKEN_RE.match(s, pos)
+            if m is None:
+                raise ParseError(f"cannot lex query at: {s[pos:]!r}")
+            pos = m.end()
+            kind = m.lastgroup
+            if kind == "space":
+                continue
+            text = m.group()
+            # attach ~fuzz / ^boost suffixes to phrase/term/range tokens
+            if kind in ("phrase", "term", "range", "regexp"):
+                sm = _SUFFIX_RE.match(s, pos)
+                if sm and sm.end() > pos:
+                    text += s[pos : sm.end()]
+                    pos = sm.end()
+            toks.append((kind, text))
+        return toks
+
+    # -- parser ------------------------------------------------------------
+    def parse(self, s: str) -> Query:
+        if s.strip() == "*:*":
+            return MatchAllDocsQuery()
+        toks = self._lex(s)
+        q, rest = self._parse_clauses(toks, 0)
+        if rest != len(toks):
+            raise ParseError(f"unbalanced ) in query: {s!r}")
+        return q
+
+    def _parse_clauses(self, toks, i) -> Tuple[Query, int]:
+        """Flat clause list with QueryParserBase.addClause conjunction
+        semantics (default operator OR)."""
+        clauses: List[BooleanClause] = []
+        conj_and = False
+        mod: Optional[Occur] = None
+        while i < len(toks):
+            kind, text = toks[i]
+            if kind == "rparen":
+                i += 1
+                break
+            if kind == "and":
+                conj_and = True
+                i += 1
+                continue
+            if kind == "or":
+                conj_and = False
+                i += 1
+                continue
+            if kind in ("not",):
+                mod = Occur.MUST_NOT
+                i += 1
+                continue
+            if kind == "plus":
+                mod = Occur.MUST
+                i += 1
+                continue
+            if kind == "minus":
+                mod = Occur.MUST_NOT
+                i += 1
+                continue
+            if kind == "lparen":
+                sub, i = self._parse_clauses(toks, i + 1)
+                boost = None
+                if i < len(toks) and toks[i][0] == "term" and toks[i][1].startswith("^"):
+                    boost = float(toks[i][1][1:])
+                    i += 1
+                if boost is not None:
+                    sub = BoostQuery(sub, boost)
+                self._add_clause(clauses, conj_and, mod, sub)
+                conj_and, mod = False, None
+                continue
+            if kind in ("term", "phrase", "range", "regexp"):
+                q = self._atom(kind, text)
+                i += 1
+                if q is not None:
+                    self._add_clause(clauses, conj_and, mod, q)
+                conj_and, mod = False, None
+                continue
+            raise ParseError(f"unexpected token {text!r}")
+        if not clauses:
+            return MatchNoDocsQuery("empty query"), i
+        if len(clauses) == 1 and clauses[0].occur in (Occur.SHOULD, Occur.MUST):
+            return clauses[0].query, i
+        return BooleanQuery(tuple(clauses)), i
+
+    def _add_clause(self, clauses, conj_and, mod, q):
+        # QueryParserBase.addClause: AND promotes the previous SHOULD clause
+        if conj_and and clauses and clauses[-1].occur == Occur.SHOULD:
+            clauses[-1] = BooleanClause(clauses[-1].query, Occur.MUST)
+        occur = mod or (Occur.MUST if conj_and else Occur.SHOULD)
+        clauses.append(BooleanClause(q, occur))
+
+    # -- atoms -------------------------------------------------------------
+    def _atom(self, kind: str, text: str) -> Optional[Query]:
+        boost = None
+        fuzz: Optional[str] = None
+        m = re.search(r"\^(\d+(?:\.\d+)?)$", text)
+        if m:
+            boost = float(m.group(1))
+            text = text[: m.start()]
+        m = re.search(r"~(\d*(?:\.\d+)?)$", text)
+        if m and kind in ("phrase", "term"):
+            fuzz = m.group(1)
+            text = text[: m.start()]
+
+        q: Optional[Query]
+        if kind == "phrase":
+            q = self._phrase(text, int(float(fuzz)) if fuzz else 0)
+        elif kind == "regexp":
+            q = RegexpQuery(text.strip("/"))
+        elif kind == "range":
+            q = self._range(text)
+        else:
+            q = self._term(text, fuzz)
+        if q is None:
+            return None
+        if boost is not None:
+            q = BoostQuery(q, boost)
+        return q
+
+    def _strip_field(self, text: str) -> str:
+        # single-field engine: accept and drop "field:" prefixes (but keep
+        # bare ":" inside terms, which the tokenizer treats as MidLetter)
+        m = re.match(r"^(\w+):(.+)$", text)
+        return m.group(2) if m else text
+
+    def _term(self, text: str, fuzz: Optional[str]) -> Optional[Query]:
+        text = self._strip_field(text)
+        if fuzz is not None:
+            base = text.lower()
+            max_edits = int(float(fuzz)) if fuzz else 2
+            return FuzzyQuery(base, max_edits=max_edits)
+        if "*" in text or "?" in text:
+            return WildcardQuery(text.lower())
+        toks = self.analyzer.analyze(text)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return TermQuery(toks[0])
+        return BooleanQuery(
+            tuple(BooleanClause(TermQuery(t), Occur.SHOULD) for t in toks)
+        )
+
+    def _phrase(self, text: str, slop: int) -> Optional[Query]:
+        body = text[1:-1].replace('\\"', '"')
+        terms, positions, _ = self.analyzer.analyze_with_positions(body)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return TermQuery(terms[0])
+        return PhraseQuery(tuple(terms), tuple(positions), slop)
+
+    def _range(self, text: str) -> Query:
+        include_lower = text[0] == "["
+        include_upper = text[-1] == "]"
+        body = text[1:-1]
+        m = re.match(r"\s*(\S+)\s+TO\s+(\S+)\s*", body)
+        if not m:
+            raise ParseError(f"bad range: {text!r}")
+        lo = None if m.group(1) == "*" else m.group(1).lower()
+        hi = None if m.group(2) == "*" else m.group(2).lower()
+        return TermRangeQuery(lo, hi, include_lower, include_upper)
+
+
+def parse(s: str, analyzer: Optional[StandardAnalyzer] = None) -> Query:
+    return QueryParser(analyzer).parse(s)

@@ -1,0 +1,169 @@
+"""Query algebra — the predicate AST of the engine.
+
+Mirrors the core query classes of the reference
+(``lucene/core/src/java/org/apache/lucene/search/``): ``TermQuery``,
+``BooleanQuery`` (MUST/SHOULD/FILTER/MUST_NOT + minimumNumberShouldMatch,
+max 1024 clauses), ``PhraseQuery`` (exact + sloppy), ``BoostQuery``,
+``MatchAllDocsQuery``/``MatchNoDocsQuery``, plus the multi-term queries
+(``PrefixQuery``/``WildcardQuery``/``RegexpQuery``/``TermRangeQuery``/
+``FuzzyQuery``) which rewrite to term disjunctions against the term
+dictionary before scoring (``AutomatonQuery`` rewrite semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import List, Optional, Tuple
+
+__all__ = [
+    "Query",
+    "TermQuery",
+    "PhraseQuery",
+    "Occur",
+    "BooleanClause",
+    "BooleanQuery",
+    "BoostQuery",
+    "MatchAllDocsQuery",
+    "MatchNoDocsQuery",
+    "PrefixQuery",
+    "WildcardQuery",
+    "RegexpQuery",
+    "FuzzyQuery",
+    "TermRangeQuery",
+    "TermInSetQuery",
+    "ConstantScoreQuery",
+]
+
+MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
+
+
+class Query:
+    """Base marker. Queries are immutable value objects."""
+
+    def terms(self) -> List[str]:
+        """All primitive terms mentioned (for the global-stats pass)."""
+        return []
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+
+    def terms(self) -> List[str]:
+        return [self.term]
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Terms at ascending positions; ``slop`` = max edit distance
+    (``PhraseQuery.java``; exact matcher when slop == 0)."""
+
+    phrase_terms: Tuple[str, ...]
+    positions: Tuple[int, ...]
+    slop: int = 0
+
+    def terms(self) -> List[str]:
+        return list(self.phrase_terms)
+
+
+class Occur(Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    MUST_NOT = "MUST_NOT"
+    FILTER = "FILTER"
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: Occur
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: Tuple[BooleanClause, ...]
+    minimum_should_match: int = 0
+
+    def __post_init__(self):
+        if len(self.clauses) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"maxClauseCount is set to {MAX_CLAUSE_COUNT}"
+            )
+
+    def terms(self) -> List[str]:
+        out: List[str] = []
+        for c in self.clauses:
+            out.extend(c.query.terms())
+        return out
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+    def terms(self) -> List[str]:
+        return self.query.terms()
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    reason: str = ""
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    # score == boost (1.0 unless wrapped in BoostQuery)
+
+    def terms(self) -> List[str]:
+        return self.query.terms()
+
+
+# ---- multi-term queries: rewrite against the term dictionary --------------
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    """``*`` any run, ``?`` one char (``WildcardQuery.java``)."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2  # FuzzyQuery.defaultMaxEdits
+    prefix_length: int = 0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: Optional[str]
+    upper: Optional[str]
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    in_terms: Tuple[str, ...]
+
+    def terms(self) -> List[str]:
+        return list(self.in_terms)

@@ -1,0 +1,117 @@
+"""SegmentReader — mmap-style in-memory view of one segment's files.
+
+The per-actor hot state of the query path (the analogue of an
+``IndexSearcher`` leaf over a ``DirectoryReader``,
+``lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:183-209``):
+postings loaded once per actor, term → row dict as the term dictionary
+(FST analogue), posting arrays exposed as zero-copy numpy views over the
+Arrow list buffers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["SegmentReader"]
+
+
+def _list_views(col: pa.ChunkedArray) -> Tuple[np.ndarray, np.ndarray]:
+    """(offsets, values) numpy views of a list<int32> column."""
+    arr = col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return off, vals
+
+
+class SegmentReader:
+    def __init__(self, seg_dir: str, load_positions: bool = False) -> None:
+        self.seg_dir = seg_dir
+        with open(os.path.join(seg_dir, "segment.json")) as f:
+            self.meta = json.load(f)
+        self.segment_id = int(self.meta["segment_id"])
+        self.stats = self.meta["stats"]
+
+        cols = ["term", "df", "ttf", "ords", "freqs"]
+        if load_positions:
+            cols.append("positions")
+        t = pq.read_table(
+            os.path.join(seg_dir, "postings.parquet"), columns=cols
+        )
+        self._terms: List[str] = t.column("term").to_pylist()
+        self._term_row: Dict[str, int] = {
+            term: i for i, term in enumerate(self._terms)
+        }
+        self._df = t.column("df").to_numpy()
+        self._ttf = t.column("ttf").to_numpy()
+        self._ords_off, self._ords_val = _list_views(t.column("ords"))
+        self._freqs_off, self._freqs_val = _list_views(t.column("freqs"))
+
+        self._has_positions = load_positions
+        if load_positions:
+            outer = t.column("positions").combine_chunks()
+            if isinstance(outer, pa.ChunkedArray):
+                outer = outer.chunk(0) if outer.num_chunks else pa.array(
+                    [], type=pa.list_(pa.list_(pa.int32()))
+                )
+            self._pos_off1 = outer.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            inner = outer.values
+            self._pos_off2 = inner.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            self._pos_val = inner.values.to_numpy(zero_copy_only=False)
+
+        dm = pq.read_table(
+            os.path.join(seg_dir, "docmeta.parquet"),
+            columns=["doc_id", "norm", "field_len"],
+        )
+        self.doc_ids: np.ndarray = dm.column("doc_id").to_numpy()
+        self.norms: np.ndarray = dm.column("norm").to_numpy()
+        self.field_lens: np.ndarray = dm.column("field_len").to_numpy()
+        self.ndocs = len(self.doc_ids)
+
+    # -- term dictionary ---------------------------------------------------
+    @property
+    def terms(self) -> List[str]:
+        return self._terms
+
+    def term_stats(self, term: str) -> Optional[Tuple[int, int]]:
+        r = self._term_row.get(term)
+        if r is None:
+            return None
+        return int(self._df[r]), int(self._ttf[r])
+
+    # -- postings ----------------------------------------------------------
+    def postings(self, term: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """(ords asc int32, freqs int32) or None — zero-copy views."""
+        r = self._term_row.get(term)
+        if r is None:
+            return None
+        s, e = self._ords_off[r], self._ords_off[r + 1]
+        fs, fe = self._freqs_off[r], self._freqs_off[r + 1]
+        return self._ords_val[s:e], self._freqs_val[fs:fe]
+
+    def positions(
+        self, term: str
+    ) -> Optional[Tuple[np.ndarray, Callable[[int], np.ndarray]]]:
+        """(ords, posfn) where posfn(i) = positions array of the i-th
+        posting entry. Requires load_positions=True."""
+        if not self._has_positions:
+            raise RuntimeError("reader opened without positions")
+        r = self._term_row.get(term)
+        if r is None:
+            return None
+        s, e = self._ords_off[r], self._ords_off[r + 1]
+        ords = self._ords_val[s:e]
+        d1 = self._pos_off1[r]
+
+        def posfn(i: int) -> np.ndarray:
+            j = d1 + i
+            return self._pos_val[self._pos_off2[j]: self._pos_off2[j + 1]]
+
+        return ords, posfn

@@ -1,0 +1,250 @@
+"""Per-segment exhaustive scoring (the COMPLETE-mode oracle).
+
+Evaluates the query AST over one segment with vectorized numpy kernels,
+reproducing the reference's scoring contract exactly:
+
+- per-term BM25 with **global** collection stats resolved before scoring
+  (``IndexSearcher.java:764-792``; Solr's ``ExactStatsCache`` lesson)
+- BooleanQuery: MUST/FILTER intersection, MUST_NOT exclusion,
+  minimumNumberShouldMatch, SHOULD-sum accumulated in float64 over
+  per-clause float32 scores in clause order, final cast to float32
+  (``WANDScorer.score():445-450``, ``DisjunctionSumScorer``)
+- boosts multiply into leaf weights (``BoostQuery`` distributes,
+  ``BM25Similarity.java:219``)
+- PhraseQuery: positions-intersection phrase freq, scored with the summed
+  idf of its terms (``PhraseWeight`` + ``Similarity.scorer(boost, collection,
+  termStats...)``)
+- multi-term queries must be rewritten to primitive term sets *before*
+  scoring (see ``searcher.rewrite_query``), mirroring
+  ``IndexSearcher.rewrite`` (``:665-672``) + CONSTANT_SCORE_REWRITE.
+
+This exhaustive path is the correctness oracle for the pruned (WAND /
+block-max) scorer, exactly as ``CheckHits.checkTopScores``
+(``lucene/test-framework/.../CheckHits.java:576-640``) uses
+totalHitsThreshold=MAX as the oracle for TOP_SCORES pruning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from lucene_solr_ray.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    Query,
+    TermInSetQuery,
+    TermQuery,
+)
+from lucene_solr_ray.search.similarity import BM25Similarity
+
+__all__ = ["GlobalStats", "score_segment", "topk_segment"]
+
+_EMPTY_I = np.empty(0, dtype=np.int32)
+_EMPTY_F = np.empty(0, dtype=np.float32)
+
+
+@dataclass
+class GlobalStats:
+    """Collection-wide stats, summed over all segments before any scoring
+    (``CollectionStatistics`` + per-term ``TermStatistics``)."""
+
+    doc_count: int
+    sum_total_term_freq: int
+    df: Dict[str, int] = field(default_factory=dict)
+    ttf: Dict[str, int] = field(default_factory=dict)
+
+
+class _Eval:
+    def __init__(self, reader, stats: GlobalStats, sim: BM25Similarity):
+        self.reader = reader
+        self.stats = stats
+        self.sim = sim
+        self.norms = reader.norms  # uint8[ndocs]
+        self.ndocs = reader.ndocs
+
+    # returns (ords ascending int32, scores float32 aligned)
+    def eval(self, q: Query, boost: float) -> Tuple[np.ndarray, np.ndarray]:
+        if isinstance(q, TermQuery):
+            return self._term(q.term, boost)
+        if isinstance(q, BoostQuery):
+            return self.eval(q.query, boost * q.boost)
+        if isinstance(q, BooleanQuery):
+            return self._boolean(q, boost)
+        if isinstance(q, PhraseQuery):
+            return self._phrase(q, boost)
+        if isinstance(q, MatchAllDocsQuery):
+            ords = np.arange(self.ndocs, dtype=np.int32)
+            return ords, np.full(self.ndocs, np.float32(boost), dtype=np.float32)
+        if isinstance(q, MatchNoDocsQuery):
+            return _EMPTY_I, _EMPTY_F
+        if isinstance(q, ConstantScoreQuery):
+            ords, _ = self.eval(q.query, 1.0)
+            return ords, np.full(len(ords), np.float32(boost), dtype=np.float32)
+        if isinstance(q, TermInSetQuery):
+            # constant-score union (CONSTANT_SCORE_REWRITE semantics)
+            all_ords: List[np.ndarray] = []
+            for t in q.in_terms:
+                p = self.reader.postings(t)
+                if p is not None:
+                    all_ords.append(p[0])
+            if not all_ords:
+                return _EMPTY_I, _EMPTY_F
+            ords = np.unique(np.concatenate(all_ords)).astype(np.int32)
+            return ords, np.full(len(ords), np.float32(boost), dtype=np.float32)
+        raise TypeError(
+            f"unrewritten or unsupported query node: {type(q).__name__}"
+        )
+
+    def _term(self, term: str, boost: float):
+        p = self.reader.postings(term)
+        if p is None:
+            return _EMPTY_I, _EMPTY_F
+        ords, freqs = p
+        df = self.stats.df.get(term, 0)
+        if df <= 0:
+            return _EMPTY_I, _EMPTY_F
+        sc = self.sim.scorer(
+            boost,
+            self.stats.doc_count,
+            self.stats.sum_total_term_freq,
+            df,
+        )
+        scores = sc.score(freqs, self.norms[ords])
+        return ords, scores
+
+    def _boolean(self, q: BooleanQuery, boost: float):
+        n_must = n_filter = n_should = 0
+        acc = np.zeros(self.ndocs, dtype=np.float64)
+        must_cnt = np.zeros(self.ndocs, dtype=np.int32)
+        filt_cnt = np.zeros(self.ndocs, dtype=np.int32)
+        should_cnt = np.zeros(self.ndocs, dtype=np.int32)
+        prohibited = np.zeros(self.ndocs, dtype=bool)
+        for c in q.clauses:
+            if c.occur is Occur.MUST:
+                ords, scores = self.eval(c.query, boost)
+                np.add.at(acc, ords, scores.astype(np.float64))
+                must_cnt[ords] += 1
+                n_must += 1
+            elif c.occur is Occur.SHOULD:
+                ords, scores = self.eval(c.query, boost)
+                np.add.at(acc, ords, scores.astype(np.float64))
+                should_cnt[ords] += 1
+                n_should += 1
+            elif c.occur is Occur.FILTER:
+                ords, _ = self.eval(c.query, 1.0)
+                filt_cnt[ords] += 1
+                n_filter += 1
+            else:  # MUST_NOT
+                ords, _ = self.eval(c.query, 1.0)
+                prohibited[ords] = True
+        msm = q.minimum_should_match
+        if n_must == 0 and n_filter == 0:
+            msm = max(msm, 1)
+        matched = (
+            (must_cnt == n_must)
+            & (filt_cnt == n_filter)
+            & ~prohibited
+            & (should_cnt >= msm)
+        )
+        if n_should == 0 and msm > 0:
+            matched[:] = False
+        ords = np.nonzero(matched)[0].astype(np.int32)
+        return ords, acc[ords].astype(np.float32)
+
+    def _phrase(self, q: PhraseQuery, boost: float):
+        readers = []
+        for t in q.phrase_terms:
+            pp = self.reader.positions(t)
+            if pp is None or self.stats.df.get(t, 0) <= 0:
+                return _EMPTY_I, _EMPTY_F
+            readers.append(pp)
+        # candidate docs: intersection of all term ords
+        cand = readers[0][0]
+        for ords, _ in readers[1:]:
+            cand = np.intersect1d(cand, ords, assume_unique=True)
+        if len(cand) == 0:
+            return _EMPTY_I, _EMPTY_F
+        # per-doc phrase frequency via offset-aligned position intersection
+        rel = np.asarray(q.positions, dtype=np.int64)
+        rel = rel - rel[0]
+        out_ords: List[int] = []
+        out_freqs: List[float] = []
+        for d in cand:
+            base = None
+            for (ords, posfn), off in zip(readers, rel):
+                idx = np.searchsorted(ords, d)
+                p = posfn(int(idx)) - off
+                base = p if base is None else np.intersect1d(base, p, assume_unique=True)
+                if len(base) == 0:
+                    break
+            if base is not None and len(base) and q.slop == 0:
+                out_ords.append(int(d))
+                out_freqs.append(float(len(base)))
+            elif q.slop > 0:
+                # sloppy matching: approximate with windowed check
+                f = self._sloppy_freq(readers, d, q.slop)
+                if f > 0:
+                    out_ords.append(int(d))
+                    out_freqs.append(f)
+        if not out_ords:
+            return _EMPTY_I, _EMPTY_F
+        ords = np.asarray(out_ords, dtype=np.int32)
+        freqs = np.asarray(out_freqs, dtype=np.float64)
+        # combined idf = sum of per-term idfs (BM25Similarity.idfExplain for
+        # multiple TermStatistics)
+        idf = np.float32(0.0)
+        for t in q.phrase_terms:
+            idf = np.float32(
+                idf + BM25Similarity.idf(self.stats.df[t], self.stats.doc_count)
+            )
+        sc = self.sim.scorer_from_idf(
+            boost, idf, self.stats.doc_count, self.stats.sum_total_term_freq
+        )
+        return ords, sc.score(freqs, self.norms[ords])
+
+    def _sloppy_freq(self, readers, d, slop) -> float:
+        # simplified sloppy matcher: counts alignments where every term fits
+        # within `slop` total displacement (weight 1/(1+dist) like
+        # SloppyPhraseMatcher's sloppyWeight is NOT applied; freq = count)
+        import itertools
+
+        pos_lists = []
+        for (ords, posfn) in readers:
+            idx = np.searchsorted(ords, d)
+            pos_lists.append(posfn(int(idx)))
+        count = 0
+        for combo in itertools.product(*[p.tolist() for p in pos_lists]):
+            adj = [p - i for i, p in enumerate(combo)]
+            if max(adj) - min(adj) <= slop and len(set(combo)) == len(combo):
+                count += 1
+        return float(count)
+
+
+def score_segment(
+    reader, query: Query, stats: GlobalStats, sim: Optional[BM25Similarity] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exhaustively score one segment; returns (ords asc, float32 scores)."""
+    ev = _Eval(reader, stats, sim or BM25Similarity())
+    return ev.eval(query, 1.0)
+
+
+def topk_segment(
+    reader, query: Query, stats: GlobalStats, k: int,
+    sim: Optional[BM25Similarity] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k of one segment, tie-broken by ascending ordinal (doc order),
+    as ``TopScoreDocCollector`` collects per leaf."""
+    ords, scores = score_segment(reader, query, stats, sim)
+    if len(ords) > k:
+        part = np.argpartition(-scores, k - 1)[:k]
+        ords, scores = ords[part], scores[part]
+    order = np.lexsort((ords, -scores.astype(np.float64)))
+    return ords[order], scores[order]

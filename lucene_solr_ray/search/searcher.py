@@ -1,0 +1,411 @@
+"""Distributed query pipeline: segments → per-segment top-k → TopDocs merge.
+
+The Ray-Data shape of ``IndexSearcher.search(Query, n)``
+(``lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:428``):
+
+1. **Rewrite** multi-term queries against the (distributed) term dictionary
+   — one map over segments collecting matching terms, unioned on the driver
+   (``IndexSearcher.rewrite:665-672`` + CONSTANT_SCORE_REWRITE).
+2. **Global stats pass** — per-segment (df, ttf) partials for the query's
+   terms, summed on the driver; equivalent to ``TermStates.build`` walking
+   all leaves + ``collectionStatistics`` summing leaves (``:764-792``) and
+   to Solr's ``ExactStatsCache`` extra round-trip (rank-identical across
+   shardings, unlike the default LocalStatsCache).
+3. **Scoring pass** — an actor-pool ``map_batches`` over the segment list;
+   each actor caches loaded ``SegmentReader``s (state amortized across
+   batches and queries) and emits its segments' top-k rows per query.
+4. **Merge** — ``TopDocs.merge`` tie-break (score desc, segment asc,
+   doc asc — ``search/TopDocs.java:72-115,188-250``) on the driver; the
+   merge input is ≤ segments × queries × k tiny rows.
+
+Steps 1–2 read only postings metadata columns; step 3 is the only pass that
+touches posting lists.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+from lucene_solr_ray.index.manifest import read_latest_manifest, segment_dir_name
+from lucene_solr_ray.search.parser import QueryParser
+from lucene_solr_ray.search.query import (
+    BooleanClause,
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    FuzzyQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from lucene_solr_ray.search.reader import SegmentReader
+from lucene_solr_ray.search.scorer import GlobalStats, topk_segment
+from lucene_solr_ray.search.similarity import BM25Similarity
+
+__all__ = ["Index", "search", "rewrite_query"]
+
+_MULTITERM = (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)
+
+
+# ---------------------------------------------------------------------------
+# multi-term rewrite
+# ---------------------------------------------------------------------------
+
+def _collect_patterns(q: Query, out: List[Query]) -> None:
+    if isinstance(q, _MULTITERM):
+        if q not in out:
+            out.append(q)
+    elif isinstance(q, BooleanQuery):
+        for c in q.clauses:
+            _collect_patterns(c.query, out)
+    elif isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        _collect_patterns(q.query, out)
+
+
+def match_terms(pattern: Query, terms: Sequence[str]) -> List[str]:
+    """Expand one multi-term query against a term dictionary slice."""
+    if isinstance(pattern, PrefixQuery):
+        return [t for t in terms if t.startswith(pattern.prefix)]
+    if isinstance(pattern, WildcardQuery):
+        rx = re.compile(
+            "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                for ch in pattern.pattern
+            )
+            + r"\Z"
+        )
+        return [t for t in terms if rx.match(t)]
+    if isinstance(pattern, RegexpQuery):
+        rx = re.compile(pattern.pattern + r"\Z")  # Lucene regexps are anchored
+        return [t for t in terms if rx.match(t)]
+    if isinstance(pattern, TermRangeQuery):
+        lo, hi = pattern.lower, pattern.upper
+        out = []
+        for t in terms:
+            if lo is not None and (t < lo or (t == lo and not pattern.include_lower)):
+                continue
+            if hi is not None and (t > hi or (t == hi and not pattern.include_upper)):
+                continue
+            out.append(t)
+        return out
+    if isinstance(pattern, FuzzyQuery):
+        base = pattern.term
+        pl = pattern.prefix_length
+        return [
+            t
+            for t in terms
+            if t[:pl] == base[:pl]
+            and _edit_distance_le(base, t, pattern.max_edits)
+        ]
+    raise TypeError(type(pattern))
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def rewrite_query(q: Query, expansions: Dict[Query, Tuple[str, ...]]) -> Query:
+    """Replace multi-term nodes with constant-score term sets."""
+    if isinstance(q, _MULTITERM):
+        ts = expansions.get(q, ())
+        if not ts:
+            return MatchNoDocsQuery(f"no terms match {q!r}")
+        return ConstantScoreQuery(TermInSetQuery(tuple(ts)))
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            tuple(
+                BooleanClause(rewrite_query(c.query, expansions), c.occur)
+                for c in q.clauses
+            ),
+            q.minimum_should_match,
+        )
+    if isinstance(q, BoostQuery):
+        return BoostQuery(rewrite_query(q.query, expansions), q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(rewrite_query(q.query, expansions))
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Ray stages
+# ---------------------------------------------------------------------------
+
+
+class _StatsFn:
+    """Per-segment (df, ttf) partials + multi-term expansions.
+
+    Reads only the term/df/ttf columns (no posting lists)."""
+
+    def __init__(self, terms: List[str], patterns: List[Query]):
+        self.terms = terms
+        self.patterns = patterns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for seg_dir in batch.column("seg_dir").to_pylist():
+            t = pq.read_table(
+                os.path.join(seg_dir, "postings.parquet"),
+                columns=["term", "df", "ttf"],
+            )
+            term_list = t.column("term").to_pylist()
+            row = {tm: i for i, tm in enumerate(term_list)}
+            df = t.column("df").to_numpy()
+            ttf = t.column("ttf").to_numpy()
+            for tm in self.terms:
+                i = row.get(tm)
+                if i is not None:
+                    rows.append(
+                        {"kind": "stat", "key": tm,
+                         "df": int(df[i]), "ttf": int(ttf[i])}
+                    )
+            for pi, pat in enumerate(self.patterns):
+                for tm in match_terms(pat, term_list):
+                    rows.append(
+                        {"kind": f"pat{pi}", "key": tm, "df": 0, "ttf": 0}
+                    )
+        if not rows:
+            rows = []
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("kind", pa.string()), ("key", pa.string()),
+                 ("df", pa.int64()), ("ttf", pa.int64())]
+            ),
+        )
+
+
+class _SearchFn:
+    """Actor-pool scoring stage: caches SegmentReaders across batches."""
+
+    def __init__(
+        self,
+        queries: List[Tuple[int, Query, int]],
+        stats: GlobalStats,
+        sim_params: Tuple[float, float],
+        need_positions: bool,
+    ):
+        self.queries = queries
+        self.stats = stats
+        self.sim = BM25Similarity(*sim_params)
+        self.need_positions = need_positions
+        self._readers: Dict[str, SegmentReader] = {}
+
+    def _reader(self, seg_dir: str) -> SegmentReader:
+        r = self._readers.get(seg_dir)
+        if r is None:
+            r = SegmentReader(seg_dir, load_positions=self.need_positions)
+            self._readers[seg_dir] = r
+        return r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids: List[int] = []
+        doc_ids: List[np.ndarray] = []
+        scores: List[np.ndarray] = []
+        seg_ords: List[np.ndarray] = []
+        ords_out: List[np.ndarray] = []
+        for seg_dir, seg_ord in zip(
+            batch.column("seg_dir").to_pylist(),
+            batch.column("seg_ord").to_pylist(),
+        ):
+            reader = self._reader(seg_dir)
+            for qid, q, k in self.queries:
+                o, s = topk_segment(reader, q, self.stats, k, self.sim)
+                qids.extend([qid] * len(o))
+                doc_ids.append(reader.doc_ids[o])
+                scores.append(s)
+                seg_ords.append(np.full(len(o), seg_ord, dtype=np.int32))
+                ords_out.append(o)
+        if not qids:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float32()),
+                    "seg_ord": pa.array([], pa.int32()),
+                    "ord": pa.array([], pa.int32()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "doc_id": pa.array(np.concatenate(doc_ids)),
+                "score": pa.array(np.concatenate(scores)),
+                "seg_ord": pa.array(np.concatenate(seg_ords)),
+                "ord": pa.array(np.concatenate(ords_out)),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# Index facade
+# ---------------------------------------------------------------------------
+
+
+class Index:
+    """A committed index: manifest + segment dirs + search entry points."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        m = read_latest_manifest(index_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        self.manifest = m
+
+    @property
+    def seg_dirs(self) -> List[str]:
+        return [
+            os.path.join(self.index_dir, segment_dir_name(s["segment_id"]))
+            for s in self.manifest["segments"]
+        ]
+
+    @property
+    def doc_count(self) -> int:
+        return self.manifest["doc_count"]
+
+    def search(
+        self,
+        queries: Dict[int, str] | Sequence[str],
+        k: int = 10,
+        analyzer: Optional[StandardAnalyzer] = None,
+        k1: float = 1.2,
+        b: float = 0.75,
+        concurrency: Optional[int] = None,
+    ) -> pa.Table:
+        """Parse + run a batch of query strings; returns
+        (qid, rank, doc_id, score) sorted by (qid, rank)."""
+        parser = QueryParser(analyzer)
+        if isinstance(queries, dict):
+            items = sorted(queries.items())
+        else:
+            items = list(enumerate(queries))
+        parsed = [(qid, parser.parse(s), k) for qid, s in items]
+        return self.search_parsed(parsed, k1=k1, b=b, concurrency=concurrency)
+
+    def search_parsed(
+        self,
+        parsed: List[Tuple[int, Query, int]],
+        k1: float = 1.2,
+        b: float = 0.75,
+        concurrency: Optional[int] = None,
+    ) -> pa.Table:
+        import ray.data
+
+        seg_dirs = self.seg_dirs
+        seg_items = [
+            {"seg_dir": d, "seg_ord": i} for i, d in enumerate(seg_dirs)
+        ]
+
+        # 1+2: rewrite + exact global stats
+        patterns: List[Query] = []
+        for _, q, _ in parsed:
+            _collect_patterns(q, patterns)
+        terms = sorted({t for _, q, _ in parsed for t in q.terms()})
+        stats = GlobalStats(
+            doc_count=self.manifest["doc_count"],
+            sum_total_term_freq=self.manifest["sum_total_term_freq"],
+        )
+        if terms or patterns:
+            ds = ray.data.from_items(seg_items)
+            parts = ds.map_batches(
+                _StatsFn(terms, patterns), batch_format="pyarrow"
+            ).take_all()
+            expansions: Dict[Query, set] = {p: set() for p in patterns}
+            for r in parts:
+                if r["kind"] == "stat":
+                    stats.df[r["key"]] = stats.df.get(r["key"], 0) + r["df"]
+                    stats.ttf[r["key"]] = stats.ttf.get(r["key"], 0) + r["ttf"]
+                else:
+                    expansions[patterns[int(r["kind"][3:])]].add(r["key"])
+            if patterns:
+                exp = {p: tuple(sorted(ts)) for p, ts in expansions.items()}
+                parsed = [
+                    (qid, rewrite_query(q, exp), kk) for qid, q, kk in parsed
+                ]
+
+        # 3: scoring pass over segments (actor pool when concurrency given)
+        need_pos = any(
+            _has_phrase(q) for _, q, _ in parsed
+        )
+        kwargs = {}
+        if concurrency:
+            kwargs["concurrency"] = concurrency
+        ds = ray.data.from_items(seg_items)
+        res = ds.map_batches(
+            _SearchFn(parsed, stats, (k1, b), need_pos),
+            batch_format="pyarrow",
+            batch_size=max(1, len(seg_items) // (concurrency or len(seg_items)) or 1),
+            **kwargs,
+        )
+        rows = res.take_all()
+
+        # 4: TopDocs.merge — score desc, segment asc, doc asc (TopDocs.java)
+        return _merge_topk(rows, parsed)
+
+
+def _has_phrase(q: Query) -> bool:
+    if isinstance(q, PhraseQuery):
+        return True
+    if isinstance(q, BooleanQuery):
+        return any(_has_phrase(c.query) for c in q.clauses)
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return _has_phrase(q.query)
+    return False
+
+
+def _merge_topk(rows: List[dict], parsed) -> pa.Table:
+    by_q: Dict[int, List[dict]] = {qid: [] for qid, _, _ in parsed}
+    for r in rows:
+        by_q[r["qid"]].append(r)
+    out_qid: List[int] = []
+    out_rank: List[int] = []
+    out_doc: List[int] = []
+    out_score: List[float] = []
+    for qid, _, k in parsed:
+        rs = by_q.get(qid, [])
+        rs.sort(key=lambda r: (-r["score"], r["seg_ord"], r["ord"]))
+        for rank, r in enumerate(rs[:k]):
+            out_qid.append(qid)
+            out_rank.append(rank)
+            out_doc.append(r["doc_id"])
+            out_score.append(r["score"])
+    return pa.table(
+        {
+            "qid": pa.array(out_qid, pa.int64()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "score": pa.array(np.asarray(out_score, dtype=np.float32)),
+        }
+    )
+
+
+def search(
+    index_dir: str, queries, k: int = 10, **kw
+) -> pa.Table:
+    return Index(index_dir).search(queries, k, **kw)

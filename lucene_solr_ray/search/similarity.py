@@ -64,7 +64,20 @@ class BM25Similarity:
         doc_freq: int,
         total_term_freq: int = -1,  # kept for parity; unused by BM25 scoring
     ) -> "BM25Scorer":
-        idf = self.idf(doc_freq, doc_count)
+        return self.scorer_from_idf(
+            boost, self.idf(doc_freq, doc_count), doc_count, sum_total_term_freq
+        )
+
+    def scorer_from_idf(
+        self,
+        boost: float,
+        idf: "np.float32",
+        doc_count: int,
+        sum_total_term_freq: int,
+    ) -> "BM25Scorer":
+        """Scorer from a precomputed idf — used by PhraseQuery/SynonymQuery
+        whose idf is the float32 sum of per-term idfs (``BM25Similarity.
+        idfExplain`` over multiple TermStatistics)."""
         avgdl = self.avg_field_length(sum_total_term_freq, doc_count)
         # float32 elementwise, same op order as the Java loop
         one = np.float32(1.0)
