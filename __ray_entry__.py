@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + BM25 query batch over
+sf0.001), ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2, and ``oracle_sql()`` the DuckDB-equivalent SQL for each
+(omitted only for genuinely non-SQL-expressible ops, which get the weaker
+rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,41 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents, run the
+    reference query set (float32 Lucene-exact mode), return the top-k."""
+    from lucene_solr_ray.pipelines import fulltext
+
+    idx = fulltext.documents_index("/root/testdata/sf0.001")
+    return idx.search({qid: qs for qid, qs, _, _ in fulltext.QUERY_SET}, k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_solr_ray.pipelines import fulltext, relational, training
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {
+        # -- core engine: index build + BM25 search path ------------------
+        "bm25_topk": fulltext.bm25_topk,
+        "term_stats": fulltext.term_stats,
+        "doc_norms": fulltext.doc_norms,
+        "phrase_topk": fulltext.phrase_topk,  # rows-only (positions path)
+    }
+    # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
+    out.update(relational.QUERIES)
+    # -- training-data ops: dedup / text analysis / ANN -------------------
+    out.update(training.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_solr_ray.pipelines import fulltext
+
+    from lucene_solr_ray.pipelines import relational, training
+
+    out = {
+        "bm25_topk": fulltext.bm25_topk_sql(),
+        "term_stats": fulltext.term_stats_sql(),
+        "doc_norms": fulltext.doc_norms_sql(),
+    }
+    out.update(relational.ORACLES)
+    out.update(training.ORACLES)
+    return out

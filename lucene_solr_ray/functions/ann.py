@@ -1,0 +1,150 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``); every batch does one numpy matmul and emits
+  only its local top-k per query; a final tiny merge keeps the global top-k.
+  This is the exact baseline (and the oracle for the approximate path).
+- :func:`lsh_topk` — random-hyperplane LSH: vectors bucketed by sign
+  pattern; queries probe only their own + neighboring (hamming ≤ 1)
+  buckets.  Approximate: recall measured against the brute-force oracle in
+  tests, not rank-identical.
+
+The scale path: brute force is O(n·q·d) flops fully distributed with no
+shuffle (broadcast queries, partial top-k per block, tiny merge) — at 10^9
+vectors the LSH variant cuts candidates per query by ~2^bits.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["brute_force_topk", "lsh_topk"]
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
+                     vec_col: str, id_col: str, k: int = 10):
+    """Exact cosine top-k for each query row; returns (qid, vec_id, cosine)
+    with ties broken by ascending vec_id."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((Q, np.asarray(query_ids)))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        Qm, qids = ray.get(q_ref)
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(ids) == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        M = _normalize(M)
+        S = Qm @ M.T  # (q, batch)
+        out_q, out_v, out_c = [], [], []
+        kk = min(k, S.shape[1])
+        for r in range(S.shape[0]):
+            part = np.argpartition(-S[r], kk - 1)[:kk]
+            order = np.lexsort((ids[part], -S[r][part]))
+            sel = part[order]
+            out_q.extend([int(qids[r])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_c.extend(S[r][sel].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+
+    # final merge: ≤ k rows per (query, block) — tiny
+    df = partials.to_pandas()
+    out = []
+    for qid, g in df.groupby("qid", sort=True):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else df
+
+
+def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
+             vec_col: str, id_col: str, k: int = 10,
+             n_bits: int = 8, seed: int = 42,
+             probe_hamming: int = 1):
+    """Random-hyperplane LSH ANN: bucket by sign(R·v) (``n_bits`` planes),
+    probe the query's bucket plus all buckets within ``probe_hamming``."""
+    import ray
+
+    rng = np.random.RandomState(seed)
+
+    def _planes(dim: int) -> np.ndarray:
+        return rng.normal(size=(n_bits, dim))
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    planes = _planes(Q.shape[1])
+    q_codes = (Q @ planes.T > 0).astype(np.uint32)
+    q_buckets = (q_codes * (1 << np.arange(n_bits, dtype=np.uint32))).sum(axis=1)
+
+    # probe set per query: own bucket + hamming-1 neighbors
+    probe: dict = {}
+    for qi, b in enumerate(q_buckets):
+        bs = {int(b)}
+        if probe_hamming >= 1:
+            bs |= {int(b) ^ (1 << i) for i in range(n_bits)}
+        probe[int(query_ids[qi])] = bs
+
+    ref = ray.put((Q, np.asarray(query_ids), planes, probe))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        Qm, qids, P, prob = ray.get(ref)
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        out_q, out_v, out_c = [], [], []
+        if len(ids):
+            M = _normalize(M)
+            codes = (M @ P.T > 0).astype(np.uint32)
+            buckets = (codes * (1 << np.arange(P.shape[0], dtype=np.uint32))).sum(
+                axis=1
+            )
+            for r in range(Qm.shape[0]):
+                qid = int(qids[r])
+                mask = np.isin(buckets, list(prob[qid]))
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                s = Qm[r] @ M[cand].T
+                kk = min(k, len(cand))
+                part = np.argpartition(-s, kk - 1)[:kk]
+                order = np.lexsort((ids[cand[part]], -s[part]))
+                sel = part[order]
+                out_q.extend([qid] * len(sel))
+                out_v.extend(ids[cand[sel]].tolist())
+                out_c.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    df = partials.to_pandas()
+    out = []
+    for qid, g in df.groupby("qid", sort=True):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else df

@@ -1,0 +1,271 @@
+"""Driver-gated full-text pipelines over the ``documents`` table + their
+DuckDB oracle SQL.
+
+The documents corpus is plain lowercase space-separated words, so the
+StandardAnalyzer chain reduces to a space split there (property-checked in
+tests) and the whole indexing + BM25 pipeline becomes ANSI-SQL-expressible:
+the oracle recomputes tokenization, SmallFloat norm quantization
+(``util/SmallFloat.java:147-169``), collection stats, and BM25 in pure SQL.
+
+Scores in the gated queries use :class:`BM25SimilarityF64` (pure float64,
+same operation order as the SQL) so both sides agree to the last ulp; the
+engine's Lucene-exact float32 mode is covered by pytest golden tests
+instead (float32 cast points aren't expressible in portable SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.manifest import read_latest_manifest
+from lucene_solr_ray.search.searcher import Index
+from lucene_solr_ray.search.similarity import BM25SimilarityF64
+
+__all__ = [
+    "documents_index",
+    "bm25_topk",
+    "bm25_topk_sql",
+    "term_stats",
+    "term_stats_sql",
+    "doc_norms",
+    "doc_norms_sql",
+    "phrase_topk",
+]
+
+_CACHE_ROOT = "/tmp/lsr_indexes"
+DOCS_PER_SEGMENT = 250
+
+#: the reference-style query set (conf/query-terms.txt shapes): single terms
+#: (common + rare + stopword-scale + missing), AND chains, OR pairs, nested.
+#: spec: (qid, query string, k, AND-of-OR-groups for the SQL oracle)
+QUERY_SET: List[Tuple[int, str, int, List[List[str]]]] = [
+    (0, "merge", 10, [["merge"]]),
+    (1, "fast OR slow", 10, [["fast", "slow"]]),
+    (2, "merge AND sort", 10, [["merge"], ["sort"]]),
+    (3, "merge AND sort AND window", 10, [["merge"], ["sort"], ["window"]]),
+    (4, "(fast OR slow) AND merge", 10, [["fast", "slow"], ["merge"]]),
+    (5, "query window", 10, [["query", "window"]]),
+    (6, "zzzmissing", 10, [["zzzmissing"]]),
+    (7, "the", 10, [["the"]]),
+    (8, "data AND batch", 10, [["data"], ["batch"]]),
+    (9, "scan OR zzzmissing", 10, [["scan", "zzzmissing"]]),
+    (10, "group", 100, [["group"]]),
+    (11, "join", 1, [["join"]]),
+    (12, "vector AND the AND a", 10, [["vector"], ["the"], ["a"]]),
+]
+
+
+def documents_index(sf_dir: str) -> Index:
+    """Build-or-open the cached index over ``{sf_dir}/documents.parquet``."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"documents_{key}")
+    if read_latest_manifest(out) is None:
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            text_col="text",
+            id_col="doc_id",
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    return Index(out)
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    """Top-k BM25 (float64 oracle mode) for the reference query set.
+
+    Columns (qid, doc_id, rank, score) — rank 1-based, score ROUND(·, 4).
+    """
+    idx = documents_index(sf_dir)
+    tabs = []
+    for qid, qs, k, _ in QUERY_SET:
+        tabs.append(
+            idx.search({qid: qs}, k=k, similarity=BM25SimilarityF64())
+        )
+    t = pa.concat_tables(tabs)
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+_BM25_CTE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS f
+  FROM tok GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN text = '' THEN 0
+              ELSE array_length(string_split(text, ' ')) END::BIGINT AS dl
+  FROM documents
+),
+dln AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 40 THEN dl
+         ELSE 24 + ((dl - 24) // CAST(POWER(2, FLOOR(LOG2(dl - 24)) - 3) AS BIGINT))
+                 * CAST(POWER(2, FLOOR(LOG2(dl - 24)) - 3) AS BIGINT)
+    END::DOUBLE AS dlq
+  FROM dl
+),
+stats AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE AS sttf FROM dl),
+dfs AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, tf.term,
+    ((1.2 + 1) * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+      * (tf.f / (tf.f + 1.2 * ((1 - 0.75) + 0.75 * dn.dlq / (s.sttf / s.n))))
+      AS tscore
+  FROM tf
+  JOIN dfs d USING (term)
+  JOIN dln dn ON tf.doc_id = dn.doc_id
+  CROSS JOIN stats s
+)
+"""
+
+
+def bm25_topk_sql() -> str:
+    selects = []
+    for qid, _, k, groups in QUERY_SET:
+        all_terms = sorted({t for g in groups for t in g})
+        in_list = ", ".join(f"'{t}'" for t in all_terms)
+        having = " AND ".join(
+            "SUM(CASE WHEN term IN ({}) THEN 1 ELSE 0 END) > 0".format(
+                ", ".join(f"'{t}'" for t in g)
+            )
+            for g in groups
+        )
+        selects.append(
+            f"""
+  SELECT {qid} AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM (
+      SELECT doc_id, SUM(tscore) AS score
+      FROM scores WHERE term IN ({in_list})
+      GROUP BY doc_id
+      HAVING {having}
+    )
+  ) WHERE rank <= {k}"""
+        )
+    return _BM25_CTE + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# term_stats: the index's term dictionary (df/ttf) via a groupby shuffle
+# ---------------------------------------------------------------------------
+
+
+def term_stats(sf_dir: str) -> pa.Table:
+    """Global per-term (df, ttf) — the ``CollectionStatistics`` build —
+    as a Ray groupby-aggregate over per-segment postings metadata."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    idx = documents_index(sf_dir)
+    paths = [os.path.join(d, "postings.parquet") for d in idx.seg_dirs]
+    ds = ray.data.read_parquet(paths, columns=["term", "df", "ttf"])
+    out = (
+        ds.groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+    )
+    t = out.sort("term").to_pandas()
+    return pa.table(
+        {
+            "term": pa.array(t["term"], pa.string()),
+            "df": pa.array(t["df"].astype("int64")),
+            "ttf": pa.array(t["ttf"].astype("int64")),
+        }
+    )
+
+
+def term_stats_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS f FROM tok GROUP BY doc_id, term)
+SELECT term, COUNT(*)::BIGINT AS df, SUM(f)::BIGINT AS ttf
+FROM tf GROUP BY term ORDER BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_norms: field lengths + SmallFloat norm quantization per doc
+# ---------------------------------------------------------------------------
+
+
+def doc_norms(sf_dir: str) -> pa.Table:
+    """Per-doc (field_len, norm-decoded length) from the docmeta tables —
+    validates the SmallFloat encode/decode chain end-to-end."""
+    import ray.data
+
+    from lucene_solr_ray.analysis.smallfloat import BYTE4_DECODE_TABLE
+
+    idx = documents_index(sf_dir)
+    paths = [os.path.join(d, "docmeta.parquet") for d in idx.seg_dirs]
+    ds = ray.data.read_parquet(paths, columns=["doc_id", "norm", "field_len"])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        norm = batch.column("norm").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "field_len": pa.array(
+                    batch.column("field_len").to_numpy().astype(np.int64)
+                ),
+                "norm_len": pa.array(BYTE4_DECODE_TABLE[norm]),
+            }
+        )
+
+    t = ds.map_batches(decode, batch_format="pyarrow").sort("doc_id").to_pandas()
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def doc_norms_sql() -> str:
+    return """
+SELECT doc_id,
+  CASE WHEN text = '' THEN 0
+       ELSE array_length(string_split(text, ' ')) END::BIGINT AS field_len,
+  CASE WHEN field_len < 40 THEN field_len
+       ELSE 24 + ((field_len - 24) // CAST(POWER(2, FLOOR(LOG2(field_len - 24)) - 3) AS BIGINT))
+               * CAST(POWER(2, FLOOR(LOG2(field_len - 24)) - 3) AS BIGINT)
+  END::BIGINT AS norm_len
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# phrase_topk — positions path; no portable SQL oracle (rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def phrase_topk(sf_dir: str) -> pa.Table:
+    idx = documents_index(sf_dir)
+    qs = {
+        0: '"batch batch"',
+        1: '"fast key"',
+        2: '"merge sort"~2',
+        3: '"the key value"',
+    }
+    return idx.search(qs, k=10)

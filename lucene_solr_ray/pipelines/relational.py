@@ -1,0 +1,452 @@
+"""Driver-gated relational pipelines (the Solr streaming-expression algebra
+over the TPC-H-ish tables) + DuckDB oracle SQL.
+
+Money sums use exact integer arithmetic (cents / 1e-4-dollar units) on BOTH
+sides so float summation order can never flake the gate; averages are
+ROUND(·, 6) where the residual error is ~1e-13 relative.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lucene_solr_ray.stages import relational as R
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+# -- RollupStream over lineitem (TPC-H Q1 shape) ----------------------------
+
+def rollup_lineitem(sf_dir: str) -> pd.DataFrame:
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)),
+                         pa.int64())
+        disc_e4 = pc.multiply(cents, pc.subtract(100, disc_h))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": qty,
+                "base_cents": cents,
+                "disc_e4": disc_e4,
+                "l_quantity": t.column("l_quantity"),
+            }
+        )
+
+    out = R.rollup(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum", "qty", "sum_qty"),
+            ("sum", "base_cents", "sum_base_cents"),
+            ("sum", "disc_e4", "sum_disc_e4"),
+            ("avg", "l_quantity", "avg_qty"),
+            ("count", None, "count_order"),
+        ],
+    ).to_pandas()
+    out["avg_qty"] = out["avg_qty"].round(6)
+    for c in ("sum_qty", "sum_base_cents", "sum_disc_e4", "count_order"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ROLLUP_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- StatsStream over orders ------------------------------------------------
+
+def stats_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                        pa.int64())
+        return t.append_column("cents", cents)
+
+    row = R.stats(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        [
+            ("count", None, "n"),
+            ("sum", "cents", "sum_cents"),
+            ("avg", "o_totalprice", "avg_price"),
+            ("min", "o_totalprice", "min_price"),
+            ("max", "o_totalprice", "max_price"),
+        ],
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n": int(row["n"]),
+                "sum_cents": int(row["sum_cents"]),
+                "avg_price": round(float(row["avg_price"]), 6),
+                "min_price": float(row["min_price"]),
+                "max_price": float(row["max_price"]),
+            }
+        ]
+    )
+
+
+STATS_ORDERS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+  ROUND(AVG(o_totalprice), 6) AS avg_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders
+"""
+
+
+# -- HashJoinStream: broadcast customer into orders -------------------------
+
+def hashjoin_orders_customer(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+
+    joined = R.hash_join(orders, customer, on="o_custkey",
+                         right_on="c_custkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                        pa.int64())
+        return pa.table(
+            {"c_mktsegment": t.column("c_mktsegment"), "cents": cents}
+        )
+
+    out = R.rollup(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [("count", None, "n_orders"), ("sum", "cents", "sum_cents")],
+    ).to_pandas()
+    for c in ("n_orders", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+HASHJOIN_SQL = """
+SELECT c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# -- InnerJoinStream: both-large shuffle join -------------------------------
+
+def innerjoin_revenue(sf_dir: str) -> pd.DataFrame:
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)),
+                         pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_e4": pc.multiply(cents, pc.subtract(100, disc_h)),
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    joined = R.inner_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                          num_partitions=8, how="inner")
+    # join key names differ: Dataset.join keeps right key col; rename after
+    out = R.rollup(
+        joined, ["o_orderpriority"],
+        [("sum", "rev_e4", "revenue_e4"), ("count", None, "n_items")],
+    ).to_pandas()
+    for c in ("revenue_e4", "n_items"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+INNERJOIN_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT))) AS BIGINT) AS revenue_e4,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# -- SelectStream + HavingStream --------------------------------------------
+
+def select_having(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = R.having(ds, lambda t: pc.greater(t.column("o_totalprice"), 400000.0))
+    return R.select(
+        ds, rename={"o_orderkey": "orderkey", "o_totalprice": "totalprice"}
+    )
+
+
+SELECT_HAVING_SQL = """
+SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+FROM orders WHERE o_totalprice > 400000.0
+"""
+
+
+# -- SortStream + RankStream ------------------------------------------------
+
+def rank_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(20)
+
+
+RANK_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+# -- UniqueStream -----------------------------------------------------------
+
+def unique_priorities(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    return R.unique_stream(ds, "o_orderpriority").to_pandas()
+
+
+UNIQUE_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+# -- MergeStream (union) ----------------------------------------------------
+
+def merge_names(sf_dir: str):
+    a = R.select(_read(sf_dir, "region", ["r_name"]),
+                 rename={"r_name": "name"})
+    b = R.select(_read(sf_dir, "nation", ["n_name"]),
+                 rename={"n_name": "name"})
+    return R.merge_stream(a, b)
+
+
+MERGE_SQL = """
+SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation
+"""
+
+
+# -- IntersectStream / ComplementStream -------------------------------------
+
+def intersect_nations(sf_dir: str) -> pd.DataFrame:
+    cust = R.unique_stream(
+        _read(sf_dir, "customer", ["c_nationkey"]), "c_nationkey"
+    )
+    supp = _read(sf_dir, "supplier", ["s_nationkey"])
+    out = R.intersect_stream(
+        R.select(cust, rename={"c_nationkey": "nationkey"}),
+        R.select(supp, rename={"s_nationkey": "nationkey"}),
+        on="nationkey",
+    ).to_pandas()
+    return out
+
+
+INTERSECT_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+"""
+
+
+def complement_nations(sf_dir: str) -> pd.DataFrame:
+    """Nations with no high-balance supplier (anti-join)."""
+    nat = _read(sf_dir, "nation", ["n_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    supp = R.having(supp, lambda t: pc.greater_equal(t.column("s_acctbal"),
+                                                     9500.0))
+    out = R.complement_stream(
+        R.select(nat, rename={"n_nationkey": "nationkey"}),
+        R.select(supp, columns=["s_nationkey"],
+                 rename={"s_nationkey": "nationkey"}),
+        on="nationkey",
+    ).to_pandas()
+    if out.empty:  # keep the schema even when the complement is empty
+        out = pd.DataFrame({"nationkey": pd.Series([], dtype="int64")})
+    return out
+
+
+COMPLEMENT_SQL = """
+SELECT n_nationkey AS nationkey FROM nation
+WHERE n_nationkey NOT IN
+  (SELECT s_nationkey FROM supplier WHERE s_acctbal >= 9500.0)
+"""
+
+
+# -- CartesianProductStream (unnest) ----------------------------------------
+
+def cartesian_part_words(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    out = R.cartesian_product(ds, "p_name", "word")
+    return R.select(out, columns=["p_partkey", "word"])
+
+
+CARTESIAN_SQL = """
+SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+"""
+
+
+# -- FacetStream ------------------------------------------------------------
+
+def facet_brand(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_brand"])
+    out = R.facet_stream(ds, "p_brand").to_pandas()
+    out["count"] = out["count"].astype("int64")
+    return out
+
+
+FACET_SQL = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS count FROM part GROUP BY p_brand
+"""
+
+
+# -- TimeSeriesStream -------------------------------------------------------
+
+def timeseries_events(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        return t.append_column("cents", cents)
+
+    out = R.time_series(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "ts", "day",
+        [
+            ("count", None, "n"),
+            ("sum", "cents", "sum_cents"),
+            ("avg", "value", "avg_value"),
+        ],
+        extra_keys=["event_type"],
+    ).to_pandas()
+    out["avg_value"] = out["avg_value"].round(6)
+    for c in ("n", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+TIMESERIES_SQL = """
+SELECT date_trunc('day', ts) AS bucket, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+  ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# -- SignificantTermsStream -------------------------------------------------
+
+def significant_terms_en(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = R.significant_terms(
+        docs, "text",
+        lambda t: pc.equal(t.column("lang"), "en"),
+    ).to_pandas()
+    out["score"] = out["score"].round(6)
+    for c in ("fg", "bg"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("term").reset_index(drop=True)
+
+
+SIGTERMS_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_bg,
+         CAST(COUNT(*) FILTER (lang = 'en') AS DOUBLE) AS n_fg
+  FROM documents
+)
+SELECT term,
+  CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS fg,
+  CAST(COUNT(*) AS BIGINT) AS bg,
+  ROUND((COUNT(*) FILTER (lang = 'en') / t.n_fg)
+        / GREATEST(COUNT(*) / t.n_bg, 1e-12), 6) AS score
+FROM tok CROSS JOIN tot t
+GROUP BY term, t.n_fg, t.n_bg
+ORDER BY term
+"""
+
+
+QUERIES = {
+    "rollup_lineitem": rollup_lineitem,
+    "stats_orders": stats_orders,
+    "hashjoin_orders_customer": hashjoin_orders_customer,
+    "innerjoin_revenue": innerjoin_revenue,
+    "select_having": select_having,
+    "rank_orders": rank_orders,
+    "unique_priorities": unique_priorities,
+    "merge_names": merge_names,
+    "intersect_nations": intersect_nations,
+    "complement_nations": complement_nations,
+    "cartesian_part_words": cartesian_part_words,
+    "facet_brand": facet_brand,
+    "timeseries_events": timeseries_events,
+    "significant_terms_en": significant_terms_en,
+}
+
+ORACLES = {
+    "rollup_lineitem": ROLLUP_LINEITEM_SQL,
+    "stats_orders": STATS_ORDERS_SQL,
+    "hashjoin_orders_customer": HASHJOIN_SQL,
+    "innerjoin_revenue": INNERJOIN_SQL,
+    "select_having": SELECT_HAVING_SQL,
+    "rank_orders": RANK_ORDERS_SQL,
+    "unique_priorities": UNIQUE_SQL,
+    "merge_names": MERGE_SQL,
+    "intersect_nations": INTERSECT_SQL,
+    "complement_nations": COMPLEMENT_SQL,
+    "cartesian_part_words": CARTESIAN_SQL,
+    "facet_brand": FACET_SQL,
+    "timeseries_events": TIMESERIES_SQL,
+    "significant_terms_en": SIGTERMS_SQL,
+}

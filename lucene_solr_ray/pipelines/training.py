@@ -1,0 +1,232 @@
+"""Driver-gated training-data pipelines (dedup, text stats, ANN) + oracles.
+
+SQL-expressible ops get a DuckDB oracle; minhash/simhash/LSH/langid are
+checked rows-only by the driver and against in-repo oracles in pytest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.functions import ann, dedup, textstats
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    out = dedup.exact_dedup(_docs(sf_dir), "text", "doc_id").to_pandas()
+    out = out[["keep_id", "n_dups"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("keep_id").reset_index(drop=True)
+
+
+DEDUP_EXACT_SQL = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text ORDER BY keep_id
+"""
+
+
+# -- token counts / quality --------------------------------------------------
+
+def token_count_docs(sf_dir: str) -> pd.DataFrame:
+    out = textstats.token_counts(_docs(sf_dir), "text", "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN text = '' THEN 0
+            ELSE array_length(string_split(text, ' ')) END AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def quality_docs(sf_dir: str) -> pd.DataFrame:
+    out = textstats.quality_scores(_docs(sf_dir), "text", "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUALITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+),
+agg AS (
+  SELECT doc_id,
+    COUNT(*) AS n_tokens,
+    COUNT(DISTINCT term) AS n_uniq,
+    SUM(CASE WHEN term IN ('a','an','and','are','as','at','be','but','by',
+      'for','if','in','into','is','it','no','not','of','on','or','such',
+      'that','the','their','then','there','these','they','this','to','was',
+      'will','with') THEN 1 ELSE 0 END) AS n_stop,
+    SUM(length(term)) AS sum_len
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(a.n_uniq, 0) AS BIGINT) AS n_uniq,
+  COALESCE(ROUND(a.n_stop / CAST(a.n_tokens AS DOUBLE), 6), 0.0) AS stop_ratio,
+  COALESCE(ROUND(a.sum_len / CAST(a.n_tokens AS DOUBLE), 6), 0.0) AS avg_token_len
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# -- fingerprints ------------------------------------------------------------
+
+def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    out = textstats.fingerprint_md5(_docs(sf_dir), "text", "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+"""
+
+
+# -- ANN: brute-force cosine top-k -------------------------------------------
+
+_ANN_K = 5
+_ANN_NQ = 10
+
+
+def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qdf = qt.slice(0, _ANN_NQ)
+    queries = np.asarray(qdf.column("embedding").to_pylist(), dtype=np.float64)
+    qids = np.asarray(qdf.column("vec_id").to_pylist(), dtype=np.int64)
+
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = ann.brute_force_topk(
+        ds, queries, qids, "embedding", "vec_id", k=_ANN_K
+    )
+    out["cosine"] = out["cosine"].round(6)
+    return out.reset_index(drop=True)
+
+
+ANN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_ANN_NQ}
+),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+  FROM pairs
+)
+SELECT qid, vec_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rnk <= {_ANN_K} ORDER BY qid, rnk
+"""
+
+
+# -- rows-only ops (non-SQL-expressible; pytest carries the oracles) ---------
+
+def minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    out = dedup.minhash_lsh_pairs(
+        _docs(sf_dir), "text", "doc_id", jaccard_threshold=0.5
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    out = dedup.simhash_groups(_docs(sf_dir), "text", "doc_id").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def langid_docs(sf_dir: str) -> pd.DataFrame:
+    out = textstats.langid(_docs(sf_dir)).to_pandas()
+    return out[["doc_id", "lang_pred", "lang_conf"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def embedding_neardups(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = dedup.embedding_near_dups(
+        ds, "embedding", "vec_id", threshold=0.5
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qdf = qt.slice(0, _ANN_NQ)
+    queries = np.asarray(qdf.column("embedding").to_pylist(), dtype=np.float64)
+    qids = np.asarray(qdf.column("vec_id").to_pylist(), dtype=np.int64)
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = ann.lsh_topk(ds, queries, qids, "embedding", "vec_id", k=_ANN_K)
+    out["cosine"] = out["cosine"].round(6)
+    return out.reset_index(drop=True)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "token_count_docs": token_count_docs,
+    "quality_docs": quality_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "ann_cosine_topk": ann_cosine_topk,
+    "minhash_pairs": minhash_pairs,
+    "simhash_pairs": simhash_pairs,
+    "langid_docs": langid_docs,
+    "embedding_neardups": embedding_neardups,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "token_count_docs": TOKEN_COUNT_SQL,
+    "quality_docs": QUALITY_SQL,
+    "fingerprint_docs": FINGERPRINT_SQL,
+    "ann_cosine_topk": ANN_SQL,
+}

@@ -82,12 +82,14 @@ class _Eval:
             return self._phrase(q, boost)
         if isinstance(q, MatchAllDocsQuery):
             ords = np.arange(self.ndocs, dtype=np.int32)
-            return ords, np.full(self.ndocs, np.float32(boost), dtype=np.float32)
+            dt = self.sim.out_dtype
+            return ords, np.full(self.ndocs, dt(boost), dtype=dt)
         if isinstance(q, MatchNoDocsQuery):
             return _EMPTY_I, _EMPTY_F
         if isinstance(q, ConstantScoreQuery):
             ords, _ = self.eval(q.query, 1.0)
-            return ords, np.full(len(ords), np.float32(boost), dtype=np.float32)
+            dt = self.sim.out_dtype
+            return ords, np.full(len(ords), dt(boost), dtype=dt)
         if isinstance(q, TermInSetQuery):
             # constant-score union (CONSTANT_SCORE_REWRITE semantics)
             all_ords: List[np.ndarray] = []
@@ -98,7 +100,8 @@ class _Eval:
             if not all_ords:
                 return _EMPTY_I, _EMPTY_F
             ords = np.unique(np.concatenate(all_ords)).astype(np.int32)
-            return ords, np.full(len(ords), np.float32(boost), dtype=np.float32)
+            dt = self.sim.out_dtype
+            return ords, np.full(len(ords), dt(boost), dtype=dt)
         raise TypeError(
             f"unrewritten or unsupported query node: {type(q).__name__}"
         )
@@ -157,7 +160,7 @@ class _Eval:
         if n_should == 0 and msm > 0:
             matched[:] = False
         ords = np.nonzero(matched)[0].astype(np.int32)
-        return ords, acc[ords].astype(np.float32)
+        return ords, acc[ords].astype(self.sim.out_dtype)
 
     def _phrase(self, q: PhraseQuery, boost: float):
         readers = []
@@ -199,11 +202,12 @@ class _Eval:
         ords = np.asarray(out_ords, dtype=np.int32)
         freqs = np.asarray(out_freqs, dtype=np.float64)
         # combined idf = sum of per-term idfs (BM25Similarity.idfExplain for
-        # multiple TermStatistics)
-        idf = np.float32(0.0)
+        # multiple TermStatistics), accumulated in the similarity's dtype
+        dt = self.sim.out_dtype
+        idf = dt(0.0)
         for t in q.phrase_terms:
-            idf = np.float32(
-                idf + BM25Similarity.idf(self.stats.df[t], self.stats.doc_count)
+            idf = dt(
+                idf + self.sim.idf_value(self.stats.df[t], self.stats.doc_count)
             )
         sc = self.sim.scorer_from_idf(
             boost, idf, self.stats.doc_count, self.stats.sum_total_term_freq

@@ -208,12 +208,12 @@ class _SearchFn:
         self,
         queries: List[Tuple[int, Query, int]],
         stats: GlobalStats,
-        sim_params: Tuple[float, float],
+        sim: "BM25Similarity",
         need_positions: bool,
     ):
         self.queries = queries
         self.stats = stats
-        self.sim = BM25Similarity(*sim_params)
+        self.sim = sim
         self.need_positions = need_positions
         self._readers: Dict[str, SegmentReader] = {}
 
@@ -247,7 +247,7 @@ class _SearchFn:
                 {
                     "qid": pa.array([], pa.int64()),
                     "doc_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float32()),
+                    "score": pa.array([], pa.from_numpy_dtype(self.sim.out_dtype)),
                     "seg_ord": pa.array([], pa.int32()),
                     "ord": pa.array([], pa.int32()),
                 }
@@ -294,8 +294,7 @@ class Index:
         queries: Dict[int, str] | Sequence[str],
         k: int = 10,
         analyzer: Optional[StandardAnalyzer] = None,
-        k1: float = 1.2,
-        b: float = 0.75,
+        similarity: Optional[BM25Similarity] = None,
         concurrency: Optional[int] = None,
     ) -> pa.Table:
         """Parse + run a batch of query strings; returns
@@ -306,13 +305,14 @@ class Index:
         else:
             items = list(enumerate(queries))
         parsed = [(qid, parser.parse(s), k) for qid, s in items]
-        return self.search_parsed(parsed, k1=k1, b=b, concurrency=concurrency)
+        return self.search_parsed(
+            parsed, similarity=similarity, concurrency=concurrency
+        )
 
     def search_parsed(
         self,
         parsed: List[Tuple[int, Query, int]],
-        k1: float = 1.2,
-        b: float = 0.75,
+        similarity: Optional[BM25Similarity] = None,
         concurrency: Optional[int] = None,
     ) -> pa.Table:
         import ray.data
@@ -356,9 +356,10 @@ class Index:
         kwargs = {}
         if concurrency:
             kwargs["concurrency"] = concurrency
+        sim = similarity or BM25Similarity()
         ds = ray.data.from_items(seg_items)
         res = ds.map_batches(
-            _SearchFn(parsed, stats, (k1, b), need_pos),
+            _SearchFn(parsed, stats, sim, need_pos),
             batch_format="pyarrow",
             batch_size=max(1, len(seg_items) // (concurrency or len(seg_items)) or 1),
             **kwargs,
@@ -366,7 +367,7 @@ class Index:
         rows = res.take_all()
 
         # 4: TopDocs.merge — score desc, segment asc, doc asc (TopDocs.java)
-        return _merge_topk(rows, parsed)
+        return _merge_topk(rows, parsed, sim.out_dtype)
 
 
 def _has_phrase(q: Query) -> bool:
@@ -379,7 +380,7 @@ def _has_phrase(q: Query) -> bool:
     return False
 
 
-def _merge_topk(rows: List[dict], parsed) -> pa.Table:
+def _merge_topk(rows: List[dict], parsed, score_dtype=np.float32) -> pa.Table:
     by_q: Dict[int, List[dict]] = {qid: [] for qid, _, _ in parsed}
     for r in rows:
         by_q[r["qid"]].append(r)
@@ -400,7 +401,7 @@ def _merge_topk(rows: List[dict], parsed) -> pa.Table:
             "qid": pa.array(out_qid, pa.int64()),
             "rank": pa.array(out_rank, pa.int32()),
             "doc_id": pa.array(out_doc, pa.int64()),
-            "score": pa.array(np.asarray(out_score, dtype=np.float32)),
+            "score": pa.array(np.asarray(out_score, dtype=score_dtype)),
         }
     )
 

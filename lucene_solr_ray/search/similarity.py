@@ -26,7 +26,7 @@ import numpy as np
 
 from lucene_solr_ray.analysis.smallfloat import BYTE4_DECODE_TABLE
 
-__all__ = ["BM25Similarity", "BM25Scorer"]
+__all__ = ["BM25Similarity", "BM25Scorer", "BM25SimilarityF64"]
 
 #: float32 decoded-length table, == BM25Similarity.LENGTH_TABLE
 _LENGTH_TABLE_F32 = BYTE4_DECODE_TABLE.astype(np.float32)
@@ -34,6 +34,10 @@ _LENGTH_TABLE_F32 = BYTE4_DECODE_TABLE.astype(np.float32)
 
 class BM25Similarity:
     """Stateless similarity: holds (k1, b) and builds per-term scorers."""
+
+    #: dtype of emitted scores; the boolean combiner casts its float64
+    #: accumulator to this (float32 == Lucene contract)
+    out_dtype = np.float32
 
     def __init__(self, k1: float = 1.2, b: float = 0.75) -> None:
         if not np.isfinite(k1) or k1 < 0:
@@ -55,6 +59,10 @@ class BM25Similarity:
     @staticmethod
     def avg_field_length(sum_total_term_freq: int, doc_count: int) -> np.float32:
         return np.float32(float(sum_total_term_freq) / float(doc_count))
+
+    def idf_value(self, doc_freq: int, doc_count: int):
+        """idf in this similarity's arithmetic (overridden by the f64 mode)."""
+        return self.idf(doc_freq, doc_count)
 
     def scorer(
         self,
@@ -129,3 +137,71 @@ class BM25Scorer:
         if len(freqs) == 0:
             return np.float32(0.0)
         return np.float32(self.score(freqs, norm_bytes).max())
+
+
+class BM25ScorerF64:
+    """Pure-float64 per-term scorer (oracle-comparable mode)."""
+
+    __slots__ = ("weight", "idf", "_cache")
+
+    def __init__(self, weight: float, idf: float, cache: np.ndarray) -> None:
+        self.weight = weight
+        self.idf = idf
+        self._cache = cache  # float64[256]
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        norm = self._cache[np.asarray(norm_bytes, dtype=np.uint8)]
+        f = np.asarray(freqs, dtype=np.float64)
+        return self.weight * (f / (f + norm))
+
+    def max_score(self) -> float:
+        return self.weight
+
+    def max_score_for(self, freqs, norm_bytes) -> float:
+        if len(freqs) == 0:
+            return 0.0
+        return float(self.score(freqs, norm_bytes).max())
+
+
+class BM25SimilarityF64(BM25Similarity):
+    """BM25 with **pure float64** arithmetic throughout — NOT the Lucene
+    contract (which is float32 at defined cast points), but bit-comparable
+    with an ANSI-SQL double-precision oracle (DuckDB) computing
+
+        idf    = ln(1 + (N - df + 0.5)/(df + 0.5))
+        cache  = k1 * ((1 - b) + b * decoded_len / avgdl)
+        score  = ((k1 + 1) * idf) * (f / (f + cache))
+
+    in the same operation order.  Used only by the driver-gated oracle
+    queries; the engine's default similarity stays float32-exact."""
+
+    out_dtype = np.float64
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75) -> None:
+        super().__init__(k1, b)
+        self.k1_f = float(k1)
+        self.b_f = float(b)
+
+    def idf_value(self, doc_freq: int, doc_count: int):
+        return self.idf64(doc_freq, doc_count)
+
+    @staticmethod
+    def idf64(doc_freq: int, doc_count: int) -> float:
+        return float(
+            np.log(1.0 + (float(doc_count) - doc_freq + 0.5) / (doc_freq + 0.5))
+        )
+
+    def scorer(self, boost, doc_count, sum_total_term_freq, doc_freq,
+               total_term_freq=-1):
+        return self.scorer_from_idf(
+            boost, self.idf64(doc_freq, doc_count), doc_count,
+            sum_total_term_freq,
+        )
+
+    def scorer_from_idf(self, boost, idf, doc_count, sum_total_term_freq):
+        idf = float(idf)
+        avgdl = float(sum_total_term_freq) / float(doc_count)
+        lt = BYTE4_DECODE_TABLE.astype(np.float64)
+        cache = self.k1_f * ((1.0 - self.b_f) + self.b_f * lt / avgdl)
+        weight = (self.k1_f + 1.0) * float(boost) * idf
+        return BM25ScorerF64(weight, idf, cache)

@@ -1,0 +1,330 @@
+"""The Solr streaming-expression dataflow algebra as Ray Data stages.
+
+One function per decorator-stream of the reference
+(``solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/`` — 60
+``TupleStream`` classes, SURVEY §2.9); each is a thin, composable
+``Dataset → Dataset`` transform with the reference's semantics:
+
+==================  =======================================================
+reference stream     here
+==================  =======================================================
+SelectStream         :func:`select` (projection + rename)
+HavingStream         :func:`having` (vectorized predicate)
+RollupStream         :func:`rollup` (groupby + Count/Sum/Mean/Min/Max)
+StatsStream          :func:`stats` (global aggregate)
+SortStream           :func:`sort_stream`
+RankStream           :func:`rank_stream` (top-N)
+UniqueStream         :func:`unique_stream`
+MergeStream          :func:`merge_stream` (union)
+IntersectStream      :func:`intersect_stream` (semi-join on key)
+ComplementStream     :func:`complement_stream` (anti-join on key)
+HashJoinStream       :func:`hash_join` (broadcast small side, no shuffle)
+InnerJoinStream      :func:`inner_join` (both-large hash-partitioned join)
+CartesianProduct     :func:`cartesian_product` (explode a list column)
+FacetStream          :func:`facet_stream` (bucket counts, count-desc order)
+TimeSeriesStream     :func:`time_series` (date-bucketed rollup)
+SignificantTerms     :func:`significant_terms`
+==================  =======================================================
+
+All hot paths are vectorized over Arrow/pandas batches; the only shuffles
+are the groupbys/sorts/joins the semantics require.  ``hash_join`` ships
+its small side once via ``ray.put`` and probes inside ``map_batches`` —
+the broadcast-join pattern for dimension tables (no all-to-all).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "select",
+    "having",
+    "rollup",
+    "stats",
+    "sort_stream",
+    "rank_stream",
+    "unique_stream",
+    "merge_stream",
+    "intersect_stream",
+    "complement_stream",
+    "hash_join",
+    "inner_join",
+    "cartesian_product",
+    "facet_stream",
+    "time_series",
+    "significant_terms",
+]
+
+
+def select(ds, columns: Optional[Sequence[str]] = None,
+           rename: Optional[Dict[str, str]] = None):
+    """SelectStream: projection and/or ``old as new`` renames."""
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    if rename:
+        mapping = dict(rename)
+
+        def _rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names]
+            )
+
+        # map_batches(pyarrow) rather than ds.rename_columns: the built-in
+        # assumes Arrow blocks and breaks on pandas blocks from map_groups
+        ds = ds.map_batches(_rename, batch_format="pyarrow")
+    return ds
+
+
+def having(ds, predicate: Callable[[pa.Table], "pa.BooleanArray"]):
+    """HavingStream: keep rows where the vectorized predicate is true."""
+    return ds.map_batches(
+        lambda t: t.filter(predicate(t)), batch_format="pyarrow"
+    )
+
+
+_AGG_FACTORY = {
+    "count": lambda col, alias: __import__(
+        "ray.data.aggregate", fromlist=["Count"]
+    ).Count(alias_name=alias),
+    "sum": lambda col, alias: __import__(
+        "ray.data.aggregate", fromlist=["Sum"]
+    ).Sum(col, alias_name=alias),
+    "avg": lambda col, alias: __import__(
+        "ray.data.aggregate", fromlist=["Mean"]
+    ).Mean(col, alias_name=alias),
+    "min": lambda col, alias: __import__(
+        "ray.data.aggregate", fromlist=["Min"]
+    ).Min(col, alias_name=alias),
+    "max": lambda col, alias: __import__(
+        "ray.data.aggregate", fromlist=["Max"]
+    ).Max(col, alias_name=alias),
+    "std": lambda col, alias: __import__(
+        "ray.data.aggregate", fromlist=["Std"]
+    ).Std(col, alias_name=alias),
+}
+
+
+def _make_aggs(aggs: Sequence[Tuple[str, Optional[str], str]]):
+    """aggs: (op, column-or-None, alias) — op ∈ count/sum/avg/min/max/std."""
+    return [_AGG_FACTORY[op](col, alias) for op, col, alias in aggs]
+
+
+def rollup(ds, keys: Sequence[str],
+           aggs: Sequence[Tuple[str, Optional[str], str]]):
+    """RollupStream: grouped metrics (two-phase partial+final combine is
+    internal to Ray's aggregate)."""
+    return ds.groupby(list(keys)).aggregate(*_make_aggs(aggs))
+
+
+def stats(ds, aggs: Sequence[Tuple[str, Optional[str], str]]):
+    """StatsStream: global (ungrouped) metrics; returns a 1-row dict."""
+    return ds.aggregate(*_make_aggs(aggs))
+
+
+def sort_stream(ds, keys: Sequence[str], descending=False):
+    return ds.sort(list(keys), descending=descending)
+
+
+def rank_stream(ds, key: str, n: int, descending: bool = True):
+    """RankStream: top-N by key. ``sort().limit()`` — Ray's sort is
+    distributed; limit short-circuits block pulls."""
+    return ds.sort(key, descending=descending).limit(n)
+
+
+def unique_stream(ds, key: str | Sequence[str]):
+    """UniqueStream: first tuple per distinct key (exact dedup)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return ds.groupby(keys).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def merge_stream(a, b):
+    """MergeStream: union of two streams (re-sort downstream if needed)."""
+    return a.union(b)
+
+
+def intersect_stream(a, b, on: str):
+    """IntersectStream: rows of ``a`` whose key appears in ``b``
+    (broadcast semi-join: the key set ships once)."""
+    import ray
+
+    keys_ref = ray.put(set(b.unique(on) or ()))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array([v in keys for v in t.column(on).to_pylist()])
+        return t.filter(mask)
+
+    return a.map_batches(_filter, batch_format="pyarrow")
+
+
+def complement_stream(a, b, on: str):
+    """ComplementStream: rows of ``a`` whose key does NOT appear in ``b``
+    (broadcast anti-join). ``unique`` of an empty stream is None → empty set."""
+    import ray
+
+    keys_ref = ray.put(set(b.unique(on) or ()))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array([v not in keys for v in t.column(on).to_pylist()])
+        return t.filter(mask)
+
+    return a.map_batches(_filter, batch_format="pyarrow")
+
+
+def hash_join(
+    ds,
+    small: pd.DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    right_on: Optional[str | Sequence[str]] = None,
+):
+    """HashJoinStream/OuterHashJoinStream: build the hash map from the small
+    side ONCE (``ray.put``), probe every batch of the big stream — the
+    broadcast join (no shuffle of the big side).
+
+    ``how``: "inner" (HashJoinStream) or "left" (OuterHashJoinStream).
+    """
+    import ray
+
+    small_ref = ray.put(small)
+
+    class _Probe:
+        def __init__(self):
+            self.small = ray.get(small_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(
+                self.small, how=how, left_on=on, right_on=right_on or on
+            )
+
+    return ds.map_batches(_Probe, batch_format="pandas", concurrency=(1, 8))
+
+
+def inner_join(left, right, on: str | Tuple[str, ...],
+               right_on: Optional[str | Tuple[str, ...]] = None,
+               num_partitions: int = 16, how: str = "inner"):
+    """InnerJoinStream / LeftOuterJoinStream with both sides large:
+    hash-partitioned ``Dataset.join`` (the shuffle join)."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    r_t = None
+    if right_on is not None:
+        r_t = (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    return left.join(
+        right, join_type=how, num_partitions=num_partitions, on=on_t,
+        right_on=r_t,
+    )
+
+
+def cartesian_product(ds, col: str, out_col: str,
+                      split: Callable[[str], List] = None):
+    """CartesianProductStream: unnest a multivalued field into N tuples."""
+    split = split or (lambda s: s.split(" "))
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[out_col] = batch[col].map(split)
+        return batch.explode(out_col, ignore_index=True)
+
+    return ds.map_batches(_explode, batch_format="pandas")
+
+
+def facet_stream(ds, field: str, limit: Optional[int] = None):
+    """FacetStream: bucket counts ordered count desc, value asc (the JSON
+    facet API default sort)."""
+    from ray.data.aggregate import Count
+
+    out = ds.groupby(field).aggregate(Count(alias_name="count"))
+    out = out.sort(["count", field], descending=[True, False])
+    return out.limit(limit) if limit else out
+
+
+def time_series(ds, ts_col: str, unit: str,
+                aggs: Sequence[Tuple[str, Optional[str], str]],
+                extra_keys: Sequence[str] = ()):
+    """TimeSeriesStream: date-range-bucketed metrics (date_trunc + rollup)."""
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.floor_temporal(t.column(ts_col), unit=unit)
+        return t.append_column("bucket", b)
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow")
+    return rollup(bucketed, ["bucket", *extra_keys], aggs)
+
+
+def significant_terms(docs, term_col: str, fg_mask_fn,
+                      min_doc_freq: int = 1):
+    """SignificantTermsStream: score terms over-represented in a foreground
+    subset vs the background (distributed partials: per-batch term counts,
+    merged in one small groupby; scored with the same foreground/background
+    ratio family the reference uses)."""
+    from ray.data.aggregate import Count, Sum
+
+    def _totals(t: pa.Table) -> pa.Table:
+        fg = fg_mask_fn(t)
+        fgl = fg.to_pylist() if hasattr(fg, "to_pylist") else list(fg)
+        return pa.table(
+            {"n_fg": pa.array([int(sum(fgl))], pa.int64()),
+             "n_bg": pa.array([t.num_rows], pa.int64())}
+        )
+
+    # foreground/background doc totals: a tiny separate aggregate — never
+    # ride totals through the per-term groupby (terms absent from a batch
+    # would silently lose that batch's contribution)
+    tot = docs.map_batches(_totals, batch_format="pyarrow").aggregate(
+        Sum("n_fg", alias_name="n_fg"), Sum("n_bg", alias_name="n_bg")
+    )
+    n_fg_total, n_bg_total = int(tot["n_fg"]), int(tot["n_bg"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        import collections
+
+        fg = fg_mask_fn(t)
+        bg_c: collections.Counter = collections.Counter()
+        fg_c: collections.Counter = collections.Counter()
+        col = t.column(term_col).to_pylist()
+        fgl = fg.to_pylist() if hasattr(fg, "to_pylist") else list(fg)
+        for text, is_fg in zip(col, fgl):
+            toks = set(text.split(" ")) if text else set()
+            bg_c.update(toks)
+            if is_fg:
+                fg_c.update(toks)
+        terms = sorted(bg_c)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "fg": pa.array([fg_c.get(x, 0) for x in terms], pa.int64()),
+                "bg": pa.array([bg_c[x] for x in terms], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(_partials, batch_format="pyarrow")
+    merged = parts.groupby("term").aggregate(
+        Sum("fg", alias_name="fg"), Sum("bg", alias_name="bg"),
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        fg = t.column("fg").to_numpy().astype(np.float64)
+        bg = t.column("bg").to_numpy().astype(np.float64)
+        n_fg = float(n_fg_total)
+        n_bg = float(n_bg_total)
+        score = (fg / n_fg) / np.maximum(bg / n_bg, 1e-12)
+        keep = bg >= min_doc_freq
+        return pa.table(
+            {
+                "term": t.column("term").filter(pa.array(keep)),
+                "fg": t.column("fg").filter(pa.array(keep)),
+                "bg": t.column("bg").filter(pa.array(keep)),
+                "score": pa.array(score[keep]),
+            }
+        )
+
+    return merged.map_batches(_score, batch_format="pyarrow")
