@@ -1,0 +1,210 @@
+"""Headline benchmark: index build + BM25 search over the synthetic
+source-code corpus, plus the relational/dedup/ANN pipelines over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the index+search job twice in fresh processes
+(num_cpus=8 vs 32) on the same corpus, reports throughput at both plus
+scaling efficiency = (T32/T8)/4 and asserts the BM25 top-k is identical at
+both parallelism levels (the rank-identity-under-parallelism requirement).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+STAGES = os.environ.get("BENCH_STAGES", "").split(",") if os.environ.get(
+    "BENCH_STAGES") else None
+
+#: reference-style query set over the code corpus (conf/query-terms.txt
+#: shapes: AND/OR term pairs + single terms + phrases)
+CODE_QUERIES = [
+    "def", "return AND import", "public", "mergesort OR merge_sort",
+    "data AND index", "query", "hash AND map AND key",
+    "(read OR write) AND merge", "self", "databaz", '"def return"',
+    "scanquery OR scan_query", "tree AND node", "import AND the",
+    "doc*", "qux~1",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _corpus(sf: float):
+    from lucene_solr_ray.sources.codegen import generate_corpus
+
+    n_docs = int(os.environ.get("BENCH_DOCS", "0")) or max(
+        2000, int(500_000 * sf)
+    )
+    out = f"/tmp/lsr_bench_corpus_{n_docs}"
+    return generate_corpus(out, n_docs=n_docs, n_files=16), n_docs
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NCPU, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sf = _sf_of(SF_DIR)
+    timings: dict = {}
+    extra: dict = {}
+
+    def run(name, fn):
+        if STAGES and name not in STAGES:
+            return None
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # -- index build over the code corpus (the north-star pipeline) -------
+    paths, n_docs = _corpus(sf)
+    # warm page cache so we measure compute+shuffle, not first disk read
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    idx_dir = f"/tmp/lsr_bench_idx_{NCPU}_{n_docs}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    def build():
+        from lucene_solr_ray.index.build import build_index
+
+        return build_index(
+            paths, idx_dir, text_col="content",
+            docs_per_segment=max(1000, n_docs // 64),
+        )
+
+    manifest = run("index_build", build)
+    if manifest:
+        extra["index_docs"] = manifest["doc_count"]
+        extra["index_docs_per_sec"] = round(
+            manifest["doc_count"] / timings["index_build"], 1
+        )
+        extra["index_segments"] = len(manifest["segments"])
+
+    # -- BM25 search over it ----------------------------------------------
+    def search():
+        from lucene_solr_ray.search.searcher import Index
+
+        idx = Index(idx_dir)
+        qs = {i: q for i, q in enumerate(CODE_QUERIES)}
+        t = idx.search(qs, k=10, concurrency=min(8, NCPU))
+        return t
+
+    topk = run("bm25_search", search)
+    if topk is not None:
+        h = hashlib.sha256()
+        for row in sorted(
+            zip(
+                topk.column("qid").to_pylist(),
+                topk.column("rank").to_pylist(),
+                topk.column("doc_id").to_pylist(),
+                [f"{s:.6e}" for s in topk.column("score").to_pylist()],
+            )
+        ):
+            h.update(repr(row).encode())
+        extra["topk_sha"] = h.hexdigest()[:16]
+        if timings.get("bm25_search"):
+            extra["qps"] = round(len(CODE_QUERIES) / timings["bm25_search"], 1)
+
+    # -- relational / dedup / ANN over the sf tables -----------------------
+    from lucene_solr_ray.pipelines import relational, training
+
+    run("rollup_lineitem", lambda: relational.rollup_lineitem(SF_DIR))
+    run("innerjoin_revenue", lambda: relational.innerjoin_revenue(SF_DIR))
+    run("minhash_dedup", lambda: training.minhash_pairs(SF_DIR))
+    run("ann_brute_force", lambda: training.ann_cosine_topk(SF_DIR))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline pipelines wall-clock (index build + "
+                          "BM25 search + relational + dedup + ANN)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "num_cpus": NCPU,
+                **extra,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same index+search job at two parallelism levels (default 8 and 32;
+    override with SCALING_LEVELS="lo,hi") in fresh processes."""
+    lo, hi = (
+        int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
+    )
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_STAGES="index_build,bm25_search",
+            # scaling needs a compute-dominated job: 200k docs (~350 MB);
+            # generated once, cached, identical input at both levels
+            BENCH_DOCS=os.environ.get("BENCH_DOCS", "200000"),
+            PYTHONPATH=REPO,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t_lo = results[lo]["value"]
+    t_hi = results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling: index build + BM25 search, "
+                          f"num_cpus {lo} vs {hi}",
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"docs_per_sec_{lo}": results[lo].get("index_docs_per_sec"),
+                f"docs_per_sec_{hi}": results[hi].get("index_docs_per_sec"),
+                "scaling_efficiency": round(eff, 3),
+                "topk_identical": results[lo].get("topk_sha")
+                == results[hi].get("topk_sha"),
+                "sf": results[hi].get("sf"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -83,6 +83,15 @@ class StandardAnalyzer:
 
     # -- single value ------------------------------------------------------
     def analyze(self, text: str) -> List[str]:
+        # ASCII fast path: case never changes ASCII token boundaries, so
+        # lowercasing the whole text first replaces per-token calls with
+        # one C-level str.lower()
+        if text.isascii():
+            toks = tokenize(text.lower(), self.max_token_length)
+            stop = self.stop_words
+            if stop:
+                return [t for t in toks if t not in stop]
+            return toks
         toks = tokenize(text, self.max_token_length)
         stop = self.stop_words
         if stop:
@@ -99,10 +108,21 @@ class StandardAnalyzer:
         field_length counts surviving tokens (Σ termFreq), the input to
         ``computeNorm`` (numOverlap == 0 for this chain).
         """
-        toks = tokenize(text, self.max_token_length)
         stop = self.stop_words
-        terms: List[str] = []
-        positions: List[int] = []
+        if text.isascii():
+            toks = tokenize(text.lower(), self.max_token_length)
+            if not stop:
+                return toks, list(range(len(toks))), len(toks)
+            terms = []
+            positions = []
+            for pos, t in enumerate(toks):
+                if t not in stop:
+                    terms.append(t)
+                    positions.append(pos)
+            return terms, positions, len(terms)
+        toks = tokenize(text, self.max_token_length)
+        terms = []
+        positions = []
         pos = -1
         for t in toks:
             pos += 1
@@ -136,7 +156,6 @@ class StandardAnalyzer:
     # -- term frequency vector (the indexing hot path) ---------------------
     def term_freqs(self, text: str) -> Dict[str, int]:
         """term → freq for one document field (order-insensitive)."""
-        freqs: Dict[str, int] = {}
-        for t in self.analyze(text):
-            freqs[t] = freqs.get(t, 0) + 1
-        return freqs
+        from collections import Counter
+
+        return Counter(self.analyze(text))

@@ -123,6 +123,13 @@ _ASCII_WORD = _word_pattern(
 )
 _ASCII_RE = re.compile(_ASCII_WORD)
 
+# Fast path: when no joiner char (. , ; : ') sits directly between two word
+# chars, the WORD grammar degenerates to runs of [A-Za-z0-9_] that contain
+# at least one alphanumeric (a pure "_" run is ExtendNumLet-only — not
+# accepting).  The simple pattern scans ~8x faster than the full grammar.
+_JOINER_BETWEEN = re.compile(r"[0-9A-Za-z_][.,;:'][0-9A-Za-z_']")
+_SIMPLE_RUN = re.compile(r"_*[0-9A-Za-z][0-9A-Za-z_]*")
+
 # ---------------------------------------------------------------------------
 # General Unicode path (regex module), 6.3-corrected where it matters.
 # ---------------------------------------------------------------------------
@@ -196,6 +203,10 @@ def tokenize(
 ) -> List[str]:
     """Tokenize per the StandardTokenizer grammar; returns raw token texts."""
     if text.isascii():
+        if _JOINER_BETWEEN.search(text) is None:
+            toks = _SIMPLE_RUN.findall(text)
+            if not toks or len(max(toks, key=len)) <= max_token_length:
+                return toks
         if len(text) <= max_token_length:
             # no token can exceed the window — plain findall
             return _ASCII_RE.findall(text)

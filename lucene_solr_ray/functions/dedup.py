@@ -135,19 +135,27 @@ def minhash_lsh_pairs(
 ):
     """Near-duplicate pairs via banded MinHash-LSH + exact verification.
 
-    Pipeline: per-batch signatures → explode to (band, band_hash, id, text)
-    rows → groupby(band, band_hash) → pairwise verify n-gram Jaccard inside
-    each bucket → distinct pairs.  Returns (id_a, id_b, jaccard) with
-    id_a < id_b.  Buckets larger than ``max_bucket`` (degenerate content)
-    are truncated — logged via the ``truncated`` column on their rows.
+    Pipeline: per-batch signatures → explode to (band, band_hash, id) rows
+    (NO text rides the shuffle — only 3 tiny columns) → groupby(band,
+    band_hash) → candidate pairs → distinct → verify n-gram Jaccard with a
+    broadcast id→text lookup (``ray.put`` once, read per verify task).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.  Buckets larger than
+    ``max_bucket`` (degenerate content) are truncated.
+
+    Scale note: the broadcast verify lookup assumes the *candidate* docs'
+    texts fit in the object store; at 10^9-doc scale replace it with two
+    hash-partitioned fetch joins of the pair list against the corpus
+    (same semantics, all-shuffle).
     """
+    import ray
+
     rows_per_band = num_perm // bands
 
     def _bandify(t: pa.Table) -> pa.Table:
         texts = t.column(col).to_pylist()
         ids = t.column(id_col).to_pylist()
         sigs = minhash_signatures(texts, num_perm, shingle_k, seed)
-        band_ids, band_hashes, out_ids, out_texts = [], [], [], []
+        band_ids, band_hashes, out_ids = [], [], []
         for i, d in enumerate(ids):
             for bnd in range(bands):
                 chunk = sigs[i, bnd * rows_per_band : (bnd + 1) * rows_per_band]
@@ -155,13 +163,11 @@ def minhash_lsh_pairs(
                 band_ids.append(bnd)
                 band_hashes.append(h)
                 out_ids.append(d)
-                out_texts.append(texts[i])
         return pa.table(
             {
                 "band": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.string()),
                 id_col: pa.array(out_ids, pa.int64()),
-                col: pa.array(out_texts, pa.string()),
             }
         )
 
@@ -169,27 +175,47 @@ def minhash_lsh_pairs(
         _bandify, batch_format="pyarrow"
     )
 
-    def _verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
-        texts = g[col].tolist()
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                jac = ngram_jaccard(texts[i], texts[j], shingle_k)
-                if jac >= jaccard_threshold:
-                    out.append((ids[i], ids[j], jac))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col].tolist()))[:max_bucket]
+        out = [
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        ]
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
 
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _verify, batch_format="pandas"
+        _bucket_pairs, batch_format="pandas"
     )
-    # a pair can surface from several bands — distinct
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
+    # a pair can surface from several bands — distinct before verification
+    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+    texts_df = ds.select_columns([id_col, col]).to_pandas()
+    texts_ref = ray.put(dict(zip(texts_df[id_col], texts_df[col])))
+
+    class _Verify:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty:
+                return pd.DataFrame(
+                    {"id_a": pd.Series([], dtype="int64"),
+                     "id_b": pd.Series([], dtype="int64"),
+                     "jaccard": pd.Series([], dtype="float64")}
+                )
+            jac = [
+                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""),
+                              shingle_k)
+                for a, b in zip(batch["id_a"], batch["id_b"])
+            ]
+            batch = batch.assign(jaccard=jac)
+            return batch[batch["jaccard"] >= jaccard_threshold]
+
+    return pairs.map_batches(_Verify, batch_format="pandas",
+                             concurrency=(1, 8))
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:

@@ -49,15 +49,39 @@ def plan_shards(
     paths: Sequence[str],
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
 ) -> List[Dict]:
-    """Metadata-only pass: contiguous row slices with global doc bases."""
+    """Metadata-only pass: contiguous row slices with global doc bases.
+
+    Shard boundaries snap to Parquet row-group boundaries whenever the
+    groups are no larger than ~2x the target — a mid-group split makes
+    every build task decompress the whole covering group to keep a slice
+    (read amplification measured at ~3x for 1/3-group shards).  Groups much
+    larger than the target are still split (memory cap wins)."""
     shards: List[Dict] = []
     doc_base = 0
     seg_id = 0
     for path in paths:
-        num_rows = pq.ParquetFile(path).metadata.num_rows
+        md = pq.ParquetFile(path).metadata
+        num_rows = md.num_rows
+        rg_edges = [0]
+        for rg in range(md.num_row_groups):
+            rg_edges.append(rg_edges[-1] + md.row_group(rg).num_rows)
         start = 0
+        edge_i = 0
         while start < num_rows:
-            end = min(start + docs_per_segment, num_rows)
+            want = start + docs_per_segment
+            # smallest row-group edge ≥ want (snap forward), unless that
+            # overshoots 2x the target — then split mid-group
+            while edge_i < len(rg_edges) and rg_edges[edge_i] <= start:
+                edge_i += 1
+            end = None
+            for j in range(edge_i, len(rg_edges)):
+                if rg_edges[j] >= want:
+                    if rg_edges[j] - start <= 2 * docs_per_segment:
+                        end = rg_edges[j]
+                    break
+            if end is None:
+                end = min(want, num_rows)
+            end = min(end, num_rows)
             shards.append(
                 {
                     "segment_id": seg_id,
@@ -199,7 +223,10 @@ def build_index(
         fn = _BuildShard(
             out_dir, text_col, id_col, analyzer, with_positions, stored_cols
         )
-        ds = ray.data.from_items(todo)
+        # one block per shard — map_batches parallelism follows block count,
+        # so without this from_items may pack shards into few blocks and
+        # serialize the build
+        ds = ray.data.from_items(todo, override_num_blocks=len(todo))
         kwargs = {}
         if concurrency:
             kwargs["concurrency"] = concurrency

@@ -1,0 +1,191 @@
+"""Segment merging: TieredMergePolicy specs executed as Ray tasks.
+
+The SegmentMerger analogue (reference
+``lucene/core/src/java/org/apache/lucene/index/SegmentMerger.java:105-139``):
+each merge re-streams the postings of its input segments with ordinal
+rebasing (``index/DocIDMerger.java`` — new ord = per-segment base + old
+ord, bases cumulative in segment order, exactly like ``ctx.docBase``) into
+one new segment, re-encoding posting blocks and recomputing skip/impact
+data.  Merged-away segment dirs are dropped from the next manifest
+generation (the ``IndexFileDeleter`` role; dirs are removed once the new
+manifest is committed).
+
+The merge of one spec runs inside a single task: term-aligned streams are
+concatenated (posting ords stay ascending after rebase because segment
+bases are assigned in spec order).  A merge bigger than one worker's
+memory would instead shuffle ``(term, block)`` rows via ``groupby(term)``
+— the policy's 5 GB ``maxMergedSegmentBytes`` cap keeps specs below that.
+
+``merge_until_done`` loops policy → execute → commit until the policy
+returns no spec, mirroring ``ConcurrentMergeScheduler`` convergence.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.index.manifest import (
+    commit_manifest,
+    list_valid_segments,
+    read_latest_manifest,
+    segment_dir_name,
+    write_segment_dir,
+)
+from lucene_solr_ray.index.merge_policy import (
+    MergeSpec,
+    TieredMergePolicy,
+    segment_size_bytes,
+)
+from lucene_solr_ray.index.postings_codec import decode_postings, encode_postings
+from lucene_solr_ray.index.segment import DOCMETA_SCHEMA, POSTINGS_SCHEMA
+
+__all__ = ["merge_segments", "merge_once", "merge_until_done"]
+
+
+def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
+    """Execute one merge spec → new committed segment dir; returns its meta.
+    Pure function of the input segment dirs (deterministic, idempotent)."""
+    import pyarrow.parquet as pq
+
+    seg_dirs = [os.path.join(index_dir, segment_dir_name(s)) for s in spec_ids]
+    bases: List[int] = []
+    base = 0
+    docmetas = []
+    for d in seg_dirs:
+        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
+        bases.append(base)
+        base += dm.num_rows
+        docmetas.append(dm)
+    docmeta = pa.concat_tables(docmetas)
+    norms = docmeta.column("norm").to_numpy()
+
+    # term-aligned merge of postings streams with ordinal rebasing
+    term_lists: Dict[str, List] = {}
+    has_positions = False
+    for si, d in enumerate(seg_dirs):
+        t = pq.read_table(os.path.join(d, "postings.parquet"))
+        terms = t.column("term").to_pylist()
+        blocks = t.column("blocks").to_pylist()
+        poss = t.column("positions").to_pylist()
+        for term, blob, pos in zip(terms, blocks, poss):
+            ords, freqs = decode_postings(blob)
+            if pos is not None:
+                has_positions = True
+            term_lists.setdefault(term, []).append(
+                (si, ords.astype(np.int64) + bases[si], freqs, pos)
+            )
+
+    terms_sorted = sorted(term_lists)
+    blobs, dfs, ttfs, positions_out = [], [], [], []
+    for term in terms_sorted:
+        parts = sorted(term_lists[term], key=lambda x: x[0])
+        ords = np.concatenate([p[1] for p in parts])
+        freqs = np.concatenate([p[2] for p in parts])
+        dfs.append(len(ords))
+        ttfs.append(int(freqs.sum()))
+        blobs.append(encode_postings(ords, freqs, norms[ords]))
+        if has_positions:
+            merged_pos: List = []
+            for p in parts:
+                merged_pos.extend(p[3] or [])
+            positions_out.append(merged_pos)
+        else:
+            positions_out.append(None)
+
+    postings = pa.table(
+        {
+            "term": pa.array(terms_sorted, pa.string()),
+            "df": pa.array(np.asarray(dfs, dtype=np.int32)),
+            "ttf": pa.array(np.asarray(ttfs, dtype=np.int64)),
+            "blocks": pa.array(blobs, pa.binary()),
+            "positions": pa.array(
+                positions_out, type=pa.list_(pa.list_(pa.int32()))
+            ),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+    stats = {
+        "doc_count": docmeta.num_rows,
+        "sum_total_term_freq": int(sum(ttfs)),
+        "sum_doc_freq": int(sum(dfs)),
+        "term_count": len(terms_sorted),
+    }
+    meta = {
+        "segment_id": new_id,
+        "stats": stats,
+        "lineage": {"merged_from": list(spec_ids)},
+    }
+    write_segment_dir(index_dir, new_id, postings, docmeta, meta)
+    return meta
+
+
+def merge_once(
+    index_dir: str, policy: Optional[TieredMergePolicy] = None,
+    drop_merged: bool = True,
+) -> int:
+    """One merge round: policy over the latest manifest, execute specs in
+    parallel (Ray tasks via a Dataset over specs), commit the next
+    generation. Returns the number of merges executed."""
+    import ray.data
+
+    policy = policy or TieredMergePolicy()
+    manifest = read_latest_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(index_dir)
+    live = {s["segment_id"]: s for s in manifest["segments"]}
+    sizes = {
+        sid: segment_size_bytes(os.path.join(index_dir, segment_dir_name(sid)))
+        for sid in live
+    }
+    specs = policy.find_merges(sizes)
+    if not specs:
+        return 0
+    next_id = max(live) + 1
+    items = [
+        {"spec_ids": list(sp.segment_ids), "new_id": next_id + i}
+        for i, sp in enumerate(specs)
+    ]
+
+    def _run(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            out.append(merge_segments(index_dir, row["spec_ids"], row["new_id"]))
+        return pa.Table.from_pylist(
+            [{"segment_id": m["segment_id"]} for m in out]
+        )
+
+    ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        _run, batch_size=1, batch_format="pyarrow"
+    ).take_all()
+
+    merged_away = {sid for sp in specs for sid in sp.segment_ids}
+    survivors = [m for sid, m in live.items() if sid not in merged_away]
+    new_metas = list_valid_segments(index_dir)
+    for i in range(len(specs)):
+        survivors.append(new_metas[next_id + i])
+    commit_manifest(index_dir, survivors)
+    if drop_merged:
+        for sid in merged_away:
+            shutil.rmtree(
+                os.path.join(index_dir, segment_dir_name(sid)),
+                ignore_errors=True,
+            )
+    return len(specs)
+
+
+def merge_until_done(
+    index_dir: str, policy: Optional[TieredMergePolicy] = None,
+    max_rounds: int = 20,
+) -> int:
+    total = 0
+    for _ in range(max_rounds):
+        n = merge_once(index_dir, policy)
+        if n == 0:
+            break
+        total += n
+    return total

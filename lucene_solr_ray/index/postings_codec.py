@@ -1,0 +1,199 @@
+"""Block postings codec: delta + FOR bit-packing with per-block skip data
+and competitive impacts.
+
+Reimplements the *semantics* of the reference's postings format with numpy
+vector kernels (not a byte-level port):
+
+- postings are split into blocks of ``BLOCK_SIZE`` = 128 entries
+  (``lucene/core/src/java/org/apache/lucene/codecs/lucene50/
+  Lucene50PostingsFormat.java:398``);
+- doc ordinals are delta-encoded (minus 1 — deltas are ≥1) and bit-packed
+  with the per-block max bit width; freqs are bit-packed likewise
+  (``ForUtil.writeBlock:157-184``), with the ``ALL_VALUES_EQUAL`` special
+  case (bpv=0 + single value);
+- each block keeps a skip entry: last ordinal (``Lucene50SkipWriter``) and
+  the **competitive impacts** — the pareto frontier of (freq, norm) pairs
+  (max freq per distinct norm, upper-left hull), the exact content of
+  ``CompetitiveImpactAccumulator.java:66-121`` — from which a per-block
+  max BM25 score is computable for any (k1, b) at query time
+  (``ImpactsDISI`` + ``MaxScoreCache.java:61-124``);
+- the tail block (<128 entries) is stored like any other (the reference
+  uses VInts there — a serialization detail, not semantics).
+
+Layout: one ``bytes`` blob per posting list; numpy bit-unpacking decodes a
+whole list (all blocks) in a handful of vector ops.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "BLOCK_SIZE",
+    "encode_postings",
+    "decode_postings",
+    "decode_block_skips",
+    "block_max_scores",
+]
+
+BLOCK_SIZE = 128
+_MAGIC = 0x4C53  # "LS"
+
+
+_SHIFTS = [np.arange(b, dtype=np.uint32) for b in range(33)]
+
+
+def _pack_bits(vals: np.ndarray, bpv: int) -> bytes:
+    """LSB-first bit-pack of uint32 values with bpv bits each."""
+    if bpv == 0:
+        return b""
+    bits = (
+        (vals[:, None] >> _SHIFTS[bpv]) & 1
+    ).astype(np.uint8).reshape(-1)
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def _unpack_bits(data: memoryview, n: int, bpv: int) -> np.ndarray:
+    if bpv == 0:
+        return np.zeros(n, dtype=np.uint32)
+    nbits = n * bpv
+    raw = np.frombuffer(data[: (nbits + 7) // 8], dtype=np.uint8)
+    bits = np.unpackbits(raw, bitorder="little")[:nbits].reshape(n, bpv)
+    return (bits.astype(np.uint32) << np.arange(bpv, dtype=np.uint32)).sum(
+        axis=1, dtype=np.uint32
+    )
+
+
+def _competitive_pairs(
+    freqs: np.ndarray, norms: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pareto frontier of (freq↑, norm↓): for each distinct norm the max
+    freq, then drop pairs dominated by a smaller-norm pair with ≥ freq —
+    exactly the set ``CompetitiveImpactAccumulator`` keeps (vectorized)."""
+    order = np.lexsort((-freqs, norms))  # norm asc, freq desc
+    f, n = freqs[order], norms[order]
+    # first row per distinct norm == max freq for that norm
+    first = np.ones(len(n), dtype=bool)
+    first[1:] = n[1:] != n[:-1]
+    f, n = f[first], n[first]
+    # keep only strictly-increasing freqs (dominated pairs out)
+    cummax = np.maximum.accumulate(f)
+    keep = np.ones(len(f), dtype=bool)
+    keep[1:] = f[1:] > cummax[:-1]
+    return f[keep].astype(np.int32), n[keep].astype(np.uint8)
+
+
+def encode_postings(
+    ords: np.ndarray, freqs: np.ndarray, norms: np.ndarray
+) -> bytes:
+    """Encode one posting list (ords ascending) + its skip/impact data.
+
+    ``norms`` is the per-posting norm byte (``norms_of_segment[ords]``) —
+    needed only to build the impacts; it is NOT stored per posting.
+    """
+    ords = np.asarray(ords, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    n = len(ords)
+    out = [struct.pack("<HI", _MAGIC, n)]
+    for s in range(0, n, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, n)
+        block_ords = ords[s:e]
+        block_freqs = freqs[s:e]
+        # deltas beyond the first are ≥ 1 → store delta-1
+        dstore = block_ords[1:] - block_ords[:-1] - 1
+        fstore = block_freqs - 1  # freqs ≥ 1
+        bpv_d = int(dstore.max()).bit_length() if e - s > 1 else 0
+        f0 = int(fstore[0])
+        bpv_f = 0 if (fstore == f0).all() else int(fstore.max()).bit_length()
+        cf, cn = _competitive_pairs(
+            block_freqs, np.asarray(norms[s:e], dtype=np.uint8)
+        )
+        out.append(
+            struct.pack(
+                "<IHBBIHI",
+                int(block_ords[0]),  # block base ord
+                e - s,               # entries
+                bpv_d,
+                bpv_f,
+                f0 if bpv_f == 0 else 0,  # ALL_VALUES_EQUAL freq-1
+                len(cf),
+                int(block_ords[-1]),  # skip: last ord
+            )
+        )
+        out.append(cf.astype("<i4").tobytes())
+        out.append(cn.tobytes())
+        out.append(_pack_bits(dstore.astype(np.uint32), bpv_d))
+        if bpv_f:
+            out.append(_pack_bits(fstore.astype(np.uint32), bpv_f))
+    return b"".join(out)
+
+
+def _iter_blocks(blob: bytes):
+    """Yields (base, cnt, bpv_d, bpv_f, eq_freq, n_imp, last_ord, offsets…)."""
+    mv = memoryview(blob)
+    magic, n = struct.unpack_from("<HI", mv, 0)
+    if magic != _MAGIC:
+        raise ValueError("bad postings blob")
+    pos = 6
+    done = 0
+    while done < n:
+        base, cnt, bpv_d, bpv_f, eq_freq, n_imp, last_ord = struct.unpack_from(
+            "<IHBBIHI", mv, pos
+        )
+        pos += 18
+        imp_f = np.frombuffer(mv, dtype="<i4", count=n_imp, offset=pos)
+        pos += 4 * n_imp
+        imp_n = np.frombuffer(mv, dtype=np.uint8, count=n_imp, offset=pos)
+        pos += n_imp
+        d_bytes = ((cnt - 1) * bpv_d + 7) // 8
+        f_bytes = (cnt * bpv_f + 7) // 8
+        yield (base, cnt, bpv_d, bpv_f, eq_freq, last_ord, imp_f, imp_n,
+               mv[pos : pos + d_bytes], mv[pos + d_bytes : pos + d_bytes + f_bytes])
+        pos += d_bytes + f_bytes
+        done += cnt
+
+
+def decode_postings(blob: bytes) -> Tuple[np.ndarray, np.ndarray]:
+    """Full decode → (ords int32 asc, freqs int32)."""
+    ords_parts: List[np.ndarray] = []
+    freq_parts: List[np.ndarray] = []
+    for (base, cnt, bpv_d, bpv_f, eq_freq, _last, _f, _n, dbuf, fbuf) in \
+            _iter_blocks(blob):
+        deltas = _unpack_bits(dbuf, cnt - 1, bpv_d) + 1
+        ords = np.empty(cnt, dtype=np.int64)
+        ords[0] = base
+        np.cumsum(deltas, out=ords[1:] if cnt > 1 else np.empty(0, np.int64))
+        if cnt > 1:
+            ords[1:] += base
+        if bpv_f == 0:
+            freqs = np.full(cnt, eq_freq + 1, dtype=np.int32)
+        else:
+            freqs = (_unpack_bits(fbuf, cnt, bpv_f) + 1).astype(np.int32)
+        ords_parts.append(ords.astype(np.int32))
+        freq_parts.append(freqs)
+    if not ords_parts:
+        return np.empty(0, np.int32), np.empty(0, np.int32)
+    return np.concatenate(ords_parts), np.concatenate(freq_parts)
+
+
+def decode_block_skips(blob: bytes):
+    """Skip metadata only (no posting decode): list of
+    (base_ord, last_ord, count, imp_freqs, imp_norms) per block."""
+    out = []
+    for (base, cnt, _bd, _bf, _eq, last, imp_f, imp_n, _d, _f) in \
+            _iter_blocks(blob):
+        out.append((base, last, cnt, imp_f, imp_n))
+    return out
+
+
+def block_max_scores(blob: bytes, scorer) -> np.ndarray:
+    """Per-block max score for a scorer (MaxScoreCache.computeMaxScore —
+    max over the block's competitive (freq, norm) pairs)."""
+    skips = decode_block_skips(blob)
+    out = np.empty(len(skips), dtype=np.float64)
+    for i, (_b, _l, _c, f, n) in enumerate(skips):
+        out[i] = float(scorer.max_score_for(f.astype(np.float64), n))
+    return out

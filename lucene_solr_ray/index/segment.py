@@ -34,16 +34,22 @@ import pyarrow as pa
 
 from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
 from lucene_solr_ray.analysis.smallfloat import int_to_byte4_np
+from lucene_solr_ray.index.postings_codec import encode_postings
 
-__all__ = ["build_segment_tables", "SegmentData", "POSTINGS_SCHEMA", "DOCMETA_SCHEMA"]
+__all__ = ["build_segment_tables", "SegmentData", "POSTINGS_SCHEMA",
+           "DOCMETA_SCHEMA", "FORMAT_VERSION"]
+
+#: bump when the on-disk segment layout changes (cache keys include it)
+FORMAT_VERSION = 2
 
 POSTINGS_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
         ("df", pa.int32()),
         ("ttf", pa.int64()),
-        ("ords", pa.list_(pa.int32())),
-        ("freqs", pa.list_(pa.int32())),
+        # delta+FOR block-packed (ords, freqs) + per-block skip entries and
+        # competitive impacts — see index/postings_codec.py
+        ("blocks", pa.binary()),
         ("positions", pa.list_(pa.list_(pa.int32()))),
     ]
 )
@@ -84,67 +90,116 @@ def build_segment_tables(
     n = len(texts)
     assert len(doc_ids) == n
 
-    # per-term accumulators over local ordinals (the TermsHash analogue,
-    # reference index/TermsHashPerField.java — ours is a plain dict of
-    # growing lists, sorted once at flush)
-    post_ords: Dict[str, List[int]] = {}
-    post_freqs: Dict[str, List[int]] = {}
-    post_positions: Dict[str, List[List[int]]] = {}
-
-    norms_len = np.zeros(n, dtype=np.int64)
-    field_lens = np.zeros(n, dtype=np.int32)
+    # vectorized inversion (the TermsHash + sortPostings analogue,
+    # reference index/TermsHashPerField.java / FreqProxTermsWriter.java):
+    # flatten every (token, doc, position) occurrence into parallel arrays,
+    # stable-sort by (term, doc) once, and derive postings/freqs/positions
+    # from group boundaries — no per-token dict work in Python.
+    all_terms: List[str] = []
+    doc_lens = np.zeros(n, dtype=np.int64)
+    all_pos_parts: List[List[int]] = []
     shas: List[bytes] = []
-
     for ord_, text in enumerate(texts):
         if text is None:
             text = ""
         shas.append(hashlib.sha256(text.encode("utf-8")).digest())
-        if with_positions:
-            terms, positions, flen = analyzer.analyze_with_positions(text)
-            per_doc: Dict[str, List[int]] = {}
-            for t, p in zip(terms, positions):
-                per_doc.setdefault(t, []).append(p)
-            for t, plist in per_doc.items():
-                post_ords.setdefault(t, []).append(ord_)
-                post_freqs.setdefault(t, []).append(len(plist))
-                post_positions.setdefault(t, []).append(plist)
-        else:
-            tf = analyzer.term_freqs(text)
-            flen = sum(tf.values())
-            for t, f in tf.items():
-                post_ords.setdefault(t, []).append(ord_)
-                post_freqs.setdefault(t, []).append(f)
-        field_lens[ord_] = flen
-        norms_len[ord_] = flen  # numOverlap == 0 for this chain
+        terms, positions, flen = analyzer.analyze_with_positions(text)
+        all_terms.extend(terms)
+        all_pos_parts.append(positions)
+        doc_lens[ord_] = flen
 
-    terms_sorted = sorted(post_ords)  # byte-sorted term dict order
-    df = np.array([len(post_ords[t]) for t in terms_sorted], dtype=np.int32)
-    ttf = np.array(
-        [sum(post_freqs[t]) for t in terms_sorted], dtype=np.int64
-    )
+    field_lens = doc_lens.astype(np.int32)
+    norm_bytes = int_to_byte4_np(doc_lens)
+
+    if all_terms:
+        # dict-coded terms: only the ~|vocab| unique strings get sorted,
+        # not every token occurrence (object-dtype np.unique sorts all)
+        code_map: Dict[str, int] = {}
+        inv_list: List[int] = []
+        for t in all_terms:
+            c = code_map.get(t)
+            if c is None:
+                c = len(code_map)
+                code_map[t] = c
+            inv_list.append(c)
+        vocab = list(code_map)
+        vocab_order = sorted(range(len(vocab)), key=vocab.__getitem__)
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[vocab_order] = np.arange(len(vocab), dtype=np.int64)
+        uniq_terms = [vocab[i] for i in vocab_order]
+        inv = rank[np.asarray(inv_list, dtype=np.int64)]
+        n_toks_per_doc = np.array(
+            [len(p) for p in all_pos_parts], dtype=np.int64
+        )
+        all_ords = np.repeat(np.arange(n, dtype=np.int64), n_toks_per_doc)
+        all_pos = (
+            np.concatenate([np.asarray(p, dtype=np.int64)
+                            for p in all_pos_parts if p])
+            if with_positions and any(all_pos_parts)
+            else np.zeros(len(all_terms), dtype=np.int64)
+        )
+        key = inv * n + all_ords
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        group_keys, group_starts, group_counts = np.unique(
+            skey, return_index=True, return_counts=True
+        )
+        g_term = group_keys // n  # term code per (term, doc) group
+        g_ord = (group_keys % n).astype(np.int64)
+        g_freq = group_counts.astype(np.int64)
+        # per-term row ranges over the (term, doc) groups
+        t_codes, t_starts, t_counts = np.unique(
+            g_term, return_index=True, return_counts=True
+        )
+        terms_sorted = [uniq_terms[c] for c in t_codes]
+        df = t_counts.astype(np.int32)
+        ttf_per_group_cum = np.concatenate([[0], np.cumsum(g_freq)])
+        blobs = []
+        ttf = np.empty(len(t_codes), dtype=np.int64)
+        for i in range(len(t_codes)):
+            s, e = t_starts[i], t_starts[i] + t_counts[i]
+            o, f = g_ord[s:e], g_freq[s:e]
+            ttf[i] = ttf_per_group_cum[e] - ttf_per_group_cum[s]
+            blobs.append(encode_postings(o, f, norm_bytes[o]))
+        if with_positions:
+            # positions sorted by (term, doc): inner lists = group slices
+            pos_values = all_pos[order].astype(np.int32)
+            inner_offsets = np.concatenate(
+                [[0], np.cumsum(g_freq)]
+            ).astype(np.int32)
+            inner = pa.ListArray.from_arrays(
+                pa.array(inner_offsets), pa.array(pos_values)
+            )
+            outer_offsets = np.concatenate(
+                [[0], np.cumsum(t_counts)]
+            ).astype(np.int32)
+            positions_arr = pa.ListArray.from_arrays(
+                pa.array(outer_offsets), inner
+            )
+        else:
+            positions_arr = pa.array(
+                [None] * len(t_codes), type=pa.list_(pa.list_(pa.int32()))
+            )
+    else:
+        terms_sorted = []
+        df = np.empty(0, dtype=np.int32)
+        ttf = np.empty(0, dtype=np.int64)
+        blobs = []
+        positions_arr = pa.array([], type=pa.list_(pa.list_(pa.int32())))
+
     postings_cols: Dict[str, pa.Array] = {
         "term": pa.array(terms_sorted, type=pa.string()),
         "df": pa.array(df),
         "ttf": pa.array(ttf),
-        "ords": pa.array(
-            [post_ords[t] for t in terms_sorted], type=pa.list_(pa.int32())
-        ),
-        "freqs": pa.array(
-            [post_freqs[t] for t in terms_sorted], type=pa.list_(pa.int32())
-        ),
-        "positions": pa.array(
-            [post_positions[t] for t in terms_sorted]
-            if with_positions
-            else [None] * len(terms_sorted),
-            type=pa.list_(pa.list_(pa.int32())),
-        ),
+        "blocks": pa.array(blobs, type=pa.binary()),
+        "positions": positions_arr,
     }
     postings = pa.table(postings_cols, schema=POSTINGS_SCHEMA)
 
     docmeta = pa.table(
         {
             "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
-            "norm": pa.array(int_to_byte4_np(norms_len)),
+            "norm": pa.array(norm_bytes),
             "field_len": pa.array(field_lens),
             "content_sha256": pa.array(shas, type=pa.binary()),
         },

@@ -63,8 +63,10 @@ QUERY_SET: List[Tuple[int, str, int, List[List[str]]]] = [
 
 def documents_index(sf_dir: str) -> Index:
     """Build-or-open the cached index over ``{sf_dir}/documents.parquet``."""
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(_CACHE_ROOT, f"documents_{key}")
+    out = os.path.join(_CACHE_ROOT, f"documents_v{FORMAT_VERSION}_{key}")
     if read_latest_manifest(out) is None:
         build_index(
             os.path.join(sf_dir, "documents.parquet"),

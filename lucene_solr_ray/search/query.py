@@ -20,6 +20,8 @@ __all__ = [
     "Query",
     "TermQuery",
     "PhraseQuery",
+    "SynonymQuery",
+    "DisjunctionMaxQuery",
     "Occur",
     "BooleanClause",
     "BooleanQuery",
@@ -65,6 +67,33 @@ class PhraseQuery(Query):
 
     def terms(self) -> List[str]:
         return list(self.phrase_terms)
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Multi-term single-score: freqs summed across synonyms before the
+    tf saturation, stats blended as (df = max, ttf = sum)
+    (``SynonymQuery.java``)."""
+
+    syn_terms: Tuple[str, ...]
+
+    def terms(self) -> List[str]:
+        return list(self.syn_terms)
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """max over sub-scores + tie_breaker * (sum - max)
+    (``DisjunctionMaxQuery.java``)."""
+
+    disjuncts: Tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+    def terms(self) -> List[str]:
+        out: List[str] = []
+        for d in self.disjuncts:
+            out.extend(d.terms())
+        return out
 
 
 class Occur(Enum):

@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from lucene_solr_ray.index.postings_codec import decode_postings
+
 __all__ = ["SegmentReader"]
 
 
@@ -39,7 +41,7 @@ class SegmentReader:
         self.segment_id = int(self.meta["segment_id"])
         self.stats = self.meta["stats"]
 
-        cols = ["term", "df", "ttf", "ords", "freqs"]
+        cols = ["term", "df", "ttf", "blocks"]
         if load_positions:
             cols.append("positions")
         t = pq.read_table(
@@ -51,8 +53,13 @@ class SegmentReader:
         }
         self._df = t.column("df").to_numpy()
         self._ttf = t.column("ttf").to_numpy()
-        self._ords_off, self._ords_val = _list_views(t.column("ords"))
-        self._freqs_off, self._freqs_val = _list_views(t.column("freqs"))
+        blocks = t.column("blocks").combine_chunks()
+        if isinstance(blocks, pa.ChunkedArray):
+            blocks = blocks.chunk(0) if blocks.num_chunks else pa.array(
+                [], type=pa.binary()
+            )
+        self._blocks = blocks
+        self._decoded: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
         self._has_positions = load_positions
         if load_positions:
@@ -88,13 +95,24 @@ class SegmentReader:
 
     # -- postings ----------------------------------------------------------
     def postings(self, term: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        """(ords asc int32, freqs int32) or None — zero-copy views."""
+        """(ords asc int32, freqs int32) or None — decoded from the block
+        codec on first access, cached per term (the hot-block cache of the
+        reference's ``LRUQueryCache`` idea, unbounded within an actor)."""
         r = self._term_row.get(term)
         if r is None:
             return None
-        s, e = self._ords_off[r], self._ords_off[r + 1]
-        fs, fe = self._freqs_off[r], self._freqs_off[r + 1]
-        return self._ords_val[s:e], self._freqs_val[fs:fe]
+        hit = self._decoded.get(r)
+        if hit is None:
+            hit = decode_postings(self._blocks[r].as_py())
+            self._decoded[r] = hit
+        return hit
+
+    def postings_blob(self, term: str) -> Optional[bytes]:
+        """Raw encoded posting blocks (for skip/impact-based traversal)."""
+        r = self._term_row.get(term)
+        if r is None:
+            return None
+        return self._blocks[r].as_py()
 
     def positions(
         self, term: str
@@ -106,8 +124,7 @@ class SegmentReader:
         r = self._term_row.get(term)
         if r is None:
             return None
-        s, e = self._ords_off[r], self._ords_off[r + 1]
-        ords = self._ords_val[s:e]
+        ords, _ = self.postings(term)
         d1 = self._pos_off1[r]
 
         def posfn(i: int) -> np.ndarray:

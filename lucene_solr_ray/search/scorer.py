@@ -35,11 +35,13 @@ from lucene_solr_ray.search.query import (
     BooleanQuery,
     BoostQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     Occur,
     PhraseQuery,
     Query,
+    SynonymQuery,
     TermInSetQuery,
     TermQuery,
 )
@@ -80,6 +82,10 @@ class _Eval:
             return self._boolean(q, boost)
         if isinstance(q, PhraseQuery):
             return self._phrase(q, boost)
+        if isinstance(q, SynonymQuery):
+            return self._synonym(q, boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._dismax(q, boost)
         if isinstance(q, MatchAllDocsQuery):
             ords = np.arange(self.ndocs, dtype=np.int32)
             dt = self.sim.out_dtype
@@ -122,6 +128,45 @@ class _Eval:
         )
         scores = sc.score(freqs, self.norms[ords])
         return ords, scores
+
+    def _synonym(self, q: SynonymQuery, boost: float):
+        """Sum freqs across synonyms, score once with blended stats
+        (df = max over terms, ttf = sum — ``SynonymQuery.java``)."""
+        freq_acc = np.zeros(self.ndocs, dtype=np.float64)
+        seen = np.zeros(self.ndocs, dtype=bool)
+        df_max = 0
+        for t in q.syn_terms:
+            p = self.reader.postings(t)
+            df_max = max(df_max, self.stats.df.get(t, 0))
+            if p is None:
+                continue
+            ords, freqs = p
+            np.add.at(freq_acc, ords, freqs.astype(np.float64))
+            seen[ords] = True
+        if df_max <= 0 or not seen.any():
+            return _EMPTY_I, _EMPTY_F
+        ords = np.nonzero(seen)[0].astype(np.int32)
+        sc = self.sim.scorer(
+            boost, self.stats.doc_count, self.stats.sum_total_term_freq,
+            df_max,
+        )
+        return ords, sc.score(freq_acc[ords], self.norms[ords])
+
+    def _dismax(self, q: DisjunctionMaxQuery, boost: float):
+        """score = max + tie_breaker * (sum - max) over matching disjuncts
+        (``DisjunctionMaxQuery.java``; DisjunctionMaxScorer math)."""
+        mx = np.zeros(self.ndocs, dtype=np.float64)
+        sm = np.zeros(self.ndocs, dtype=np.float64)
+        seen = np.zeros(self.ndocs, dtype=bool)
+        for d in q.disjuncts:
+            ords, scores = self.eval(d, boost)
+            s64 = scores.astype(np.float64)
+            np.maximum.at(mx, ords, s64)
+            np.add.at(sm, ords, s64)
+            seen[ords] = True
+        ords = np.nonzero(seen)[0].astype(np.int32)
+        total = mx[ords] + q.tie_breaker * (sm[ords] - mx[ords])
+        return ords, total.astype(self.sim.out_dtype)
 
     def _boolean(self, q: BooleanQuery, boost: float):
         n_must = n_filter = n_should = 0
@@ -243,12 +288,33 @@ def score_segment(
 def topk_segment(
     reader, query: Query, stats: GlobalStats, k: int,
     sim: Optional[BM25Similarity] = None,
+    pruning: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Top-k of one segment, tie-broken by ascending ordinal (doc order),
-    as ``TopScoreDocCollector`` collects per leaf."""
+    as ``TopScoreDocCollector`` collects per leaf.
+
+    With ``pruning`` (TOP_SCORES mode), pure term disjunctions and
+    conjunctions take the block-max WAND/MaxScore path (search/wand.py);
+    everything else — and ``pruning=False`` (COMPLETE mode, the
+    checkTopScores oracle) — scores exhaustively."""
+    if pruning:
+        from lucene_solr_ray.search.wand import topk_pruned
+
+        hit = topk_pruned(reader, query, stats, k, sim)
+        if hit is not None:
+            return hit
     ords, scores = score_segment(reader, query, stats, sim)
     if len(ords) > k:
-        part = np.argpartition(-scores, k - 1)[:k]
-        ords, scores = ords[part], scores[part]
-    order = np.lexsort((ords, -scores.astype(np.float64)))
+        # keep every doc tied with the k-th score so the (score desc,
+        # doc asc) tie-break decides the boundary, not argpartition order
+        part = np.argpartition(-scores, k - 1)
+        kth = scores[part[k - 1]]
+        mask = scores >= kth
+        ords, scores = ords[mask], scores[mask]
+    # ties break on the GLOBAL doc_id (not the segment ordinal): rankings
+    # are then invariant to segmentation — merges and parallelism cannot
+    # reorder equal-scored docs (stricter than the reference's
+    # (shardIndex, doc) tie, which shifts when segments merge)
+    dids = reader.doc_ids[ords]
+    order = np.lexsort((dids, -scores.astype(np.float64)))[:k]
     return ords[order], scores[order]

@@ -332,7 +332,9 @@ class Index:
             sum_total_term_freq=self.manifest["sum_total_term_freq"],
         )
         if terms or patterns:
-            ds = ray.data.from_items(seg_items)
+            ds = ray.data.from_items(
+                seg_items, override_num_blocks=len(seg_items)
+            )
             parts = ds.map_batches(
                 _StatsFn(terms, patterns), batch_format="pyarrow"
             ).take_all()
@@ -357,7 +359,9 @@ class Index:
         if concurrency:
             kwargs["concurrency"] = concurrency
         sim = similarity or BM25Similarity()
-        ds = ray.data.from_items(seg_items)
+        ds = ray.data.from_items(
+            seg_items, override_num_blocks=len(seg_items)
+        )
         res = ds.map_batches(
             _SearchFn(parsed, stats, sim, need_pos),
             batch_format="pyarrow",
@@ -390,7 +394,10 @@ def _merge_topk(rows: List[dict], parsed, score_dtype=np.float32) -> pa.Table:
     out_score: List[float] = []
     for qid, _, k in parsed:
         rs = by_q.get(qid, [])
-        rs.sort(key=lambda r: (-r["score"], r["seg_ord"], r["ord"]))
+        # ties break on the GLOBAL doc_id — rankings invariant to
+        # segmentation (merge/parallelism); stricter than TopDocs.merge's
+        # (score, shardIndex, doc), which shifts when segments merge
+        rs.sort(key=lambda r: (-r["score"], r["doc_id"]))
         for rank, r in enumerate(rs[:k]):
             out_qid.append(qid)
             out_rank.append(rank)

