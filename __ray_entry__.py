@@ -34,6 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": fulltext.term_stats,
         "doc_norms": fulltext.doc_norms,
         "phrase_topk": fulltext.phrase_topk,  # rows-only (positions path)
+        "fetch_topk": fulltext.fetch_topk,
+        "suggest_prefix_s": fulltext.suggest_prefix_s,
+        "mlt_doc0": fulltext.mlt_doc0,  # rows-only (MoreLikeThis)
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -51,6 +54,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": fulltext.bm25_topk_sql(),
         "term_stats": fulltext.term_stats_sql(),
         "doc_norms": fulltext.doc_norms_sql(),
+        "fetch_topk": fulltext.fetch_topk_sql(),
+        "suggest_prefix_s": fulltext.suggest_prefix_s_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

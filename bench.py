@@ -90,6 +90,19 @@ def main() -> None:
             while f.read(1 << 22):
                 pass
 
+    # warm the worker pool (untimed): spin up NCPU workers and import the
+    # library once per worker, so timings measure steady-state throughput
+    # rather than Python interpreter cold-start
+    def _warm(batch):
+        import lucene_solr_ray.index.segment  # noqa: F401
+        import lucene_solr_ray.search.searcher  # noqa: F401
+
+        return batch
+
+    ray.data.range(NCPU * 2, override_num_blocks=NCPU * 2).map_batches(
+        _warm, batch_size=1
+    ).materialize()
+
     idx_dir = f"/tmp/lsr_bench_idx_{NCPU}_{n_docs}"
     shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -1,0 +1,98 @@
+"""Passage highlighting — the unified-highlighter role, vectorizable.
+
+The reference's highlighter module (``lucene/highlighter/`` — 11,421 LoC:
+UnifiedHighlighter/FastVectorHighlighter/Highlighter) selects the best
+passages for a query and marks the matched terms.  This engine implements
+the passage-scoring core: a sliding token window scored by the summed idf
+of the distinct query terms it covers (the UnifiedHighlighter passage
+score shape), ties to the earliest window; matched terms wrapped in tags.
+
+Runs as a plain function (driver-side, on the ≤k fetched hits) or inside
+``map_batches`` over a results+text dataset (``highlight_batch``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+
+__all__ = ["best_passage", "highlight", "highlight_batch"]
+
+
+def best_passage(
+    text: str,
+    term_weights: Dict[str, float],
+    window: int = 30,
+    analyzer: Optional[StandardAnalyzer] = None,
+) -> Tuple[int, int, float]:
+    """(token_start, token_end, score) of the best window: max over
+    windows of Σ weight(term) per *distinct* covered term."""
+    analyzer = analyzer or StandardAnalyzer()
+    toks = analyzer.analyze(text)
+    if not toks:
+        return 0, 0, 0.0
+    n = len(toks)
+    w = min(window, n)
+    best = (0, w, -1.0)
+    # score windows at each match position (windows between matches tie)
+    match_pos = [i for i, t in enumerate(toks) if t in term_weights]
+    if not match_pos:
+        return 0, w, 0.0
+    for start in {max(0, p - w + 1) for p in match_pos} | set(match_pos):
+        end = min(start + w, n)
+        covered = {toks[i] for i in range(start, end) if toks[i] in term_weights}
+        score = sum(term_weights[t] for t in covered)
+        if score > best[2] or (score == best[2] and start < best[0]):
+            best = (start, end, score)
+    return best
+
+
+def highlight(
+    text: str,
+    term_weights: Dict[str, float],
+    window: int = 30,
+    pre: str = "<em>",
+    post: str = "</em>",
+    analyzer: Optional[StandardAnalyzer] = None,
+) -> str:
+    """Best passage of ``text`` with matched terms wrapped."""
+    analyzer = analyzer or StandardAnalyzer()
+    from lucene_solr_ray.analysis.tokenizer import tokenize_with_offsets
+
+    offs = tokenize_with_offsets(text)
+    if not offs:
+        return ""
+    s, e, _ = best_passage(text, term_weights, window, analyzer)
+    s = min(s, len(offs) - 1)
+    e = min(e, len(offs))
+    char_s = offs[s][1]
+    char_e = offs[e - 1][2] if e > s else offs[s][2]
+    out = []
+    pos = char_s
+    for tok, ts, te in offs[s:e]:
+        from lucene_solr_ray.analysis.analyzer import lowercase
+
+        if lowercase(tok) in term_weights:
+            out.append(text[pos:ts])
+            out.append(pre + text[ts:te] + post)
+            pos = te
+    out.append(text[pos:char_e])
+    return "".join(out)
+
+
+def highlight_batch(ds, text_col: str, term_weights: Dict[str, float],
+                    out_col: str = "snippet", window: int = 30):
+    """map_batches highlighting stage over fetched hits."""
+    import pyarrow as pa
+
+    def _hl(t: pa.Table) -> pa.Table:
+        snips = [
+            highlight(v or "", term_weights, window)
+            for v in t.column(text_col).to_pylist()
+        ]
+        return t.append_column(out_col, pa.array(snips, pa.string()))
+
+    return ds.map_batches(_hl, batch_format="pyarrow")

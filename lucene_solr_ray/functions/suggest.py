@@ -1,0 +1,59 @@
+"""Prefix suggester over the distributed term dictionary.
+
+The suggest-module role (reference ``lucene/suggest/`` — 15,043 LoC:
+AnalyzingSuggester/FSTCompletionLookup): completions for a prefix, weighted
+by collection term frequency, served from the index's term dictionaries.
+
+Ray shape: one map over the segments' postings *metadata* columns (term,
+ttf — no posting lists touched), prefix-filtered per segment, summed via a
+small groupby, top-n by (weight desc, term asc).  A fuzzy variant reuses
+the FuzzyQuery expansion from the searcher.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import pyarrow as pa
+
+__all__ = ["suggest_terms"]
+
+
+def suggest_terms(index, prefix: str, n: int = 10,
+                  max_edits: int = 0) -> List[Tuple[str, int]]:
+    """Top-n (term, total ttf) completions for ``prefix`` across segments.
+
+    ``max_edits`` > 0 switches to fuzzy completion on the prefix
+    (FuzzySuggester semantics, constant-prefix length 0).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    paths = [os.path.join(d, "postings.parquet") for d in index.seg_dirs]
+    ds = ray.data.read_parquet(paths, columns=["term", "ttf"])
+
+    if max_edits == 0:
+        def _filter(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.starts_with(t.column("term"), prefix))
+    else:
+        from lucene_solr_ray.search.query import FuzzyQuery
+        from lucene_solr_ray.search.searcher import match_terms
+
+        pat = FuzzyQuery(prefix, max_edits=max_edits)
+
+        def _filter(t: pa.Table) -> pa.Table:
+            terms = t.column("term").to_pylist()
+            keep = set(match_terms(pat, terms))
+            mask = pa.array([x in keep for x in terms])
+            return t.filter(mask)
+
+    out = (
+        ds.map_batches(_filter, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("ttf", alias_name="weight"))
+    )
+    rows = out.sort(["weight", "term"], descending=[True, False]).take(n)
+    return [(r["term"], int(r["weight"])) for r in rows]

@@ -271,3 +271,101 @@ def phrase_topk(sf_dir: str) -> pa.Table:
         3: '"the key value"',
     }
     return idx.search(qs, k=10)
+
+
+# ---------------------------------------------------------------------------
+# fetch_topk: two-phase fetch — score, then join winners to stored fields
+# ---------------------------------------------------------------------------
+
+
+def fetch_topk(sf_dir: str) -> pa.Table:
+    """Top-5 for "merge" joined back to the documents docstore
+    (QueryComponent PURPOSE_GET_FIELDS / FetchStream semantics).
+    Columns: qid, doc_id, rank, score, lang, source, n_chars."""
+    from lucene_solr_ray.search.fetch import fetch_from_corpus
+
+    idx = documents_index(sf_dir)
+    res = idx.search({0: "merge"}, k=5, similarity=BM25SimilarityF64())
+    out = fetch_from_corpus(
+        res,
+        os.path.join(sf_dir, "documents.parquet"),
+        "doc_id",
+        ["lang", "source", "n_chars"],
+    )
+    out = out.sort_by([("qid", "ascending"), ("rank", "ascending")])
+    return pa.table(
+        {
+            "qid": out.column("qid"),
+            "doc_id": out.column("doc_id"),
+            "rank": pa.array((out.column("rank").to_numpy() + 1).astype(np.int64)),
+            "score": pa.array(np.round(out.column("score").to_numpy(), 4)),
+            "lang": out.column("lang"),
+            "source": out.column("source"),
+            "n_chars": out.column("n_chars"),
+        }
+    )
+
+
+def fetch_topk_sql() -> str:
+    return _BM25_CTE + """
+SELECT 0 AS qid, r.doc_id, r.rank, ROUND(r.score, 4) AS score,
+       d.lang, d.source, d.n_chars
+FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id, SUM(tscore) AS score FROM scores
+    WHERE term = 'merge' GROUP BY doc_id
+  )
+) r JOIN documents d USING (doc_id)
+WHERE r.rank <= 5 ORDER BY r.rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# suggest: prefix completion from the distributed term dictionary
+# ---------------------------------------------------------------------------
+
+
+def suggest_prefix_s(sf_dir: str) -> pa.Table:
+    from lucene_solr_ray.functions.suggest import suggest_terms
+
+    idx = documents_index(sf_dir)
+    rows = suggest_terms(idx, "s", n=5)
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "weight": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def suggest_prefix_s_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS weight
+FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, term LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# more-like-this (KnnStream) — rows-only (tf·idf term selection + BM25)
+# ---------------------------------------------------------------------------
+
+
+def mlt_doc0(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    idx = documents_index(sf_dir)
+    text = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        .column("text")[0]
+        .as_py()
+    )
+    return idx.more_like_this(text, k=10, max_query_terms=8)

@@ -309,6 +309,75 @@ class Index:
             parsed, similarity=similarity, concurrency=concurrency
         )
 
+    def collect_stats(
+        self, terms: List[str], patterns: Optional[List[Query]] = None
+    ) -> Tuple[GlobalStats, Dict[Query, Tuple[str, ...]]]:
+        """Exact global (df, ttf) for ``terms`` + multi-term expansions —
+        one metadata-only map over the segments, summed on the driver."""
+        import ray.data
+
+        patterns = patterns or []
+        seg_items = [
+            {"seg_dir": d, "seg_ord": i}
+            for i, d in enumerate(self.seg_dirs)
+        ]
+        stats = GlobalStats(
+            doc_count=self.manifest["doc_count"],
+            sum_total_term_freq=self.manifest["sum_total_term_freq"],
+        )
+        expansions: Dict[Query, set] = {p: set() for p in patterns}
+        if terms or patterns:
+            ds = ray.data.from_items(
+                seg_items, override_num_blocks=len(seg_items)
+            )
+            parts = ds.map_batches(
+                _StatsFn(list(terms), patterns), batch_format="pyarrow"
+            ).take_all()
+            for r in parts:
+                if r["kind"] == "stat":
+                    stats.df[r["key"]] = stats.df.get(r["key"], 0) + r["df"]
+                    stats.ttf[r["key"]] = stats.ttf.get(r["key"], 0) + r["ttf"]
+                else:
+                    expansions[patterns[int(r["kind"][3:])]].add(r["key"])
+        return stats, {
+            p: tuple(sorted(ts)) for p, ts in expansions.items()
+        }
+
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_doc_freq: int = 1,
+        analyzer: Optional[StandardAnalyzer] = None,
+        similarity: Optional[BM25Similarity] = None,
+    ) -> pa.Table:
+        """MoreLikeThis / KnnStream: select the text's top tf·idf terms
+        against the global stats, search them as a SHOULD-disjunction
+        (reference ``lucene/queries/.../mlt/MoreLikeThis.java``;
+        ``KnnStream``)."""
+        import math
+
+        analyzer = analyzer or StandardAnalyzer()
+        tf = analyzer.term_freqs(text)
+        stats, _ = self.collect_stats(sorted(tf))
+        n = max(stats.doc_count, 1)
+        scored = []
+        for t, f in tf.items():
+            df = stats.df.get(t, 0)
+            if df < min_doc_freq:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            scored.append((f * idf, t))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        top = [t for _, t in scored[:max_query_terms]]
+        if not top:
+            return _merge_topk([], [(0, MatchNoDocsQuery(), k)])
+        q = BooleanQuery(
+            tuple(BooleanClause(TermQuery(t), Occur.SHOULD) for t in top)
+        )
+        return self.search_parsed([(0, q, k)], similarity=similarity)
+
     def search_parsed(
         self,
         parsed: List[Tuple[int, Query, int]],
@@ -327,29 +396,11 @@ class Index:
         for _, q, _ in parsed:
             _collect_patterns(q, patterns)
         terms = sorted({t for _, q, _ in parsed for t in q.terms()})
-        stats = GlobalStats(
-            doc_count=self.manifest["doc_count"],
-            sum_total_term_freq=self.manifest["sum_total_term_freq"],
-        )
-        if terms or patterns:
-            ds = ray.data.from_items(
-                seg_items, override_num_blocks=len(seg_items)
-            )
-            parts = ds.map_batches(
-                _StatsFn(terms, patterns), batch_format="pyarrow"
-            ).take_all()
-            expansions: Dict[Query, set] = {p: set() for p in patterns}
-            for r in parts:
-                if r["kind"] == "stat":
-                    stats.df[r["key"]] = stats.df.get(r["key"], 0) + r["df"]
-                    stats.ttf[r["key"]] = stats.ttf.get(r["key"], 0) + r["ttf"]
-                else:
-                    expansions[patterns[int(r["kind"][3:])]].add(r["key"])
-            if patterns:
-                exp = {p: tuple(sorted(ts)) for p, ts in expansions.items()}
-                parsed = [
-                    (qid, rewrite_query(q, exp), kk) for qid, q, kk in parsed
-                ]
+        stats, exp = self.collect_stats(terms, patterns)
+        if patterns:
+            parsed = [
+                (qid, rewrite_query(q, exp), kk) for qid, q, kk in parsed
+            ]
 
         # 3: scoring pass over segments (actor pool when concurrency given)
         need_pos = any(
