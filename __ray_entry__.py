@@ -37,6 +37,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_topk": fulltext.fetch_topk,
         "suggest_prefix_s": fulltext.suggest_prefix_s,
         "mlt_doc0": fulltext.mlt_doc0,  # rows-only (MoreLikeThis)
+        "grouped_topk": fulltext.grouped_topk,
+        "textprofile_dedup": fulltext.textprofile_dedup,  # rows-only
+        "knn_classify_docs": fulltext.knn_classify_docs,  # rows-only
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -56,6 +59,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_norms": fulltext.doc_norms_sql(),
         "fetch_topk": fulltext.fetch_topk_sql(),
         "suggest_prefix_s": fulltext.suggest_prefix_s_sql(),
+        "grouped_topk": fulltext.grouped_topk_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -173,23 +173,59 @@ def minhash_lsh_pairs(
 
     banded = ds.select_columns([id_col, col]).map_batches(
         _bandify, batch_format="pyarrow"
-    )
+    ).materialize()
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # almost every bucket is a singleton: find the multi-member buckets
+    # with a C-path count aggregate (NO per-group python over ~docs×bands
+    # groups — that was measured at >10x the cost of everything else),
+    # then keep only their rows for pair generation
+    from ray.data.aggregate import Count
+
+    sizes = (
+        banded.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+    )
+    hot = sizes.filter(expr="n > 1").to_pandas()
+    hot_keys = set(zip(hot["band"], hot["band_hash"]))
+
+    def _only_hot(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [
+                (b, h) in hot_keys
+                for b, h in zip(
+                    t.column("band").to_pylist(),
+                    t.column("band_hash").to_pylist(),
+                )
+            ]
+        )
+        return t.filter(mask)
+
+    survivors = banded.map_batches(
+        _only_hot, batch_format="pyarrow"
+    ).to_pandas()
+
+    # pair generation over the (small) surviving buckets, driver-side;
+    # dedup across bands with one drop_duplicates
+    out_pairs: List[Tuple[int, int]] = []
+    for (_b, _h), g in survivors.groupby(["band", "band_hash"], sort=False):
         ids = sorted(set(g[id_col].tolist()))[:max_bucket]
-        out = [
+        out_pairs.extend(
             (ids[i], ids[j])
             for i in range(len(ids))
             for j in range(i + 1, len(ids))
-        ]
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
+        )
+    pairs_df = pd.DataFrame(
+        out_pairs, columns=["id_a", "id_b"]
+    ).drop_duplicates(ignore_index=True)
+    import ray.data
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    # a pair can surface from several bands — distinct before verification
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = ray.data.from_pandas(
+        pairs_df
+        if not pairs_df.empty
+        else pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64")}
+        )
     )
 
     texts_df = ds.select_columns([id_col, col]).to_pandas()
@@ -283,28 +319,52 @@ def simhash_groups(ds, col: str, id_col: str, band_bits: int = 16):
 
     banded = ds.select_columns([id_col, col]).map_batches(
         _sig, batch_format="pyarrow"
-    )
+    ).materialize()
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # same hot-bucket shape as minhash_lsh_pairs: count buckets with a
+    # C-path aggregate, pair-generate only inside multi-member buckets
+    from ray.data.aggregate import Count
+
+    sizes = banded.groupby(["band", "key"]).aggregate(Count(alias_name="n"))
+    hot = sizes.filter(expr="n > 1").to_pandas()
+    hot_keys = set(zip(hot["band"], hot["key"]))
+
+    def _only_hot(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [
+                (b, k) in hot_keys
+                for b, k in zip(
+                    t.column("band").to_pylist(), t.column("key").to_pylist()
+                )
+            ]
+        )
+        return t.filter(mask)
+
+    surv = banded.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
+    out = []
+    seen = set()
+    for (_b, _k), g in surv.groupby(["band", "key"], sort=False):
         g = g.sort_values(id_col)
         ids = g[id_col].tolist()
         sigs = g["simhash"].tolist()
-        out = []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
+                if ids[i] == ids[j] or (ids[i], ids[j]) in seen:
                     continue
                 ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
                 if ham <= 3:
+                    seen.add((ids[i], ids[j]))
                     out.append((ids[i], ids[j], ham))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+    import ray.data
 
-    pairs = banded.groupby(["band", "key"]).map_groups(
-        _pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    df = pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+    if df.empty:
+        df = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+    return ray.data.from_pandas(df.sort_values(["id_a", "id_b"]))
 
 
 # ---------------------------------------------------------------------------
@@ -360,4 +420,71 @@ def embedding_near_dups(ds, vec_col: str, id_col: str,
 
     return ray.data.from_items(blocks).map_batches(
         _pairs, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextProfileSignature (Solr's fuzzy near-dup signature)
+# ---------------------------------------------------------------------------
+
+def text_profile_signature(text: str, quant_rate: float = 0.01,
+                           min_token_len: int = 2) -> str:
+    """Port of the reference's fuzzy dedup signature
+    (``solr/core/src/java/org/apache/solr/update/processor/
+    TextProfileSignature.java:39-117``):
+
+    - token freqs over lowercased alnum-filtered tokens of length ≥ 2;
+    - QUANT = round(maxFreq · quantRate), floored to 2 when maxFreq > 1
+      (else 1);
+    - tokens with freq < QUANT dropped, surviving freqs rounded DOWN to a
+      multiple of QUANT;
+    - profile = "token freq" pairs sorted by (freq desc, token asc),
+      newline-joined, md5-hexed.
+    """
+    import collections
+
+    counts: collections.Counter = collections.Counter()
+    for tok in (text or "").lower().split():
+        tok = "".join(c for c in tok if c.isalnum())
+        if len(tok) >= min_token_len:
+            counts[tok] += 1
+    if not counts:
+        return hashlib.md5(b"").hexdigest()
+    max_freq = max(counts.values())
+    if max_freq <= 1:
+        quant = 1
+    else:
+        quant = max(round(max_freq * quant_rate), 2)
+    items = [
+        (tok, (f // quant) * quant)
+        for tok, f in counts.items()
+        if f >= quant
+    ]
+    items.sort(key=lambda kv: (-kv[1], kv[0]))
+    profile = "\n".join(f"{tok} {f}" for tok, f in items)
+    return hashlib.md5(profile.encode("utf-8")).hexdigest()
+
+
+def text_profile_dedup(ds, col: str, id_col: str,
+                       quant_rate: float = 0.01):
+    """Near-dup groups by TextProfileSignature: signature column →
+    groupby(sig) → (keep_id, n_dups) — SignatureUpdateProcessor chained
+    with the dedup groupby."""
+    from ray.data.aggregate import Count, Min
+
+    def _sig(t: pa.Table) -> pa.Table:
+        sigs = [
+            text_profile_signature(v, quant_rate)
+            for v in t.column(col).to_pylist()
+        ]
+        return pa.table(
+            {id_col: t.column(id_col), "signature": pa.array(sigs, pa.string())}
+        )
+
+    return (
+        ds.select_columns([id_col, col])
+        .map_batches(_sig, batch_format="pyarrow")
+        .groupby("signature")
+        .aggregate(Min(id_col, alias_name="keep_id"),
+                   Count(alias_name="n_dups"))
     )

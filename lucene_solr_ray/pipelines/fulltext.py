@@ -369,3 +369,91 @@ def mlt_doc0(sf_dir: str) -> pa.Table:
         .as_py()
     )
     return idx.more_like_this(text, k=10, max_query_terms=8)
+
+
+# ---------------------------------------------------------------------------
+# grouped search results (the grouping-module role): top docs per group
+# ---------------------------------------------------------------------------
+
+
+def grouped_topk(sf_dir: str) -> pa.Table:
+    """Top-2 hits for "merge" per ``lang`` group (reference
+    ``lucene/grouping/`` TopGroups semantics: groups ranked by best hit,
+    docs ranked within group). Columns: lang, rank_in_group, doc_id, score."""
+    from lucene_solr_ray.search.fetch import fetch_from_corpus
+
+    idx = documents_index(sf_dir)
+    res = idx.search({0: "merge"}, k=10_000, similarity=BM25SimilarityF64())
+    fetched = fetch_from_corpus(
+        res, os.path.join(sf_dir, "documents.parquet"), "doc_id", ["lang"]
+    ).to_pandas()
+    fetched = fetched.sort_values(
+        ["lang", "score", "doc_id"], ascending=[True, False, True]
+    )
+    fetched["rank_in_group"] = fetched.groupby("lang").cumcount() + 1
+    out = fetched[fetched["rank_in_group"] <= 2][
+        ["lang", "rank_in_group", "doc_id", "score"]
+    ].reset_index(drop=True)
+    out["score"] = out["score"].round(4)
+    out["rank_in_group"] = out["rank_in_group"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def grouped_topk_sql() -> str:
+    return _BM25_CTE + """
+SELECT lang, rank_in_group, doc_id, ROUND(score, 4) AS score FROM (
+  SELECT d.lang, s.doc_id, s.score,
+    ROW_NUMBER() OVER (PARTITION BY d.lang
+                       ORDER BY s.score DESC, s.doc_id) AS rank_in_group
+  FROM (
+    SELECT doc_id, SUM(tscore) AS score FROM scores
+    WHERE term = 'merge' GROUP BY doc_id
+  ) s JOIN documents d USING (doc_id)
+) WHERE rank_in_group <= 2 ORDER BY lang, rank_in_group
+"""
+
+
+# ---------------------------------------------------------------------------
+# TextProfileSignature dedup + KNN classification (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def textprofile_dedup(sf_dir: str):
+    import ray.data
+
+    from lucene_solr_ray.functions.dedup import text_profile_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = text_profile_dedup(ds, "text", "doc_id").to_pandas()
+    out = out[["keep_id", "n_dups"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("keep_id").reset_index(drop=True)
+
+
+def knn_classify_docs(sf_dir: str):
+    """Classify the first 5 docs' text by majority lang of their BM25
+    neighborhood (KNearestNeighborClassifier)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.classify import knn_classify
+
+    idx = documents_index(sf_dir)
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    rows = []
+    for i in range(min(5, t.num_rows)):
+        label, conf = knn_classify(
+            idx, t.column("text")[i].as_py(),
+            os.path.join(sf_dir, "documents.parquet"), "lang",
+        )
+        rows.append(
+            {"doc_id": t.column("doc_id")[i].as_py(),
+             "pred_lang": label, "confidence": round(conf, 4)}
+        )
+    return pd.DataFrame(rows)

@@ -450,3 +450,164 @@ ORACLES = {
     "timeseries_events": TIMESERIES_SQL,
     "significant_terms_en": SIGTERMS_SQL,
 }
+
+
+# -- windowed aggregates over the events log --------------------------------
+
+def session_windows(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (30-min gap) per user — the
+    gaps-and-islands construction (stages/windows.session)."""
+    from lucene_solr_ray.stages.windows import session
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    out = session(ev, "user_id", "ts", gap_s=1800).to_pandas()
+    out["session_id"] = out["session_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+SESSION_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def tumbling_hour(sf_dir: str) -> pd.DataFrame:
+    from lucene_solr_ray.stages.windows import tumbling
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        return t.append_column("cents", cents)
+
+    out = tumbling(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "ts", 3600,
+        [("count", None, "n"), ("sum", "cents", "sum_cents")],
+        keys=["event_type"],
+    ).to_pandas()
+    for c in ("n", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_windows(sf_dir: str) -> pd.DataFrame:
+    """Sliding 2h windows, 1h slide — rows-only (explode-to-windows)."""
+    from lucene_solr_ray.stages.windows import sliding
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    out = sliding(
+        ds, "ts", 7200, 3600, [("count", None, "n")]
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+# -- URP chain as a gated pipeline ------------------------------------------
+
+def urp_clean_parts(sf_dir: str) -> pd.DataFrame:
+    from lucene_solr_ray.stages import urp
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    out = urp.chain(ds, [
+        urp.regex_replace("p_name", r"\s+", "_"),
+        urp.concat_fields("full_name", ["p_brand", "p_name"], sep=":"),
+        urp.field_length("p_name", "name_len"),
+    ]).to_pandas()
+    out = out[["p_partkey", "p_name", "full_name", "name_len"]]
+    out["name_len"] = out["name_len"].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+URP_SQL = """
+SELECT p_partkey,
+  regexp_replace(p_name, '\\s+', '_', 'g') AS p_name,
+  p_brand || ':' || regexp_replace(p_name, '\\s+', '_', 'g') AS full_name,
+  CAST(length(regexp_replace(p_name, '\\s+', '_', 'g')) AS BIGINT) AS name_len
+FROM part ORDER BY p_partkey
+"""
+
+
+# -- sketch aggregates -------------------------------------------------------
+
+def distinct_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed distinct count + exact quantiles (lower interp)."""
+    from lucene_solr_ray.stages.sketches import exact_distinct, quantile
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    return pd.DataFrame(
+        [
+            {
+                "n_parts": int(exact_distinct(li, "l_partkey")),
+                "q50": float(quantile(li, "l_extendedprice", 0.5)),
+                "q90": float(quantile(li, "l_extendedprice", 0.9)),
+            }
+        ]
+    )
+
+
+DISTINCT_Q_SQL = """
+WITH r AS (
+  SELECT l_extendedprice,
+    ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+    COUNT(*) OVER () AS n
+  FROM lineitem
+)
+SELECT
+  (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS n_parts,
+  (SELECT l_extendedprice FROM r WHERE rn = FLOOR(0.5 * (n - 1)) + 1 LIMIT 1) AS q50,
+  (SELECT l_extendedprice FROM r WHERE rn = FLOOR(0.9 * (n - 1)) + 1 LIMIT 1) AS q90
+"""
+
+
+def hll_partkeys(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct estimate — rows-only (approximate by design);
+    pytest asserts <5% error vs exact."""
+    from lucene_solr_ray.stages.sketches import hll_distinct
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    return pd.DataFrame([{"hll_estimate": float(hll_distinct(li, "l_partkey"))}])
+
+
+QUERIES.update({
+    "session_windows": session_windows,
+    "tumbling_hour": tumbling_hour,
+    "sliding_windows": sliding_windows,
+    "urp_clean_parts": urp_clean_parts,
+    "distinct_quantiles": distinct_quantiles,
+    "hll_partkeys": hll_partkeys,
+})
+
+ORACLES.update({
+    "session_windows": SESSION_SQL,
+    "tumbling_hour": TUMBLING_SQL,
+    "urp_clean_parts": URP_SQL,
+    "distinct_quantiles": DISTINCT_Q_SQL,
+})

@@ -125,6 +125,7 @@ class _Eval:
             self.stats.doc_count,
             self.stats.sum_total_term_freq,
             df,
+            total_term_freq=self.stats.ttf.get(term, df),
         )
         scores = sc.score(freqs, self.norms[ords])
         return ords, scores

@@ -22,11 +22,14 @@ Norm byte is ``SmallFloat.intToByte4(field_length - num_overlap)`` per
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from lucene_solr_ray.analysis.smallfloat import BYTE4_DECODE_TABLE
 
-__all__ = ["BM25Similarity", "BM25Scorer", "BM25SimilarityF64"]
+__all__ = ["BM25Similarity", "BM25Scorer", "BM25SimilarityF64",
+           "ClassicSimilarity", "LMDirichletSimilarity", "BooleanSimilarity"]
 
 #: float32 decoded-length table, == BM25Similarity.LENGTH_TABLE
 _LENGTH_TABLE_F32 = BYTE4_DECODE_TABLE.astype(np.float32)
@@ -205,3 +208,111 @@ class BM25SimilarityF64(BM25Similarity):
         cache = self.k1_f * ((1.0 - self.b_f) + self.b_f * lt / avgdl)
         weight = (self.k1_f + 1.0) * float(boost) * idf
         return BM25ScorerF64(weight, idf, cache)
+
+
+class _SimpleScorer:
+    """Shared shape for the non-BM25 similarities: vectorized
+    score(freqs, norm_bytes) from a closure."""
+
+    __slots__ = ("_fn", "_mx")
+
+    def __init__(self, fn, mx: float):
+        self._fn = fn
+        self._mx = mx
+
+    def score(self, freqs, norm_bytes):
+        return self._fn(
+            np.asarray(freqs, dtype=np.float64),
+            BYTE4_DECODE_TABLE[np.asarray(norm_bytes, dtype=np.uint8)]
+            .astype(np.float64),
+        ).astype(np.float32)
+
+    def max_score(self):
+        return np.float32(self._mx)
+
+    def max_score_for(self, freqs, norm_bytes):
+        if len(freqs) == 0:
+            return np.float32(0.0)
+        return np.float32(self.score(freqs, norm_bytes).max())
+
+
+class ClassicSimilarity(BM25Similarity):
+    """Classic TF-IDF (reference ``search/similarities/ClassicSimilarity
+    .java`` / ``TFIDFSimilarity``): score = sqrt(tf) · idf² · boost ·
+    1/sqrt(dl); idf = ln((docCount+1)/(df+1)) + 1.  Semantics-faithful
+    (float64 internally, float32 out); not bit-exact to the reference's
+    float path."""
+
+    out_dtype = np.float32
+
+    def __init__(self) -> None:
+        super().__init__(1.2, 0.75)  # k1/b unused
+
+    def scorer(self, boost, doc_count, sum_total_term_freq, doc_freq,
+               total_term_freq=-1):
+        idf = math.log((doc_count + 1) / (doc_freq + 1)) + 1.0
+        w = float(boost) * idf * idf
+
+        def fn(f, dl):
+            return w * np.sqrt(f) / np.sqrt(np.maximum(dl, 1.0))
+
+        return _SimpleScorer(fn, w * 1e3)
+
+    def scorer_from_idf(self, boost, idf, doc_count, sum_total_term_freq):
+        w = float(boost) * float(idf) * float(idf)
+
+        def fn(f, dl):
+            return w * np.sqrt(f) / np.sqrt(np.maximum(dl, 1.0))
+
+        return _SimpleScorer(fn, w * 1e3)
+
+
+class LMDirichletSimilarity(BM25Similarity):
+    """Dirichlet-smoothed language model (reference
+    ``search/similarities/LMDirichletSimilarity.java``, µ=2000):
+    score = boost · max(0, log(1 + tf/(µ·P(t|C))) + log(µ/(dl+µ)))."""
+
+    out_dtype = np.float32
+
+    def __init__(self, mu: float = 2000.0) -> None:
+        super().__init__(1.2, 0.75)
+        self.mu = float(mu)
+
+    def scorer(self, boost, doc_count, sum_total_term_freq, doc_freq,
+               total_term_freq=-1):
+        ttf = max(int(total_term_freq), 1) if total_term_freq and \
+            total_term_freq > 0 else max(int(doc_freq), 1)
+        p_c = ttf / max(float(sum_total_term_freq), 1.0)
+        mu = self.mu
+        b = float(boost)
+
+        def fn(f, dl):
+            s = np.log(1.0 + f / (mu * p_c)) + np.log(mu / (dl + mu))
+            return b * np.maximum(s, 0.0)
+
+        return _SimpleScorer(fn, b * math.log(1.0 + 1e6 / (mu * p_c)))
+
+    def scorer_from_idf(self, boost, idf, doc_count, sum_total_term_freq):
+        return self.scorer(boost, doc_count, sum_total_term_freq, 1, 1)
+
+
+class BooleanSimilarity(BM25Similarity):
+    """Matching docs score ``boost`` (reference
+    ``search/similarities/BooleanSimilarity.java``)."""
+
+    out_dtype = np.float32
+
+    def __init__(self) -> None:
+        super().__init__(1.2, 0.75)
+
+    def scorer(self, boost, doc_count, sum_total_term_freq, doc_freq,
+               total_term_freq=-1):
+        b = float(boost)
+
+        def fn(f, dl):
+            return np.full(len(f), b)
+
+        return _SimpleScorer(fn, b)
+
+    def scorer_from_idf(self, boost, idf, doc_count, sum_total_term_freq):
+        return self.scorer(boost, doc_count, sum_total_term_freq, 1)

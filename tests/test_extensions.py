@@ -1,0 +1,170 @@
+"""Windows, URP, sketches, similarities, TextProfile, highlight, suggest,
+fetch, MLT, classify — the extension-operator suite."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_index(ray_session, sf_dir):
+    from lucene_solr_ray.pipelines.fulltext import documents_index
+
+    return documents_index(sf_dir)
+
+
+# -- windows -----------------------------------------------------------------
+
+def test_session_windows(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.stages.windows import session
+
+    ts = np.array(
+        ["2024-01-01T00:00", "2024-01-01T00:10", "2024-01-01T02:00",
+         "2024-01-01T00:05"], dtype="datetime64[us]",
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"user_id": [1, 1, 1, 2], "ts": ts})
+    )
+    out = session(ds, "user_id", "ts", gap_s=1800).to_pandas()
+    u1 = out[out["user_id"] == 1]
+    assert sorted(u1["n_events"]) == [1, 2]  # 2-event session + late one
+    assert len(out[out["user_id"] == 2]) == 1
+
+
+def test_tumbling_and_sliding(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.stages.windows import sliding, tumbling
+
+    ts = np.array(
+        ["2024-01-01T00:10", "2024-01-01T00:50", "2024-01-01T01:10"],
+        dtype="datetime64[us]",
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"ts": ts, "v": [1, 2, 3]}))
+    t = tumbling(ds, "ts", 3600, [("count", None, "n")]).to_pandas()
+    assert sorted(t["n"]) == [1, 2]
+    s = sliding(ds, "ts", 7200, 3600, [("count", None, "n")]).to_pandas()
+    # every event lands in exactly 2 windows
+    assert s["n"].sum() == 6
+
+
+# -- similarities ------------------------------------------------------------
+
+def test_alternative_similarities(docs_index):
+    from lucene_solr_ray.search.similarity import (
+        BooleanSimilarity,
+        ClassicSimilarity,
+        LMDirichletSimilarity,
+    )
+
+    for sim in (ClassicSimilarity(), LMDirichletSimilarity()):
+        r = docs_index.search({0: "merge"}, k=5, similarity=sim).to_pandas()
+        assert len(r) == 5
+        assert (r["score"].to_numpy() > 0).all()
+        assert (np.diff(r["score"].to_numpy()) <= 0).all()  # sorted desc
+    rb = docs_index.search(
+        {0: "merge"}, k=5, similarity=BooleanSimilarity()
+    ).to_pandas()
+    assert (rb["score"] == 1.0).all()
+
+
+# -- TextProfileSignature ----------------------------------------------------
+
+def test_text_profile_signature():
+    from lucene_solr_ray.functions.dedup import text_profile_signature as tps
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    assert tps(base) == tps(base + " tiny tail change")  # quantized: same
+    assert tps(base) != tps("entirely different words here " * 30)
+    assert tps("") == tps("a")  # sub-min-length tokens ignored
+
+
+# -- highlight ---------------------------------------------------------------
+
+def test_highlight_tags_terms():
+    from lucene_solr_ray.functions.highlight import best_passage, highlight
+
+    text = "alpha beta gamma delta target epsilon zeta " * 3
+    out = highlight(text, {"target": 1.0}, window=5)
+    assert "<em>target</em>" in out
+    s, e, score = best_passage(text, {"target": 1.0}, window=5)
+    assert score == 1.0
+    assert highlight("", {"x": 1.0}) == ""
+
+
+# -- suggest -----------------------------------------------------------------
+
+def test_suggest_terms(docs_index, sf_dir):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.suggest import suggest_terms
+
+    got = suggest_terms(docs_index, "s", n=5)
+    # oracle: ttf-weighted completions from the raw corpus
+    from collections import Counter
+
+    c = Counter()
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    for x in t.column("text").to_pylist():
+        c.update(w for w in x.split() if w.startswith("s"))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+    # fuzzy completion finds near-misses
+    fz = suggest_terms(docs_index, "sortt", n=3, max_edits=1)
+    assert any(t == "sort" for t, _ in fz)
+
+
+# -- fetch + MLT + classify --------------------------------------------------
+
+def test_fetch_from_corpus(docs_index, sf_dir):
+    from lucene_solr_ray.search.fetch import fetch_from_corpus
+
+    res = docs_index.search({0: "merge"}, k=3)
+    out = fetch_from_corpus(
+        res, f"{sf_dir}/documents.parquet", "doc_id", ["lang", "n_chars"]
+    )
+    assert out.num_rows == 3
+    assert {"lang", "n_chars"} <= set(out.schema.names)
+    assert not any(v is None for v in out.column("lang").to_pylist())
+
+
+def test_mlt_finds_near_copy(ray_session, tmp_path):
+    """On a corpus with distinctive vocabulary, MLT must retrieve the
+    source doc and its near-copy at the top (the testdata documents table
+    has a 31-word shared vocab where 'similarity' is degenerate)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Index
+
+    texts = [f"filler{i} common words here" for i in range(50)]
+    texts.append("zebra quagga okapi tapir zebra quagga binturong")  # 50
+    texts.append("zebra quagga okapi pangolin zebra aardvark")       # 51
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))),
+                  "text": pa.array(texts, pa.string())}), p
+    )
+    out_dir = str(tmp_path / "idx")
+    build_index(p, out_dir, text_col="text", id_col="doc_id",
+                docs_per_segment=20)
+    got = Index(out_dir).more_like_this(texts[50], k=3).to_pandas()
+    assert got["doc_id"][0] == 50  # the source itself
+    assert 51 in set(got["doc_id"])  # its near-copy
+
+
+def test_knn_classify_runs(docs_index, sf_dir):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.classify import knn_classify
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    label, conf = knn_classify(
+        docs_index, t.column("text")[0].as_py(),
+        f"{sf_dir}/documents.parquet", "lang",
+    )
+    assert label in {"en", "de", "fr", "es", "zh"}
+    assert 0 < conf <= 1
