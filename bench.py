@@ -147,6 +147,31 @@ def main() -> None:
         if timings.get("bm25_search"):
             extra["qps"] = round(len(CODE_QUERIES) / timings["bm25_search"], 1)
 
+    # -- warm-pool query latency (p50/p99 over >=100 reps) ----------------
+    def warm_latency():
+        import numpy as np
+
+        from lucene_solr_ray.state.query_engine import QueryEngine
+
+        eng = QueryEngine(idx_dir, num_actors=min(8, NCPU))
+        eng.warm()
+        lats = []
+        reps = 150
+        for i in range(reps):
+            q = CODE_QUERIES[i % len(CODE_QUERIES)]
+            t0 = time.time()
+            eng.search({0: q}, k=10)
+            lats.append((time.time() - t0) * 1000)
+        eng.shutdown()
+        lats = np.array(lats)
+        extra["warm_p50_ms"] = round(float(np.percentile(lats, 50)), 2)
+        extra["warm_p99_ms"] = round(float(np.percentile(lats, 99)), 2)
+        extra["warm_qps"] = round(1000.0 / float(np.mean(lats)), 1)
+        return None
+
+    if manifest:
+        run("bm25_warm_latency", warm_latency)
+
     # -- relational / dedup / ANN over the sf tables -----------------------
     from lucene_solr_ray.pipelines import relational, training
 

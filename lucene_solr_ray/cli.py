@@ -1,0 +1,121 @@
+"""CLI entrypoints — the ``ray job submit`` surface.
+
+Usage (each command owns its Ray session; on a cluster submit with
+``ray job submit -- python -m lucene_solr_ray.cli <cmd> ...`` and drop
+``--local``):
+
+    python -m lucene_solr_ray.cli build  --input DIR_OR_FILE --out IDX \\
+        [--text-col content] [--id-col ID] [--docs-per-segment N]
+    python -m lucene_solr_ray.cli merge  --index IDX
+    python -m lucene_solr_ray.cli search --index IDX --query 'a AND b' [-k 10]
+    python -m lucene_solr_ray.cli suggest --index IDX --prefix s [-n 10]
+    python -m lucene_solr_ray.cli stats  --index IDX
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus=None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs.update(address="local", num_cpus=num_cpus)
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="lucene_solr_ray")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local mode with this many CPUs (default: cluster)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--text-col", default="content")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--docs-per-segment", type=int, default=100_000)
+    b.add_argument("--no-positions", action="store_true")
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True, action="append")
+    s.add_argument("-k", type=int, default=10)
+
+    g = sub.add_parser("suggest")
+    g.add_argument("--index", required=True)
+    g.add_argument("--prefix", required=True)
+    g.add_argument("-n", type=int, default=10)
+
+    st = sub.add_parser("stats")
+    st.add_argument("--index", required=True)
+
+    args = ap.parse_args(argv)
+    _ray_init(args.num_cpus)
+
+    if args.cmd == "build":
+        from lucene_solr_ray.index.build import build_index
+
+        manifest = build_index(
+            args.input, args.out,
+            text_col=args.text_col, id_col=args.id_col,
+            docs_per_segment=args.docs_per_segment,
+            with_positions=not args.no_positions,
+        )
+        print(json.dumps({
+            "generation": manifest["generation"],
+            "doc_count": manifest["doc_count"],
+            "segments": len(manifest["segments"]),
+        }))
+    elif args.cmd == "merge":
+        from lucene_solr_ray.index.merge import merge_until_done
+
+        n = merge_until_done(args.index)
+        print(json.dumps({"merges": n}))
+    elif args.cmd == "search":
+        from lucene_solr_ray.search.searcher import Index
+
+        idx = Index(args.index)
+        res = idx.search(
+            {i: q for i, q in enumerate(args.query)}, k=args.k
+        )
+        for row in res.to_pylist():
+            print(json.dumps(row))
+    elif args.cmd == "suggest":
+        from lucene_solr_ray.functions.suggest import suggest_terms
+        from lucene_solr_ray.search.searcher import Index
+
+        for term, w in suggest_terms(Index(args.index), args.prefix,
+                                     n=args.n):
+            print(json.dumps({"term": term, "weight": w}))
+    elif args.cmd == "stats":
+        from lucene_solr_ray.search.searcher import Index
+
+        m = Index(args.index).manifest
+        print(json.dumps({
+            "generation": m["generation"],
+            "doc_count": m["doc_count"],
+            "sum_total_term_freq": m["sum_total_term_freq"],
+            "segments": len(m["segments"]),
+        }))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,204 @@
+"""Warm query engine: a persistent actor pool answering BM25 queries at
+low latency.
+
+The ``Index.search`` pipeline launches Ray Data jobs per call — right for
+throughput batches, wrong for latency (hundreds of ms of scheduling per
+call).  This is the resident form of the reference's hot searcher
+(``IndexSearcher`` over a shared ``DirectoryReader`` with leaf slices on an
+executor, ``lucene/core/src/java/org/apache/lucene/search/IndexSearcher
+.java:183-209,564-593``; Solr's scatter-gather over shard replicas):
+
+- N ``SegmentSearcher`` actors, each OWNING a static partition of the
+  segments (round-robin by size), postings loaded once in the constructor
+  and kept hot across queries;
+- global collection/term stats resolved once per distinct term and cached
+  engine-side (the ExactStatsCache role), so repeated query terms skip the
+  stats round-trip entirely;
+- ``search`` = one actor round-trip per query batch + driver TopDocs
+  merge.  This is the only place the engine drops to raw ``@ray.remote``
+  actors — the Dataset API cannot express a resident service.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+from lucene_solr_ray.search.parser import QueryParser
+from lucene_solr_ray.search.query import Query
+from lucene_solr_ray.search.scorer import GlobalStats
+from lucene_solr_ray.search.searcher import (
+    Index,
+    _collect_patterns,
+    _merge_topk,
+    match_terms,
+    rewrite_query,
+)
+from lucene_solr_ray.search.similarity import BM25Similarity
+
+__all__ = ["QueryEngine"]
+
+
+def _make_actor_cls():
+    import ray
+
+    @ray.remote
+    class SegmentSearcherActor:
+        def __init__(self, seg_dirs: List[str], seg_ords: List[int],
+                     load_positions: bool):
+            from lucene_solr_ray.search.reader import SegmentReader
+
+            self.readers = [
+                (SegmentReader(d, load_positions=load_positions), o)
+                for d, o in zip(seg_dirs, seg_ords)
+            ]
+
+        def term_stats(self, terms: List[str]) -> Dict[str, Tuple[int, int]]:
+            out: Dict[str, Tuple[int, int]] = {}
+            for reader, _ in self.readers:
+                for t in terms:
+                    st = reader.term_stats(t)
+                    if st:
+                        df, ttf = out.get(t, (0, 0))
+                        out[t] = (df + st[0], ttf + st[1])
+            return out
+
+        def expand(self, patterns) -> List[List[str]]:
+            out = []
+            for pat in patterns:
+                acc = set()
+                for reader, _ in self.readers:
+                    acc.update(match_terms(pat, reader.terms))
+                out.append(sorted(acc))
+            return out
+
+        def search(self, parsed, stats: GlobalStats, sim) -> List[dict]:
+            from lucene_solr_ray.search.scorer import topk_segment
+
+            rows = []
+            for reader, seg_ord in self.readers:
+                for qid, q, k in parsed:
+                    ords, scores = topk_segment(reader, q, stats, k, sim)
+                    dids = reader.doc_ids[ords]
+                    for o, d, s in zip(ords, dids, scores):
+                        rows.append(
+                            {"qid": qid, "doc_id": int(d),
+                             "score": float(s), "seg_ord": seg_ord,
+                             "ord": int(o)}
+                        )
+            return rows
+
+    return SegmentSearcherActor
+
+
+class QueryEngine:
+    """Resident searcher over a committed index; create once, query many."""
+
+    def __init__(
+        self,
+        index: Index | str,
+        num_actors: int = 4,
+        load_positions: bool = True,
+        analyzer: Optional[StandardAnalyzer] = None,
+        similarity: Optional[BM25Similarity] = None,
+    ):
+        import ray
+
+        if isinstance(index, str):
+            index = Index(index)
+        self.index = index
+        self.parser = QueryParser(analyzer)
+        self.sim = similarity or BM25Similarity()
+        self._stats_cache: Dict[str, Tuple[int, int]] = {}
+        self._expansion_cache: Dict[Query, Tuple[str, ...]] = {}
+
+        seg_dirs = index.seg_dirs
+        n = min(num_actors, max(len(seg_dirs), 1))
+        cls = _make_actor_cls()
+        # round-robin assignment (by index — sizes are near-uniform by
+        # construction; size-aware binpacking drops in trivially)
+        parts: List[Tuple[List[str], List[int]]] = [([], []) for _ in range(n)]
+        for i, d in enumerate(seg_dirs):
+            parts[i % n][0].append(d)
+            parts[i % n][1].append(i)
+        self.actors = [
+            cls.remote(dirs, ords, load_positions)
+            for dirs, ords in parts if dirs
+        ]
+
+    def warm(self) -> None:
+        """Block until every actor has loaded its segments."""
+        import ray
+
+        ray.get([a.term_stats.remote([]) for a in self.actors])
+
+    def _stats_for(self, terms: Sequence[str],
+                   patterns: List[Query]) -> Tuple[GlobalStats, Dict]:
+        import ray
+
+        missing = [t for t in terms if t not in self._stats_cache]
+        new_patterns = [p for p in patterns if p not in self._expansion_cache]
+        if missing or new_patterns:
+            futs = [a.term_stats.remote(missing) for a in self.actors]
+            efuts = (
+                [a.expand.remote(new_patterns) for a in self.actors]
+                if new_patterns else []
+            )
+            for part in ray.get(futs):
+                for t, (df, ttf) in part.items():
+                    df0, ttf0 = self._stats_cache.get(t, (0, 0))
+                    self._stats_cache[t] = (df0 + df, ttf0 + ttf)
+            for t in missing:
+                self._stats_cache.setdefault(t, (0, 0))
+            if new_patterns:
+                per_actor = ray.get(efuts)
+                for pi, pat in enumerate(new_patterns):
+                    acc = set()
+                    for pa_ in per_actor:
+                        acc.update(pa_[pi])
+                    self._expansion_cache[pat] = tuple(sorted(acc))
+        expansions = {p: self._expansion_cache[p] for p in patterns}
+        stats = GlobalStats(
+            doc_count=self.index.manifest["doc_count"],
+            sum_total_term_freq=self.index.manifest["sum_total_term_freq"],
+        )
+        for t in terms:
+            df, ttf = self._stats_cache.get(t, (0, 0))
+            stats.df[t] = df
+            stats.ttf[t] = ttf
+        return stats, expansions
+
+    def search(self, queries: Dict[int, str] | Sequence[str],
+               k: int = 10) -> pa.Table:
+        import ray
+
+        items = (
+            sorted(queries.items())
+            if isinstance(queries, dict)
+            else list(enumerate(queries))
+        )
+        parsed = [(qid, self.parser.parse(s), k) for qid, s in items]
+        patterns: List[Query] = []
+        for _, q, _ in parsed:
+            _collect_patterns(q, patterns)
+        terms = sorted({t for _, q, _ in parsed for t in q.terms()})
+        stats, exp = self._stats_for(terms, patterns)
+        if patterns:
+            # expanded terms score constant — no extra stats needed
+            parsed = [(qid, rewrite_query(q, exp), kk)
+                      for qid, q, kk in parsed]
+        futs = [a.search.remote(parsed, stats, self.sim) for a in self.actors]
+        rows: List[dict] = []
+        for part in ray.get(futs):
+            rows.extend(part)
+        return _merge_topk(rows, parsed, self.sim.out_dtype)
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -168,3 +168,39 @@ def test_knn_classify_runs(docs_index, sf_dir):
     )
     assert label in {"en", "de", "fr", "es", "zh"}
     assert 0 < conf <= 1
+
+
+# -- warm query engine -------------------------------------------------------
+
+def test_query_engine_matches_dataset_path(docs_index):
+    from lucene_solr_ray.state.query_engine import QueryEngine
+
+    eng = QueryEngine(docs_index, num_actors=2)
+    try:
+        q = {0: "merge", 1: "fast OR slow", 2: "merge AND sort",
+             3: '"batch batch"', 4: "mer*"}
+        a = docs_index.search(q, k=10).to_pandas()
+        b = eng.search(q, k=10).to_pandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(), b["score"].to_numpy()
+        )
+        # stats cache: repeated search gives identical results
+        c = eng.search(q, k=10).to_pandas()
+        assert list(b["doc_id"]) == list(c["doc_id"])
+    finally:
+        eng.shutdown()
+
+
+def test_salted_groupby_exact(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.stages.partition import salted_groupby_sum
+
+    df = pd.DataFrame(
+        {"k": ["hot"] * 1000 + ["a", "b"] * 10, "v": 1}
+    )
+    ds = ray.data.from_pandas(df)
+    out = salted_groupby_sum(ds, "k", "v", hot_keys=["hot"]).to_pandas()
+    got = dict(zip(out["k"], out["v"]))
+    assert got == {"hot": 1000, "a": 10, "b": 10}
