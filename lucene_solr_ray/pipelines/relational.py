@@ -611,3 +611,49 @@ ORACLES.update({
     "urp_clean_parts": URP_SQL,
     "distinct_quantiles": DISTINCT_Q_SQL,
 })
+
+
+# -- EvalStream / scalar evaluators over JSON props --------------------------
+
+def eval_props(sf_dir: str) -> pd.DataFrame:
+    """Per-tuple scalar evaluation (the Solr EvalStream / 201-evaluator
+    family, SURVEY §2.2): parse the events JSON ``props``, extract ``k``,
+    compute derived columns — all inside one vectorized map_batches."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_id", "value", "props"])
+
+    def _eval(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t.column("props").to_pylist():
+            try:
+                ks.append(int(_json.loads(p)["k"]))
+            except Exception:
+                ks.append(None)
+        k_arr = pa.array(ks, pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "k": k_arr,
+                "value_cents": cents,
+                "k_plus_cents": pc.add(k_arr, cents),
+            }
+        )
+
+    out = ds.map_batches(_eval, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVAL_PROPS_SQL = """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+  CAST(ROUND(value * 100.0) AS BIGINT) AS value_cents,
+  CAST(json_extract(props, '$.k') AS BIGINT)
+    + CAST(ROUND(value * 100.0) AS BIGINT) AS k_plus_cents
+FROM events ORDER BY event_id
+"""
+
+QUERIES["eval_props"] = eval_props
+ORACLES["eval_props"] = EVAL_PROPS_SQL

@@ -261,21 +261,25 @@ class _Eval:
         return ords, sc.score(freqs, self.norms[ords])
 
     def _sloppy_freq(self, readers, d, slop) -> float:
-        # simplified sloppy matcher: counts alignments where every term fits
-        # within `slop` total displacement (weight 1/(1+dist) like
-        # SloppyPhraseMatcher's sloppyWeight is NOT applied; freq = count)
+        # sloppy matcher: alignments where the terms fit within `slop`
+        # total displacement contribute sloppyWeight = 1/(1 + matchLength)
+        # each (``SloppyPhraseMatcher.sloppyWeight``); approximation: all
+        # alignments are enumerated rather than the reference's greedy
+        # non-overlapping match stream — documented divergence, exercised
+        # only by explicit ~N phrase queries
         import itertools
 
         pos_lists = []
         for (ords, posfn) in readers:
             idx = np.searchsorted(ords, d)
             pos_lists.append(posfn(int(idx)))
-        count = 0
+        freq = 0.0
         for combo in itertools.product(*[p.tolist() for p in pos_lists]):
             adj = [p - i for i, p in enumerate(combo)]
-            if max(adj) - min(adj) <= slop and len(set(combo)) == len(combo):
-                count += 1
-        return float(count)
+            ml = max(adj) - min(adj)
+            if ml <= slop and len(set(combo)) == len(combo):
+                freq += 1.0 / (1.0 + ml)
+        return freq
 
 
 def score_segment(
