@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": fulltext.grouped_topk,
         "textprofile_dedup": fulltext.textprofile_dedup,  # rows-only
         "knn_classify_docs": fulltext.knn_classify_docs,  # rows-only
+        "sortfield_topk": fulltext.sortfield_topk,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -60,6 +61,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_topk": fulltext.fetch_topk_sql(),
         "suggest_prefix_s": fulltext.suggest_prefix_s_sql(),
         "grouped_topk": fulltext.grouped_topk_sql(),
+        "sortfield_topk": fulltext.sortfield_topk_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

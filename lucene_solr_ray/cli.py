@@ -10,6 +10,7 @@ Usage (each command owns its Ray session; on a cluster submit with
     python -m lucene_solr_ray.cli search --index IDX --query 'a AND b' [-k 10]
     python -m lucene_solr_ray.cli suggest --index IDX --prefix s [-n 10]
     python -m lucene_solr_ray.cli stats  --index IDX
+    python -m lucene_solr_ray.cli check  --index IDX
 """
 
 from __future__ import annotations
@@ -63,6 +64,9 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("--index", required=True)
 
+    ck = sub.add_parser("check")
+    ck.add_argument("--index", required=True)
+
     args = ap.parse_args(argv)
     _ray_init(args.num_cpus)
 
@@ -101,6 +105,16 @@ def main(argv=None) -> int:
         for term, w in suggest_terms(Index(args.index), args.prefix,
                                      n=args.n):
             print(json.dumps({"term": term, "weight": w}))
+    elif args.cmd == "check":
+        from lucene_solr_ray.index.check import check_index
+
+        rep = check_index(args.index)
+        print(json.dumps(rep))
+        if not rep["ok"]:
+            import ray as _r
+
+            _r.shutdown()
+            return 1
     elif args.cmd == "stats":
         from lucene_solr_ray.search.searcher import Index
 

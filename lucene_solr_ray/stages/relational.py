@@ -328,3 +328,33 @@ def significant_terms(docs, term_col: str, fg_mask_fn,
         )
 
     return merged.map_batches(_score, batch_format="pyarrow")
+
+
+def facet_range(ds, col: str, edges: "List[float]",
+                labels: "Optional[List[str]]" = None):
+    """Range facets (the JSON facet API ``type:range`` / Lucene range
+    facets): counts per [edges[i], edges[i+1]) bucket; values outside the
+    edges are dropped (``other`` buckets omitted)."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    labels = labels or [
+        f"[{edges[i]},{edges[i+1]})" for i in range(len(edges) - 1)
+    ]
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy()
+        idx = np.searchsorted(np.asarray(edges, dtype=np.float64), v,
+                              side="right") - 1
+        ok = (idx >= 0) & (idx < len(edges) - 1)
+        lab = pa.array(
+            [labels[i] if k else None for i, k in zip(idx, ok)],
+            pa.string(),
+        )
+        return t.append_column("bucket", lab).filter(pa.array(ok))
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="count"))
+    )

@@ -204,3 +204,63 @@ def test_salted_groupby_exact(ray_session):
     out = salted_groupby_sum(ds, "k", "v", hot_keys=["hot"]).to_pandas()
     got = dict(zip(out["k"], out["v"]))
     assert got == {"hot": 1000, "a": 10, "b": 10}
+
+
+# -- MemoryIndex (percolation) ----------------------------------------------
+
+def test_memory_index_percolation():
+    from lucene_solr_ray.search.memory import MemoryIndex
+
+    mi = MemoryIndex("the quick brown fox jumps over the lazy dog")
+    assert mi.matches("quick AND fox")
+    assert mi.matches('"quick brown fox"')
+    assert not mi.matches("zebra")
+    assert not mi.matches("quick AND zebra")
+    assert mi.matches("qu*")
+    hits = mi.percolate({
+        "a": "fox", "b": "zebra", "c": '"lazy dog"', "d": "fox -dog",
+    })
+    assert set(hits) == {"a", "c"}
+    assert all(s > 0 for s in hits.values())
+
+
+# -- CheckIndex --------------------------------------------------------------
+
+def test_check_index_clean_and_corrupt(ray_session, sf_dir, tmp_path):
+    import json
+    import os
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.check import check_index
+
+    out = str(tmp_path / "idx")
+    build_index(f"{sf_dir}/documents.parquet", out, text_col="text",
+                id_col="doc_id", docs_per_segment=200)
+    rep = check_index(out)
+    assert rep["ok"], rep["errors"]
+    assert rep["docs"] == 500
+
+    # corrupt a segment's stats → CheckIndex must flag it
+    seg = [d for d in os.listdir(out) if d.startswith("seg_")][0]
+    p = os.path.join(out, seg, "segment.json")
+    meta = json.load(open(p))
+    meta["stats"]["sum_doc_freq"] += 1
+    json.dump(meta, open(p, "w"))
+    rep2 = check_index(out)
+    assert not rep2["ok"]
+    assert any("sum_doc_freq" in e for e in rep2["errors"])
+
+
+# -- spell correction --------------------------------------------------------
+
+def test_spell_corrections(docs_index):
+    from lucene_solr_ray.functions.spell import suggest_corrections
+
+    # misspelling of an indexed term
+    got = suggest_corrections(docs_index, "merqe", n=3)
+    assert got and got[0][0] == "merge" and got[0][1] == 1
+    # a very frequent term corrects to itself
+    got2 = suggest_corrections(docs_index, "merge", n=3)
+    assert got2 == [("merge", 0, got2[0][2])]
+    # garbage finds nothing
+    assert suggest_corrections(docs_index, "zzzzqqqq", n=3) == []
