@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textprofile_dedup": fulltext.textprofile_dedup,  # rows-only
         "knn_classify_docs": fulltext.knn_classify_docs,  # rows-only
         "sortfield_topk": fulltext.sortfield_topk,
+        "hit_counts": fulltext.hit_counts,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -62,6 +63,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_prefix_s": fulltext.suggest_prefix_s_sql(),
         "grouped_topk": fulltext.grouped_topk_sql(),
         "sortfield_topk": fulltext.sortfield_topk_sql(),
+        "hit_counts": fulltext.hit_counts_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

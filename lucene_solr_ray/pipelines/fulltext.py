@@ -503,3 +503,35 @@ SELECT 0 AS qid, doc_id, rank, field_len FROM (
   WHERE list_contains(toks, 'merge') AND list_contains(toks, 'sort')
 ) WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# total hit counts (TotalHits, COMPLETE accounting)
+# ---------------------------------------------------------------------------
+
+
+def hit_counts(sf_dir: str) -> pa.Table:
+    from lucene_solr_ray.search.searcher import count_hits
+
+    idx = documents_index(sf_dir)
+    return count_hits(idx, {qid: qs for qid, qs, _, _ in QUERY_SET})
+
+
+def hit_counts_sql() -> str:
+    parts = []
+    for qid, _, _, groups in QUERY_SET:
+        conds = " AND ".join(
+            "({})".format(" OR ".join(
+                f"list_contains(toks, '{t}')" for t in g
+            ))
+            for g in groups
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, CAST(COUNT(*) AS BIGINT) AS total_hits "
+            f"FROM tok WHERE {conds}"
+        )
+    return (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents WHERE text <> '')\n"
+        + "\nUNION ALL\n".join(parts)
+    )

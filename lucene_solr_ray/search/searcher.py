@@ -166,30 +166,39 @@ class _StatsFn:
         self.patterns = patterns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
         import pyarrow.parquet as pq
 
         rows = []
         for seg_dir in batch.column("seg_dir").to_pylist():
-            t = pq.read_table(
-                os.path.join(seg_dir, "postings.parquet"),
-                columns=["term", "df", "ttf"],
-            )
-            term_list = t.column("term").to_pylist()
-            row = {tm: i for i, tm in enumerate(term_list)}
-            df = t.column("df").to_numpy()
-            ttf = t.column("ttf").to_numpy()
-            for tm in self.terms:
-                i = row.get(tm)
-                if i is not None:
+            path = os.path.join(seg_dir, "postings.parquet")
+            if self.terms:
+                # terms are byte-sorted on disk → parquet row-group min/max
+                # statistics prune the term-dict read to the groups that
+                # can contain the query terms (FST-index lookup analogue)
+                t = pads.dataset(path, format="parquet").to_table(
+                    columns=["term", "df", "ttf"],
+                    filter=pc.field("term").isin(self.terms),
+                )
+                for tm, df, ttf in zip(
+                    t.column("term").to_pylist(),
+                    t.column("df").to_pylist(),
+                    t.column("ttf").to_pylist(),
+                ):
                     rows.append(
                         {"kind": "stat", "key": tm,
-                         "df": int(df[i]), "ttf": int(ttf[i])}
+                         "df": int(df), "ttf": int(ttf)}
                     )
-            for pi, pat in enumerate(self.patterns):
-                for tm in match_terms(pat, term_list):
-                    rows.append(
-                        {"kind": f"pat{pi}", "key": tm, "df": 0, "ttf": 0}
-                    )
+            if self.patterns:
+                term_list = pq.read_table(
+                    path, columns=["term"]
+                ).column("term").to_pylist()
+                for pi, pat in enumerate(self.patterns):
+                    for tm in match_terms(pat, term_list):
+                        rows.append(
+                            {"kind": f"pat{pi}", "key": tm, "df": 0, "ttf": 0}
+                        )
         if not rows:
             rows = []
         return pa.Table.from_pylist(
@@ -579,4 +588,67 @@ def search_by_field(
             [("qid", pa.int64()), ("rank", pa.int32()),
              ("doc_id", pa.int64()), ("sort_value", pa.float64())]
         ),
+    )
+
+
+class _CountFn:
+    """Per-segment match counting (TotalHits with COMPLETE accounting —
+    ``search/TotalHits.java`` relation EQUAL_TO; the pruned path's
+    ``totalHitsThreshold`` lower bounds are a latency optimization this
+    batch API doesn't need)."""
+
+    def __init__(self, parsed, stats):
+        self.parsed = parsed
+        self.stats = stats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from lucene_solr_ray.search.scorer import score_segment
+
+        rows = []
+        for seg_dir in batch.column("seg_dir").to_pylist():
+            reader = SegmentReader(seg_dir)
+            for qid, q, _ in self.parsed:
+                ords, _s = score_segment(reader, q, self.stats)
+                rows.append({"qid": qid, "n": len(ords)})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("qid", pa.int64()), ("n", pa.int64())])
+        )
+
+
+def count_hits(index: "Index", queries,
+               analyzer: Optional[StandardAnalyzer] = None) -> pa.Table:
+    """Exact total hit counts per query: (qid, total_hits)."""
+    import ray.data
+
+    parser = QueryParser(analyzer)
+    items = (
+        sorted(queries.items()) if isinstance(queries, dict)
+        else list(enumerate(queries))
+    )
+    parsed = [(qid, parser.parse(s), 0) for qid, s in items]
+    patterns: List[Query] = []
+    for _, q, _ in parsed:
+        _collect_patterns(q, patterns)
+    terms = sorted({t for _, q, _ in parsed for t in q.terms()})
+    stats, exp = index.collect_stats(terms, patterns)
+    if patterns:
+        parsed = [(qid, rewrite_query(q, exp), kk) for qid, q, kk in parsed]
+    seg_items = [
+        {"seg_dir": d, "seg_ord": i} for i, d in enumerate(index.seg_dirs)
+    ]
+    rows = (
+        ray.data.from_items(seg_items, override_num_blocks=len(seg_items))
+        .map_batches(_CountFn(parsed, stats), batch_format="pyarrow")
+        .take_all()
+    )
+    totals: Dict[int, int] = {qid: 0 for qid, _, _ in parsed}
+    for r in rows:
+        totals[r["qid"]] += r["n"]
+    return pa.table(
+        {
+            "qid": pa.array(sorted(totals), pa.int64()),
+            "total_hits": pa.array(
+                [totals[q] for q in sorted(totals)], pa.int64()
+            ),
+        }
     )

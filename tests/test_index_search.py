@@ -192,3 +192,37 @@ def test_sha256_invariant(built_index, corpus):
             assert want[did] == sha
             seen += 1
     assert seen == len(texts)
+
+
+def test_stored_cols_ride_docmeta(ray_session, sf_dir, tmp_path):
+    """Docstore columns (stored fields) persist alongside docmeta and come
+    back through the two-phase fetch."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.search.fetch import fetch_from_corpus
+    from lucene_solr_ray.search.searcher import Index
+
+    out = str(tmp_path / "stored")
+    build_index(
+        f"{sf_dir}/documents.parquet", out,
+        text_col="text", id_col="doc_id", stored_cols=["lang", "source"],
+        docs_per_segment=200,
+    )
+    seg = sorted(d for d in os.listdir(out) if d.startswith("seg_"))[0]
+    dm = pq.read_table(os.path.join(out, seg, "docmeta.parquet"))
+    assert {"lang", "source"} <= set(dm.schema.names)
+
+    # fetch winners' stored fields straight from the segment docmeta files
+    res = Index(out).search({0: "merge"}, k=3)
+    import pyarrow.dataset as pads
+
+    side = pads.dataset(
+        [os.path.join(out, d, "docmeta.parquet")
+         for d in sorted(os.listdir(out)) if d.startswith("seg_")],
+        format="parquet",
+    ).to_table(columns=["doc_id", "lang"])
+    joined = res.join(side, keys="doc_id")
+    assert joined.num_rows == 3
+    assert all(v is not None for v in joined.column("lang").to_pylist())

@@ -76,3 +76,19 @@ def test_merge_preserves_search_results(sf_dir, tmp_path):
     np.testing.assert_array_equal(
         before["score"].to_numpy(), after["score"].to_numpy()
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_check_index_after_merge(sf_dir, tmp_path):
+    from lucene_solr_ray.index.check import check_index
+
+    out = str(tmp_path / "idx2")
+    build_index(f"{sf_dir}/documents.parquet", out, text_col="text",
+                id_col="doc_id", docs_per_segment=100)
+    merge_until_done(
+        out, TieredMergePolicy(max_merge_at_once=4, segs_per_tier=2.0,
+                               floor_segment_bytes=1024),
+    )
+    rep = check_index(out)
+    assert rep["ok"], rep["errors"]
+    assert rep["docs"] == 500
