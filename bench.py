@@ -204,6 +204,7 @@ def scaling() -> None:
     lo, hi = (
         int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
     )
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     results = {}
     for ncpu in (lo, hi):
         env = dict(
@@ -215,11 +216,18 @@ def scaling() -> None:
             BENCH_DOCS=os.environ.get("BENCH_DOCS", "200000"),
             PYTHONPATH=REPO,
         )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(reps):
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            # best-of-N: the sandbox VM shows ±30% noisy-neighbor variance;
+            # the fastest run is the least-contended measurement
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[ncpu] = best
     t_lo = results[lo]["value"]
     t_hi = results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)

@@ -56,12 +56,17 @@ def check_segment(seg_dir: str) -> Dict:
     sum_ttf = 0
     norms = dm.column("norm").to_numpy()
     prev_term = None
-    for term, df, ttf, blob in zip(
+    for term, df, ttf, blob, pos_blob in zip(
         t.column("term").to_pylist(),
         t.column("df").to_pylist(),
         t.column("ttf").to_pylist(),
         t.column("blocks").to_pylist(),
+        t.column("positions").to_pylist(),
     ):
+        if pos_blob is not None and len(pos_blob) != 4 * ttf:
+            errors.append(
+                f"{term!r}: positions blob {len(pos_blob)}B != 4*ttf"
+            )
         if prev_term is not None and term <= prev_term:
             errors.append(f"terms not strictly sorted at {term!r}")
         prev_term = term

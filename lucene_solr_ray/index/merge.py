@@ -41,7 +41,7 @@ from lucene_solr_ray.index.merge_policy import (
     TieredMergePolicy,
     segment_size_bytes,
 )
-from lucene_solr_ray.index.postings_codec import decode_postings, encode_postings
+from lucene_solr_ray.index.postings_codec import concat_postings
 from lucene_solr_ray.index.segment import DOCMETA_SCHEMA, POSTINGS_SCHEMA
 
 __all__ = ["merge_segments", "merge_once", "merge_until_done"]
@@ -64,36 +64,49 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
     docmeta = pa.concat_tables(docmetas)
     norms = docmeta.column("norm").to_numpy()
 
-    # term-aligned merge of postings streams with ordinal rebasing
+    # term-aligned merge WITHOUT codec work: within-block deltas are
+    # invariant under the ordinal rebase, so each term's merged posting
+    # list is its input blobs concatenated with block headers patched by
+    # the segment's doc base (postings_codec.concat_postings); df/ttf are
+    # column sums. Only block headers are touched — O(blocks), not
+    # O(postings).
     term_lists: Dict[str, List] = {}
     has_positions = False
     for si, d in enumerate(seg_dirs):
         t = pq.read_table(os.path.join(d, "postings.parquet"))
         terms = t.column("term").to_pylist()
         blocks = t.column("blocks").to_pylist()
+        dfs_in = t.column("df").to_pylist()
+        ttfs_in = t.column("ttf").to_pylist()
         poss = t.column("positions").to_pylist()
-        for term, blob, pos in zip(terms, blocks, poss):
-            ords, freqs = decode_postings(blob)
+        for term, blob, df_i, ttf_i, pos in zip(
+            terms, blocks, dfs_in, ttfs_in, poss
+        ):
             if pos is not None:
                 has_positions = True
             term_lists.setdefault(term, []).append(
-                (si, ords.astype(np.int64) + bases[si], freqs, pos)
+                (si, blob, df_i, ttf_i, pos)
             )
 
     terms_sorted = sorted(term_lists)
     blobs, dfs, ttfs, positions_out = [], [], [], []
     for term in terms_sorted:
         parts = sorted(term_lists[term], key=lambda x: x[0])
-        ords = np.concatenate([p[1] for p in parts])
-        freqs = np.concatenate([p[2] for p in parts])
-        dfs.append(len(ords))
-        ttfs.append(int(freqs.sum()))
-        blobs.append(encode_postings(ords, freqs, norms[ords]))
+        blobs.append(
+            concat_postings([(p[1], bases[p[0]]) for p in parts])
+        )
+        dfs.append(sum(p[2] for p in parts))
+        ttfs.append(sum(p[3] for p in parts))
         if has_positions:
-            merged_pos: List = []
-            for p in parts:
-                merged_pos.extend(p[3] or [])
-            positions_out.append(merged_pos)
+            if any(p[4] is None for p in parts):
+                # mixed IndexOptions across inputs cannot be reconciled
+                # (the reference rejects inconsistent field IndexOptions too)
+                raise ValueError(
+                    f"term {term!r}: cannot merge segments with and "
+                    "without positions"
+                )
+            # positions are doc-relative '<i4' blobs — merge is byte concat
+            positions_out.append(b"".join(p[4] for p in parts))
         else:
             positions_out.append(None)
 
@@ -103,9 +116,7 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
             "df": pa.array(np.asarray(dfs, dtype=np.int32)),
             "ttf": pa.array(np.asarray(ttfs, dtype=np.int64)),
             "blocks": pa.array(blobs, pa.binary()),
-            "positions": pa.array(
-                positions_out, type=pa.list_(pa.list_(pa.int32()))
-            ),
+            "positions": pa.array(positions_out, type=pa.binary()),
         },
         schema=POSTINGS_SCHEMA,
     )

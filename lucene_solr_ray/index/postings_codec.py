@@ -197,3 +197,44 @@ def block_max_scores(blob: bytes, scorer) -> np.ndarray:
     for i, (_b, _l, _c, f, n) in enumerate(skips):
         out[i] = float(scorer.max_score_for(f.astype(np.float64), n))
     return out
+
+
+def concat_postings(parts: List[Tuple[bytes, int]]) -> bytes:
+    """Merge posting blobs by ordinal rebasing WITHOUT decode/re-encode.
+
+    Within-block deltas are invariant under a constant ordinal shift, so a
+    segment merge only needs each block's header (base, last_ord) patched
+    by the segment's new doc base — the FOR payloads, freqs and impacts are
+    byte-identical.  ``parts`` = [(blob, ord_offset), ...] in ascending
+    doc-range order.  This is the reason merges stay cheap at 5 GB segment
+    scale: O(blocks) header patching instead of O(postings) codec work.
+    """
+    total = 0
+    out = [b""]
+    for blob, off in parts:
+        mv = memoryview(blob)
+        magic, n = struct.unpack_from("<HI", mv, 0)
+        if magic != _MAGIC:
+            raise ValueError("bad postings blob")
+        total += n
+        pos = 6
+        done = 0
+        while done < n:
+            base, cnt, bpv_d, bpv_f, eq_freq, n_imp, last = \
+                struct.unpack_from("<IHBBIHI", mv, pos)
+            body_len = (
+                4 * n_imp + n_imp
+                + ((cnt - 1) * bpv_d + 7) // 8
+                + ((cnt * bpv_f + 7) // 8 if bpv_f else 0)
+            )
+            out.append(
+                struct.pack(
+                    "<IHBBIHI", base + off, cnt, bpv_d, bpv_f, eq_freq,
+                    n_imp, last + off,
+                )
+            )
+            out.append(bytes(mv[pos + 18 : pos + 18 + body_len]))
+            pos += 18 + body_len
+            done += cnt
+    out[0] = struct.pack("<HI", _MAGIC, total)
+    return b"".join(out)

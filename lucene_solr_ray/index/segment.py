@@ -40,7 +40,7 @@ __all__ = ["build_segment_tables", "SegmentData", "POSTINGS_SCHEMA",
            "DOCMETA_SCHEMA", "FORMAT_VERSION"]
 
 #: bump when the on-disk segment layout changes (cache keys include it)
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -50,7 +50,10 @@ POSTINGS_SCHEMA = pa.schema(
         # delta+FOR block-packed (ords, freqs) + per-block skip entries and
         # competitive impacts — see index/postings_codec.py
         ("blocks", pa.binary()),
-        ("positions", pa.list_(pa.list_(pa.int32()))),
+        # per-term little-endian int32 positions, concatenated in (doc,
+        # occurrence) order; per-doc boundaries are implied by the freqs
+        # (freq == #positions), so merge is a plain byte concat
+        ("positions", pa.binary()),
     ]
 )
 
@@ -162,30 +165,31 @@ def build_segment_tables(
             ttf[i] = ttf_per_group_cum[e] - ttf_per_group_cum[s]
             blobs.append(encode_postings(o, f, norm_bytes[o]))
         if with_positions:
-            # positions sorted by (term, doc): inner lists = group slices
-            pos_values = all_pos[order].astype(np.int32)
-            inner_offsets = np.concatenate(
-                [[0], np.cumsum(g_freq)]
-            ).astype(np.int32)
-            inner = pa.ListArray.from_arrays(
-                pa.array(inner_offsets), pa.array(pos_values)
-            )
-            outer_offsets = np.concatenate(
-                [[0], np.cumsum(t_counts)]
-            ).astype(np.int32)
-            positions_arr = pa.ListArray.from_arrays(
-                pa.array(outer_offsets), inner
+            # positions sorted by (term, doc): one '<i4' blob per term
+            # spanning its (doc, occurrence)-ordered values
+            pos_values = all_pos[order].astype("<i4")
+            inner_offsets = np.concatenate([[0], np.cumsum(g_freq)])
+            term_val_edges = inner_offsets[
+                np.concatenate([[0], np.cumsum(t_counts)])
+            ]
+            positions_arr = pa.array(
+                [
+                    pos_values[term_val_edges[i]: term_val_edges[i + 1]]
+                    .tobytes()
+                    for i in range(len(t_codes))
+                ],
+                type=pa.binary(),
             )
         else:
             positions_arr = pa.array(
-                [None] * len(t_codes), type=pa.list_(pa.list_(pa.int32()))
+                [None] * len(t_codes), type=pa.binary()
             )
     else:
         terms_sorted = []
         df = np.empty(0, dtype=np.int32)
         ttf = np.empty(0, dtype=np.int64)
         blobs = []
-        positions_arr = pa.array([], type=pa.list_(pa.list_(pa.int32())))
+        positions_arr = pa.array([], type=pa.binary())
 
     postings_cols: Dict[str, pa.Array] = {
         "term": pa.array(terms_sorted, type=pa.string()),

@@ -61,11 +61,12 @@ class _OneDocReader:
         r = self._row.get(term)
         if r is None:
             return None
-        plists = self._pos[r].as_py()
-        ords, _ = self.postings(term)
+        ords, freqs = self.postings(term)
+        vals = np.frombuffer(self._pos[r].as_py() or b"", dtype="<i4")
+        offs = np.concatenate([[0], np.cumsum(freqs, dtype=np.int64)])
 
         def posfn(i: int) -> np.ndarray:
-            return np.asarray(plists[i], dtype=np.int32)
+            return vals[offs[i]: offs[i + 1]]
 
         return ords, posfn
 

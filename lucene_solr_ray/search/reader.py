@@ -63,15 +63,12 @@ class SegmentReader:
 
         self._has_positions = load_positions
         if load_positions:
-            outer = t.column("positions").combine_chunks()
-            if isinstance(outer, pa.ChunkedArray):
-                outer = outer.chunk(0) if outer.num_chunks else pa.array(
-                    [], type=pa.list_(pa.list_(pa.int32()))
+            poscol = t.column("positions").combine_chunks()
+            if isinstance(poscol, pa.ChunkedArray):
+                poscol = poscol.chunk(0) if poscol.num_chunks else pa.array(
+                    [], type=pa.binary()
                 )
-            self._pos_off1 = outer.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            inner = outer.values
-            self._pos_off2 = inner.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            self._pos_val = inner.values.to_numpy(zero_copy_only=False)
+            self._pos_blobs = poscol
 
         dm = pq.read_table(
             os.path.join(seg_dir, "docmeta.parquet"),
@@ -124,11 +121,11 @@ class SegmentReader:
         r = self._term_row.get(term)
         if r is None:
             return None
-        ords, _ = self.postings(term)
-        d1 = self._pos_off1[r]
+        ords, freqs = self.postings(term)
+        vals = np.frombuffer(self._pos_blobs[r].as_py() or b"", dtype="<i4")
+        offs = np.concatenate([[0], np.cumsum(freqs, dtype=np.int64)])
 
         def posfn(i: int) -> np.ndarray:
-            j = d1 + i
-            return self._pos_val[self._pos_off2[j]: self._pos_off2[j + 1]]
+            return vals[offs[i]: offs[i + 1]]
 
         return ords, posfn

@@ -58,11 +58,12 @@ def test_merge_preserves_search_results(sf_dir, tmp_path):
                3: '"batch batch"'}
     before = Index(out).search(queries, k=10).to_pandas()
 
-    # aggressive policy: tiny floor so everything merges
+    # aggressive policy: floor far above the tiny segment sizes so the
+    # tier budget collapses to ~1 and everything merges
     n = merge_until_done(
         out,
         TieredMergePolicy(max_merge_at_once=4, segs_per_tier=2.0,
-                          floor_segment_bytes=1024),
+                          floor_segment_bytes=1 * MB),
     )
     assert n > 0
     m1 = read_latest_manifest(out)
@@ -87,7 +88,7 @@ def test_check_index_after_merge(sf_dir, tmp_path):
                 id_col="doc_id", docs_per_segment=100)
     merge_until_done(
         out, TieredMergePolicy(max_merge_at_once=4, segs_per_tier=2.0,
-                               floor_segment_bytes=1024),
+                               floor_segment_bytes=1 * MB),
     )
     rep = check_index(out)
     assert rep["ok"], rep["errors"]
