@@ -21,3 +21,29 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: ``from lucene_solr_ray import build_index, Index``
+    without importing Ray at package-import time."""
+    if name == "build_index":
+        from lucene_solr_ray.index.build import build_index
+
+        return build_index
+    if name == "Index":
+        from lucene_solr_ray.search.searcher import Index
+
+        return Index
+    if name == "QueryEngine":
+        from lucene_solr_ray.state.query_engine import QueryEngine
+
+        return QueryEngine
+    if name == "MemoryIndex":
+        from lucene_solr_ray.search.memory import MemoryIndex
+
+        return MemoryIndex
+    if name == "StandardAnalyzer":
+        from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+
+        return StandardAnalyzer
+    raise AttributeError(name)

@@ -75,3 +75,32 @@ def test_block_max_is_exact_bound():
         # the impacts give the EXACT per-block max (not merely an upper bound)
         assert float(bm[b]) == pytest.approx(float(true[i:i + cnt].max()))
         i += cnt
+
+
+def test_concat_postings_equals_reencode():
+    """Merged blobs (header rebasing only) must decode identically to
+    concatenating the decoded lists — the zero-decode merge invariant."""
+    from lucene_solr_ray.index.postings_codec import concat_postings
+
+    rng = np.random.RandomState(5)
+    for _ in range(60):
+        parts, want_o, want_f = [], [], []
+        base = 0
+        for _seg in range(rng.randint(1, 5)):
+            n = rng.randint(1, 400)
+            ords = np.unique(rng.randint(0, 2000, n))
+            freqs = rng.randint(1, 50, len(ords)).astype(np.int64)
+            norms = rng.randint(0, 200, len(ords)).astype(np.uint8)
+            parts.append((encode_postings(ords, freqs, norms), base))
+            want_o.append(ords.astype(np.int64) + base)
+            want_f.append(freqs)
+            base += 2000 + rng.randint(0, 100)
+        blob = concat_postings(parts)
+        o, f = decode_postings(blob)
+        np.testing.assert_array_equal(o, np.concatenate(want_o))
+        np.testing.assert_array_equal(f, np.concatenate(want_f))
+        # skip entries stay consistent after rebasing
+        i = 0
+        for b, last, cnt, _, _ in decode_block_skips(blob):
+            assert o[i] == b and o[i + cnt - 1] == last
+            i += cnt
