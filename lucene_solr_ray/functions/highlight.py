@@ -31,7 +31,13 @@ def best_passage(
     """(token_start, token_end, score) of the best window: max over
     windows of Σ weight(term) per *distinct* covered term."""
     analyzer = analyzer or StandardAnalyzer()
-    toks = analyzer.analyze(text)
+    # UNFILTERED token stream (stopwords kept) so indices line up with
+    # tokenize_with_offsets in highlight(); stop terms simply never match
+    # the weight dict (the analyzer never emits them as query terms)
+    from lucene_solr_ray.analysis.analyzer import lowercase
+    from lucene_solr_ray.analysis.tokenizer import tokenize
+
+    toks = [lowercase(t) for t in tokenize(text, analyzer.max_token_length)]
     if not toks:
         return 0, 0, 0.0
     n = len(toks)

@@ -62,7 +62,6 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         base += dm.num_rows
         docmetas.append(dm)
     docmeta = pa.concat_tables(docmetas)
-    norms = docmeta.column("norm").to_numpy()
 
     # term-aligned merge WITHOUT codec work: within-block deltas are
     # invariant under the ordinal rebase, so each term's merged posting

@@ -41,12 +41,16 @@ def fetch_from_corpus(
     keys (the BKD/stored-fields block pruning analogue)."""
     import pyarrow.dataset as pads
 
+    dataset = pads.dataset(corpus_path, format="parquet")
     keys = results.column(result_key).to_pylist()
     if not keys:
+        # keep the REAL column types on the empty path so schemas agree
+        # with non-empty results downstream
         for c in cols:
-            results = results.append_column(c, pa.array([], pa.string()))
+            results = results.append_column(
+                c, pa.array([], dataset.schema.field(c).type)
+            )
         return results
-    dataset = pads.dataset(corpus_path, format="parquet")
     side = dataset.to_table(
         columns=[key, *cols], filter=pc.field(key).isin(keys)
     )

@@ -12,6 +12,10 @@ queryparser/classic/QueryParser.jj:196-240`` / ``QueryParserBase.addClause``:
   ``/regexp/``, ``[a TO b]``/``{a TO b}`` term ranges, ``*:*`` match-all.
 - default operator is OR (SHOULD); ``AND`` retroactively promotes the
   previous clause to MUST exactly as ``addClause`` does.
+- ``-``/``!`` are MUST_NOT operators only at a clause start; mid-word
+  hyphens stay term text ("foo-bar" is ONE term which the analyzer then
+  splits — matching the reference, where escaping rules keep mid-word
+  punctuation inside the term).
 - query text runs through the same analyzer as indexing; a term that
   analyzes to nothing (stopword) drops its clause; a term that analyzes to
   several tokens becomes a SHOULD-disjunction of them.
@@ -51,11 +55,11 @@ _TOKEN_RE = re.compile(
   | (?P<plus>\+)
   | (?P<minus>-)
   | (?P<lparen>\()
-  | (?P<rparen>\))
+  | (?P<rparen>\)(?:\^\d+(?:\.\d+)?)?)
   | (?P<phrase>"(?:[^"\\]|\\.)*")
   | (?P<regexp>/(?:[^/\\]|\\.)+/)
   | (?P<range>[\[{][^\]}]*(?:TO)[^\]}]*[\]}])
-  | (?P<term>[^\s()+\-!"^~]+)
+  | (?P<term>[^\s()+\-!"^~][^\s()"^~]*)
     """,
     re.VERBOSE,
 )
@@ -136,12 +140,15 @@ class QueryParser:
                 continue
             if kind == "lparen":
                 sub, i = self._parse_clauses(toks, i + 1)
-                boost = None
-                if i < len(toks) and toks[i][0] == "term" and toks[i][1].startswith("^"):
-                    boost = float(toks[i][1][1:])
-                    i += 1
-                if boost is not None:
-                    sub = BoostQuery(sub, boost)
+                # group boost rides on the closing-paren token: "(a b)^2"
+                if (
+                    i > 0
+                    and toks[i - 1][0] == "rparen"
+                    and "^" in toks[i - 1][1]
+                ):
+                    sub = BoostQuery(
+                        sub, float(toks[i - 1][1].split("^", 1)[1])
+                    )
                 self._add_clause(clauses, conj_and, mod, sub)
                 conj_and, mod = False, None
                 continue

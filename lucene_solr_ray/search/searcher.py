@@ -39,6 +39,7 @@ from lucene_solr_ray.search.query import (
     BooleanQuery,
     BoostQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
     FuzzyQuery,
     MatchNoDocsQuery,
     Occur,
@@ -71,6 +72,9 @@ def _collect_patterns(q: Query, out: List[Query]) -> None:
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
             _collect_patterns(c.query, out)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for d in q.disjuncts:
+            _collect_patterns(d, out)
     elif isinstance(q, (BoostQuery, ConstantScoreQuery)):
         _collect_patterns(q.query, out)
 
@@ -143,6 +147,11 @@ def rewrite_query(q: Query, expansions: Dict[Query, Tuple[str, ...]]) -> Query:
                 for c in q.clauses
             ),
             q.minimum_should_match,
+        )
+    if isinstance(q, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery(
+            tuple(rewrite_query(d, expansions) for d in q.disjuncts),
+            q.tie_breaker,
         )
     if isinstance(q, BoostQuery):
         return BoostQuery(rewrite_query(q.query, expansions), q.boost)
@@ -439,6 +448,8 @@ def _has_phrase(q: Query) -> bool:
         return True
     if isinstance(q, BooleanQuery):
         return any(_has_phrase(c.query) for c in q.clauses)
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(_has_phrase(d) for d in q.disjuncts)
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return _has_phrase(q.query)
     return False
@@ -489,6 +500,7 @@ class _FieldSortFn:
         self.stats = stats
         self.field = field
         self.descending = descending
+        self.need_pos = any(_has_phrase(q) for _, q, _ in parsed)
         self._readers: Dict[str, SegmentReader] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -503,7 +515,7 @@ class _FieldSortFn:
         ):
             reader = self._readers.get(seg_dir)
             if reader is None:
-                reader = SegmentReader(seg_dir)
+                reader = SegmentReader(seg_dir, load_positions=self.need_pos)
                 self._readers[seg_dir] = reader
             vals = pq.read_table(
                 os.path.join(seg_dir, "docmeta.parquet"),
@@ -600,13 +612,14 @@ class _CountFn:
     def __init__(self, parsed, stats):
         self.parsed = parsed
         self.stats = stats
+        self.need_pos = any(_has_phrase(q) for _, q, _ in parsed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from lucene_solr_ray.search.scorer import score_segment
 
         rows = []
         for seg_dir in batch.column("seg_dir").to_pylist():
-            reader = SegmentReader(seg_dir)
+            reader = SegmentReader(seg_dir, load_positions=self.need_pos)
             for qid, q, _ in self.parsed:
                 ords, _s = score_segment(reader, q, self.stats)
                 rows.append({"qid": qid, "n": len(ords)})

@@ -120,7 +120,9 @@ def quantile(ds, col: str, q: float) -> float:
     if n == 0:
         raise ValueError("quantile of empty dataset")
     r = int(math.floor(q * (n - 1)))
-    # distributed sort; pull only the block(s) containing the rank
+    # distributed sort, then split at the rank so only the single row at
+    # the boundary leaves the cluster (take(r+1) would ship r rows to the
+    # driver)
     sorted_ds = ds.select_columns([col]).sort(col)
-    row = sorted_ds.take(r + 1)[-1]
-    return row[col]
+    _, tail = sorted_ds.split_at_indices([r])
+    return tail.take(1)[0][col]

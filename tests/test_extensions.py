@@ -264,3 +264,64 @@ def test_spell_corrections(docs_index):
     assert got2 == [("merge", 0, got2[0][2])]
     # garbage finds nothing
     assert suggest_corrections(docs_index, "zzzzqqqq", n=3) == []
+
+
+def test_count_and_fieldsort_with_phrases(docs_index):
+    """count_hits / search_by_field must open positions for phrase queries
+    (review finding)."""
+    from lucene_solr_ray.search.searcher import count_hits, search_by_field
+
+    c = count_hits(docs_index, {0: '"batch batch"', 1: "merge"}).to_pandas()
+    assert len(c) == 2 and (c["total_hits"] > 0).all()
+    s = search_by_field(
+        docs_index, {0: '"batch batch"'}, "field_len", k=5
+    ).to_pandas()
+    assert len(s) > 0
+
+
+def test_dismax_with_phrase_and_wildcard(docs_index):
+    """_has_phrase/_collect_patterns recurse into DisMax (review finding)."""
+    from lucene_solr_ray.search.query import (
+        DisjunctionMaxQuery,
+        PhraseQuery,
+        PrefixQuery,
+        TermQuery,
+    )
+
+    q = DisjunctionMaxQuery(
+        (PhraseQuery(("batch", "batch"), (0, 1)), TermQuery("merge")), 0.1
+    )
+    r = docs_index.search_parsed([(0, q, 5)]).to_pandas()
+    assert len(r) == 5
+    q2 = DisjunctionMaxQuery((PrefixQuery("mer"), TermQuery("slow")), 0.0)
+    r2 = docs_index.search_parsed([(0, q2, 5)]).to_pandas()
+    assert len(r2) == 5
+
+
+def test_highlight_with_stopword_analyzer():
+    """Snippet indices stay aligned when the analyzer drops stopwords
+    (review finding)."""
+    from lucene_solr_ray.analysis.analyzer import (
+        ENGLISH_STOP_WORDS,
+        StandardAnalyzer,
+    )
+    from lucene_solr_ray.functions.highlight import highlight
+
+    a = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    text = ("the quick brown fox filler filler filler filler filler "
+            "jumps over the lazy dog")
+    out = highlight(text, {"dog": 2.0}, window=5, analyzer=a)
+    assert "<em>dog</em>" in out
+
+
+def test_fetch_empty_keeps_types(docs_index, sf_dir):
+    from lucene_solr_ray.search.fetch import fetch_from_corpus
+
+    empty = docs_index.search({0: "zzzmissingterm"}, k=5)
+    out = fetch_from_corpus(
+        empty, f"{sf_dir}/documents.parquet", "doc_id", ["n_chars", "lang"]
+    )
+    import pyarrow as pa
+
+    assert out.schema.field("n_chars").type == pa.int64()
+    assert out.schema.field("lang").type == pa.string()

@@ -120,3 +120,24 @@ def test_max_clause_count():
                 for i in range(1025)
             )
         )
+
+
+def test_midword_hyphen_is_term_text():
+    """'foo-bar' must NOT become foo NOT bar (review finding): it is one
+    term which the analyzer splits into a SHOULD disjunction."""
+    q = parse("foo-bar")
+    assert isinstance(q, BooleanQuery)
+    assert [c.occur for c in q.clauses] == [Occur.SHOULD, Occur.SHOULD]
+    assert [c.query for c in q.clauses] == [TermQuery("foo"), TermQuery("bar")]
+    # leading '-' still negates
+    q2 = parse("a -b")
+    assert [c.occur for c in q2.clauses] == [Occur.SHOULD, Occur.MUST_NOT]
+
+
+def test_group_boost():
+    q = parse("(a b)^2")
+    assert isinstance(q, BoostQuery) and q.boost == 2.0
+    assert isinstance(q.query, BooleanQuery)
+    q2 = parse("(a OR b)^1.5 AND c")
+    occ = [(c.occur, type(c.query).__name__) for c in q2.clauses]
+    assert occ[0] == (Occur.MUST, "BoostQuery")
