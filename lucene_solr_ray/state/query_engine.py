@@ -49,12 +49,21 @@ def _make_actor_cls():
     class SegmentSearcherActor:
         def __init__(self, seg_dirs: List[str], seg_ords: List[int],
                      load_positions: bool):
+            from collections import OrderedDict
+
             from lucene_solr_ray.search.reader import SegmentReader
 
             self.readers = [
                 (SegmentReader(d, load_positions=load_positions), o)
                 for d, o in zip(seg_dirs, seg_ords)
             ]
+            # per-actor LRU of per-segment top-k results — the
+            # LRUQueryCache role (reference ``search/LRUQueryCache.java``;
+            # ours caches scored top-k rather than filter bitsets: global
+            # stats are append-stable within one engine, so repeats are
+            # bit-identical). 1024 entries ≈ a few MB.
+            self._cache: "OrderedDict" = OrderedDict()
+            self._cache_cap = 1024
 
         def term_stats(self, terms: List[str]) -> Dict[str, Tuple[int, int]]:
             out: Dict[str, Tuple[int, int]] = {}
@@ -81,7 +90,16 @@ def _make_actor_cls():
             rows = []
             for reader, seg_ord in self.readers:
                 for qid, q, k in parsed:
-                    ords, scores = topk_segment(reader, q, stats, k, sim)
+                    key = (seg_ord, repr(q), k, type(sim).__name__)
+                    hit = self._cache.get(key)
+                    if hit is not None:
+                        self._cache.move_to_end(key)
+                        ords, scores = hit
+                    else:
+                        ords, scores = topk_segment(reader, q, stats, k, sim)
+                        self._cache[key] = (ords, scores)
+                        if len(self._cache) > self._cache_cap:
+                            self._cache.popitem(last=False)
                     dids = reader.doc_ids[ords]
                     for o, d, s in zip(ords, dids, scores):
                         rows.append(
