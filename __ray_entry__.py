@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify_docs": fulltext.knn_classify_docs,  # rows-only
         "sortfield_topk": fulltext.sortfield_topk,
         "hit_counts": fulltext.hit_counts,
+        "multifield_topk": fulltext.multifield_topk,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -64,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topk": fulltext.grouped_topk_sql(),
         "sortfield_topk": fulltext.sortfield_topk_sql(),
         "hit_counts": fulltext.hit_counts_sql(),
+        "multifield_topk": fulltext.multifield_topk_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

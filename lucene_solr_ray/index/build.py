@@ -38,7 +38,10 @@ from lucene_solr_ray.index.manifest import (
     segment_dir_name,
     write_segment_dir,
 )
-from lucene_solr_ray.index.segment import build_segment_tables
+from lucene_solr_ray.index.segment import (
+    build_segment_tables,
+    build_segment_tables_multi,
+)
 
 __all__ = ["plan_shards", "build_index"]
 
@@ -135,6 +138,7 @@ class _BuildShard:
         analyzer: StandardAnalyzer,
         with_positions: bool,
         stored_cols: Sequence[str] = (),
+        extra_fields: Optional[Dict[str, str]] = None,
     ) -> None:
         self.out_dir = out_dir
         self.text_col = text_col
@@ -142,6 +146,7 @@ class _BuildShard:
         self.analyzer = analyzer
         self.with_positions = with_positions
         self.stored_cols = list(stored_cols)
+        self.extra_fields = dict(extra_fields or {})
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -153,10 +158,12 @@ class _BuildShard:
         return pa.Table.from_pylist(out)
 
     def _build_one(self, shard: Dict) -> Dict:
-        cols = [self.text_col] + self.stored_cols
+        cols = [self.text_col] + self.stored_cols + list(
+            self.extra_fields.values()
+        )
         if self.id_col:
             cols = [self.id_col] + cols
-        t = _read_shard_columns(shard, cols)
+        t = _read_shard_columns(shard, list(dict.fromkeys(cols)))
         texts = t.column(self.text_col).to_pylist()
         if self.id_col:
             doc_ids = t.column(self.id_col).to_pylist()
@@ -164,15 +171,25 @@ class _BuildShard:
             doc_ids = list(
                 range(shard["doc_base"], shard["doc_base"] + len(texts))
             )
-        seg = build_segment_tables(
-            doc_ids, texts, self.analyzer, self.with_positions
-        )
+        if self.extra_fields:
+            field_texts = {self.text_col: texts}
+            for fname, colname in self.extra_fields.items():
+                field_texts[fname] = t.column(colname).to_pylist()
+            seg = build_segment_tables_multi(
+                doc_ids, field_texts, self.text_col, self.analyzer,
+                self.with_positions,
+            )
+        else:
+            seg = build_segment_tables(
+                doc_ids, texts, self.analyzer, self.with_positions
+            )
         docmeta = seg.docmeta
         for c in self.stored_cols:  # docstore columns ride along docmeta
             docmeta = docmeta.append_column(c, t.column(c))
         meta = {
             "segment_id": shard["segment_id"],
             "stats": seg.stats,
+            **({"default_field": self.text_col} if self.extra_fields else {}),
             "lineage": {
                 "path": shard["path"],
                 "row_start": shard["row_start"],
@@ -193,6 +210,7 @@ def build_index(
     text_col: str = "content",
     id_col: Optional[str] = None,
     stored_cols: Sequence[str] = (),
+    extra_fields: Optional[Dict[str, str]] = None,
     analyzer: Optional[StandardAnalyzer] = None,
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     with_positions: bool = True,
@@ -221,7 +239,8 @@ def build_index(
                          if s["segment_id"] in existing]
     if todo:
         fn = _BuildShard(
-            out_dir, text_col, id_col, analyzer, with_positions, stored_cols
+            out_dir, text_col, id_col, analyzer, with_positions, stored_cols,
+            extra_fields,
         )
         # one block per shard — map_batches parallelism follows block count,
         # so without this from_items may pack shards into few blocks and

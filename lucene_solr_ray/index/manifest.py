@@ -127,6 +127,19 @@ def commit_manifest(out_dir: str, segments: List[Dict]) -> Dict:
         ),
         "sum_doc_freq": sum(s["stats"]["sum_doc_freq"] for s in segments),
     }
+    # per-field collection stats (multi-field indexes)
+    fields: Dict[str, Dict[str, int]] = {}
+    for s in segments:
+        for f, fs in (s["stats"].get("fields") or {}).items():
+            acc = fields.setdefault(
+                f, {"doc_count": 0, "sum_total_term_freq": 0}
+            )
+            acc["doc_count"] += fs["doc_count"]
+            acc["sum_total_term_freq"] += fs["sum_total_term_freq"]
+    if fields:
+        manifest["fields"] = fields
+    if segments and segments[0].get("default_field"):
+        manifest["default_field"] = segments[0]["default_field"]
     tmp = os.path.join(out_dir, f".manifest-{gen}.json.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

@@ -52,15 +52,20 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
     Pure function of the input segment dirs (deterministic, idempotent)."""
     import pyarrow.parquet as pq
 
+    import json
+
     seg_dirs = [os.path.join(index_dir, segment_dir_name(s)) for s in spec_ids]
     bases: List[int] = []
     base = 0
     docmetas = []
+    in_metas = []
     for d in seg_dirs:
         dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
         bases.append(base)
         base += dm.num_rows
         docmetas.append(dm)
+        with open(os.path.join(d, "segment.json")) as f:
+            in_metas.append(json.load(f))
     docmeta = pa.concat_tables(docmetas)
 
     # term-aligned merge WITHOUT codec work: within-block deltas are
@@ -119,17 +124,42 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         },
         schema=POSTINGS_SCHEMA,
     )
+    # top-level stats sum the INPUT segments' top-level stats: for
+    # multi-field segments those cover the default field only (the
+    # collection stats BM25's avgdl derives from), while Σ over the merged
+    # term rows would also count field-prefixed terms
     stats = {
         "doc_count": docmeta.num_rows,
-        "sum_total_term_freq": int(sum(ttfs)),
-        "sum_doc_freq": int(sum(dfs)),
+        "sum_total_term_freq": int(
+            sum(im["stats"]["sum_total_term_freq"] for im in in_metas)
+        ),
+        "sum_doc_freq": int(
+            sum(im["stats"]["sum_doc_freq"] for im in in_metas)
+        ),
         "term_count": len(terms_sorted),
     }
+    # per-field stats + default_field carry through merges (multi-field)
+    fields_acc: Dict[str, Dict[str, int]] = {}
+    for im in in_metas:
+        for fname, fs in (im["stats"].get("fields") or {}).items():
+            acc = fields_acc.setdefault(
+                fname, {"doc_count": 0, "sum_total_term_freq": 0}
+            )
+            acc["doc_count"] += fs["doc_count"]
+            acc["sum_total_term_freq"] += fs["sum_total_term_freq"]
+    if fields_acc:
+        stats["fields"] = fields_acc
     meta = {
         "segment_id": new_id,
         "stats": stats,
         "lineage": {"merged_from": list(spec_ids)},
     }
+    df_field = next(
+        (im.get("default_field") for im in in_metas
+         if im.get("default_field")), None,
+    )
+    if df_field:
+        meta["default_field"] = df_field
     write_segment_dir(index_dir, new_id, postings, docmeta, meta)
     return meta
 

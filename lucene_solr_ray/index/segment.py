@@ -217,3 +217,80 @@ def build_segment_tables(
         "term_count": int(len(terms_sorted)),
     }
     return SegmentData(postings, docmeta, stats)
+
+
+#: separator between field name and term in the term dictionary for
+#: non-default fields; the default field's terms stay bare (so single-field
+#: indexes are byte-identical with or without the multi-field API)
+FIELD_SEP = "\x1f"
+
+
+def field_term(field: Optional[str], term: str) -> str:
+    """Term-dictionary key for (field, term); default field = bare term."""
+    return term if not field else f"{field}{FIELD_SEP}{term}"
+
+
+def build_segment_tables_multi(
+    doc_ids: Sequence[int],
+    field_texts: "Dict[str, Sequence[Optional[str]]]",
+    default_field: str,
+    analyzer: Optional[StandardAnalyzer] = None,
+    with_positions: bool = True,
+) -> SegmentData:
+    """Multi-field inversion: run the single-field kernel per field, prefix
+    non-default fields' terms with ``field\\x1f`` (terms stay byte-sorted:
+    the prefix groups each field's dictionary contiguously), and carry one
+    norm/len column pair per extra field on docmeta
+    (``norm__<f>``, ``field_len__<f>``).
+
+    The reference's per-field structure: ``FieldInfos`` + per-field postings
+    and norms (``index/FieldInfos.java``, ``Lucene70NormsConsumer``); our
+    docmeta keeps the default field's norm under the legacy column names so
+    every single-field consumer is unaffected.
+
+    ``content_sha256`` covers the DEFAULT field's value (the per-row
+    invariant column of the corpus contract).
+    """
+    assert default_field in field_texts
+    segs = {
+        f: build_segment_tables(doc_ids, texts, analyzer, with_positions)
+        for f, texts in field_texts.items()
+    }
+    base = segs[default_field]
+
+    # combined postings: default field bare + prefixed others, then re-sort
+    tables = []
+    for f, seg in segs.items():
+        t = seg.postings
+        if f != default_field:
+            terms = [field_term(f, x) for x in t.column("term").to_pylist()]
+            t = t.set_column(
+                0, "term", pa.array(terms, pa.string())
+            )
+        tables.append(t)
+    postings = pa.concat_tables(tables)
+    order = pa.compute.sort_indices(postings.column("term"))
+    postings = postings.take(order)
+
+    docmeta = base.docmeta
+    stats = dict(base.stats)
+    stats["fields"] = {}
+    for f, seg in segs.items():
+        flens = seg.docmeta.column("field_len").to_numpy()
+        stats["fields"][f] = {
+            # docCount = docs with ≥1 term for the field
+            # (CollectionStatistics.docCount / Terms.getDocCount)
+            "doc_count": int((flens > 0).sum()),
+            "sum_total_term_freq": seg.stats["sum_total_term_freq"],
+        }
+        if f != default_field:
+            docmeta = docmeta.append_column(
+                f"norm__{f}", seg.docmeta.column("norm")
+            ).append_column(
+                f"field_len__{f}", seg.docmeta.column("field_len")
+            )
+    stats["term_count"] = postings.num_rows
+    stats["sum_doc_freq"] = int(
+        np.asarray(postings.column("df").to_numpy()).sum()
+    ) if postings.num_rows else 0
+    return SegmentData(postings, docmeta, stats)

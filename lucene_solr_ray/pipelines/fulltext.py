@@ -535,3 +535,77 @@ def hit_counts_sql() -> str:
         "FROM documents WHERE text <> '')\n"
         + "\nUNION ALL\n".join(parts)
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-field search: per-field postings, norms, and collection stats
+# ---------------------------------------------------------------------------
+
+
+def documents_index_mf(sf_dir: str) -> Index:
+    """documents indexed with text (default) + a ``lang`` keyword field."""
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"documents_mf_v{FORMAT_VERSION}_{key}")
+    if read_latest_manifest(out) is None:
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            text_col="text",
+            id_col="doc_id",
+            extra_fields={"lang": "lang"},
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    return Index(out)
+
+
+def multifield_topk(sf_dir: str) -> pa.Table:
+    """Top-10 for ``merge AND lang:en`` (float64 oracle mode): the text
+    term scores with the default field's stats/norms, the ``lang`` term
+    with the lang field's own docCount/avgdl/norms."""
+    idx = documents_index_mf(sf_dir)
+    t = idx.search({0: "merge AND lang:en"}, k=10,
+                   similarity=BM25SimilarityF64())
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def multifield_topk_sql() -> str:
+    # text-term score from the shared CTE; lang-term score per-field:
+    # every doc has exactly one lang token → dl=1, avgdl=1, norm exact
+    return _BM25_CTE + """
+, lang_stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_f,
+         COUNT(*) FILTER (lang = 'en')::DOUBLE AS df_en
+  FROM documents
+)
+SELECT 0 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+  SELECT d.doc_id,
+    s.score
+      + ((1.2 + 1) * ln(1 + (ls.n_f - ls.df_en + 0.5) / (ls.df_en + 0.5)))
+        * (1.0 / (1.0 + 1.2 * ((1 - 0.75) + 0.75 * 1.0 / (ls.n_f / ls.n_f))))
+      AS score,
+    ROW_NUMBER() OVER (
+      ORDER BY s.score
+        + ((1.2 + 1) * ln(1 + (ls.n_f - ls.df_en + 0.5) / (ls.df_en + 0.5)))
+          * (1.0 / (1.0 + 1.2 * ((1 - 0.75) + 0.75 * 1.0 / (ls.n_f / ls.n_f))))
+        DESC, d.doc_id ASC
+    ) AS rank
+  FROM documents d
+  CROSS JOIN lang_stats ls
+  JOIN (
+    SELECT doc_id, SUM(tscore) AS score FROM scores
+    WHERE term = 'merge' GROUP BY doc_id
+  ) s USING (doc_id)
+  WHERE d.lang = 'en'
+) WHERE rank <= 10
+"""

@@ -72,8 +72,13 @@ class ParseError(ValueError):
 
 
 class QueryParser:
-    def __init__(self, analyzer: Optional[StandardAnalyzer] = None) -> None:
+    def __init__(self, analyzer: Optional[StandardAnalyzer] = None,
+                 fields: Optional[set] = None) -> None:
         self.analyzer = analyzer or StandardAnalyzer()
+        #: known NON-default field names: "lang:en" becomes a field-scoped
+        #: TermQuery when "lang" is listed here; unknown prefixes are
+        #: validated-and-dropped (single-field behavior)
+        self.fields = frozenset(fields or ())
 
     # -- lexer -------------------------------------------------------------
     def _lex(self, s: str) -> List[Tuple[str, str]]:
@@ -201,14 +206,18 @@ class QueryParser:
             q = BoostQuery(q, boost)
         return q
 
-    def _strip_field(self, text: str) -> str:
-        # single-field engine: accept and drop "field:" prefixes (but keep
-        # bare ":" inside terms, which the tokenizer treats as MidLetter)
+    def _strip_field(self, text: str):
+        # "field:term": known non-default fields scope the term; unknown
+        # prefixes are accepted-and-dropped (bare ":" inside terms stays —
+        # the tokenizer treats it as MidLetter)
         m = re.match(r"^(\w+):(.+)$", text)
-        return m.group(2) if m else text
+        if not m:
+            return None, text
+        fld = m.group(1) if m.group(1) in self.fields else None
+        return fld, m.group(2)
 
     def _term(self, text: str, fuzz: Optional[str]) -> Optional[Query]:
-        text = self._strip_field(text)
+        fld, text = self._strip_field(text)
         if fuzz is not None:
             base = text.lower()
             max_edits = int(float(fuzz)) if fuzz else 2
@@ -219,9 +228,12 @@ class QueryParser:
         if not toks:
             return None
         if len(toks) == 1:
-            return TermQuery(toks[0])
+            return TermQuery(toks[0], field=fld)
         return BooleanQuery(
-            tuple(BooleanClause(TermQuery(t), Occur.SHOULD) for t in toks)
+            tuple(
+                BooleanClause(TermQuery(t, field=fld), Occur.SHOULD)
+                for t in toks
+            )
         )
 
     def _phrase(self, text: str, slop: int) -> Optional[Query]:

@@ -51,9 +51,14 @@ class Query:
 @dataclass(frozen=True)
 class TermQuery(Query):
     term: str
+    #: None = the index's default field; otherwise postings live under the
+    #: ``field\x1fterm`` key with per-field norms/stats
+    field: Optional[str] = None
 
     def terms(self) -> List[str]:
-        return [self.term]
+        from lucene_solr_ray.index.segment import field_term
+
+        return [field_term(self.field, self.term)]
 
 
 @dataclass(frozen=True)
@@ -64,9 +69,12 @@ class PhraseQuery(Query):
     phrase_terms: Tuple[str, ...]
     positions: Tuple[int, ...]
     slop: int = 0
+    field: Optional[str] = None
 
     def terms(self) -> List[str]:
-        return list(self.phrase_terms)
+        from lucene_solr_ray.index.segment import field_term
+
+        return [field_term(self.field, t) for t in self.phrase_terms]
 
 
 @dataclass(frozen=True)

@@ -70,14 +70,30 @@ class SegmentReader:
                 )
             self._pos_blobs = poscol
 
+        dm_schema = pq.read_schema(os.path.join(seg_dir, "docmeta.parquet"))
+        extra = [c for c in dm_schema.names if c.startswith("norm__")]
         dm = pq.read_table(
             os.path.join(seg_dir, "docmeta.parquet"),
-            columns=["doc_id", "norm", "field_len"],
+            columns=["doc_id", "norm", "field_len", *extra],
         )
         self.doc_ids: np.ndarray = dm.column("doc_id").to_numpy()
         self.norms: np.ndarray = dm.column("norm").to_numpy()
         self.field_lens: np.ndarray = dm.column("field_len").to_numpy()
+        #: per-extra-field norms (default field stays on the legacy column)
+        self.field_norms: Dict[str, np.ndarray] = {
+            c[len("norm__"):]: dm.column(c).to_numpy() for c in extra
+        }
         self.ndocs = len(self.doc_ids)
+
+    def norms_for(self, field: "Optional[str]") -> np.ndarray:
+        """Norm bytes for a field (None/default → the legacy column)."""
+        if not field:
+            return self.norms
+        arr = self.field_norms.get(field)
+        if arr is None:
+            # field absent from this segment: all docs norm 0 (no terms)
+            arr = np.zeros(self.ndocs, dtype=np.uint8)
+        return arr
 
     # -- term dictionary ---------------------------------------------------
     @property

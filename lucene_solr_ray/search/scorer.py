@@ -56,12 +56,23 @@ _EMPTY_F = np.empty(0, dtype=np.float32)
 @dataclass
 class GlobalStats:
     """Collection-wide stats, summed over all segments before any scoring
-    (``CollectionStatistics`` + per-term ``TermStatistics``)."""
+    (``CollectionStatistics`` + per-term ``TermStatistics``).
+
+    ``df``/``ttf`` are keyed by the TERM-DICTIONARY key (bare term for the
+    default field, ``field\x1fterm`` otherwise).  ``field_stats`` carries
+    per-field (doc_count, sumTotalTermFreq) for non-default fields; the
+    default field uses the top-level numbers."""
 
     doc_count: int
     sum_total_term_freq: int
     df: Dict[str, int] = field(default_factory=dict)
     ttf: Dict[str, int] = field(default_factory=dict)
+    field_stats: Dict[str, Tuple[int, int]] = field(default_factory=dict)
+
+    def collection_for(self, fld: Optional[str]) -> Tuple[int, int]:
+        if fld and fld in self.field_stats:
+            return self.field_stats[fld]
+        return self.doc_count, self.sum_total_term_freq
 
 
 class _Eval:
@@ -75,7 +86,7 @@ class _Eval:
     # returns (ords ascending int32, scores float32 aligned)
     def eval(self, q: Query, boost: float) -> Tuple[np.ndarray, np.ndarray]:
         if isinstance(q, TermQuery):
-            return self._term(q.term, boost)
+            return self._term(q.term, boost, q.field)
         if isinstance(q, BoostQuery):
             return self.eval(q.query, boost * q.boost)
         if isinstance(q, BooleanQuery):
@@ -112,22 +123,27 @@ class _Eval:
             f"unrewritten or unsupported query node: {type(q).__name__}"
         )
 
-    def _term(self, term: str, boost: float):
-        p = self.reader.postings(term)
+    def _term(self, term: str, boost: float, fld: Optional[str] = None):
+        from lucene_solr_ray.index.segment import field_term
+
+        key = field_term(fld, term)
+        p = self.reader.postings(key)
         if p is None:
             return _EMPTY_I, _EMPTY_F
         ords, freqs = p
-        df = self.stats.df.get(term, 0)
+        df = self.stats.df.get(key, 0)
         if df <= 0:
             return _EMPTY_I, _EMPTY_F
+        doc_count, sttf = self.stats.collection_for(fld)
         sc = self.sim.scorer(
             boost,
-            self.stats.doc_count,
-            self.stats.sum_total_term_freq,
+            doc_count,
+            sttf,
             df,
-            total_term_freq=self.stats.ttf.get(term, df),
+            total_term_freq=self.stats.ttf.get(key, df),
         )
-        scores = sc.score(freqs, self.norms[ords])
+        norms = self.reader.norms_for(fld) if fld else self.norms
+        scores = sc.score(freqs, norms[ords])
         return ords, scores
 
     def _synonym(self, q: SynonymQuery, boost: float):
@@ -209,10 +225,13 @@ class _Eval:
         return ords, acc[ords].astype(self.sim.out_dtype)
 
     def _phrase(self, q: PhraseQuery, boost: float):
+        from lucene_solr_ray.index.segment import field_term
+
+        keys = [field_term(q.field, t) for t in q.phrase_terms]
         readers = []
-        for t in q.phrase_terms:
-            pp = self.reader.positions(t)
-            if pp is None or self.stats.df.get(t, 0) <= 0:
+        for key in keys:
+            pp = self.reader.positions(key)
+            if pp is None or self.stats.df.get(key, 0) <= 0:
                 return _EMPTY_I, _EMPTY_F
             readers.append(pp)
         # candidate docs: intersection of all term ords
@@ -250,15 +269,15 @@ class _Eval:
         # combined idf = sum of per-term idfs (BM25Similarity.idfExplain for
         # multiple TermStatistics), accumulated in the similarity's dtype
         dt = self.sim.out_dtype
+        doc_count, sttf = self.stats.collection_for(q.field)
         idf = dt(0.0)
-        for t in q.phrase_terms:
+        for key in keys:
             idf = dt(
-                idf + self.sim.idf_value(self.stats.df[t], self.stats.doc_count)
+                idf + self.sim.idf_value(self.stats.df[key], doc_count)
             )
-        sc = self.sim.scorer_from_idf(
-            boost, idf, self.stats.doc_count, self.stats.sum_total_term_freq
-        )
-        return ords, sc.score(freqs, self.norms[ords])
+        sc = self.sim.scorer_from_idf(boost, idf, doc_count, sttf)
+        norms = self.reader.norms_for(q.field) if q.field else self.norms
+        return ords, sc.score(freqs, norms[ords])
 
     def _sloppy_freq(self, readers, d, slop) -> float:
         # sloppy matcher: alignments where the terms fit within `slop`

@@ -307,6 +307,14 @@ class Index:
     def doc_count(self) -> int:
         return self.manifest["doc_count"]
 
+    @property
+    def query_fields(self) -> set:
+        """Non-default field names usable as ``field:term`` prefixes."""
+        return {
+            f for f in self.manifest.get("fields", {})
+            if f != self.manifest.get("default_field")
+        }
+
     def search(
         self,
         queries: Dict[int, str] | Sequence[str],
@@ -317,7 +325,7 @@ class Index:
     ) -> pa.Table:
         """Parse + run a batch of query strings; returns
         (qid, rank, doc_id, score) sorted by (qid, rank)."""
-        parser = QueryParser(analyzer)
+        parser = QueryParser(analyzer, fields=self.query_fields)
         if isinstance(queries, dict):
             items = sorted(queries.items())
         else:
@@ -342,6 +350,11 @@ class Index:
         stats = GlobalStats(
             doc_count=self.manifest["doc_count"],
             sum_total_term_freq=self.manifest["sum_total_term_freq"],
+            field_stats={
+                f: (fs["doc_count"], fs["sum_total_term_freq"])
+                for f, fs in self.manifest.get("fields", {}).items()
+                if f != self.manifest.get("default_field")
+            },
         )
         expansions: Dict[Query, set] = {p: set() for p in patterns}
         if terms or patterns:
@@ -555,7 +568,7 @@ def search_by_field(
     are doc-id-sorted, not field-sorted)."""
     import ray.data
 
-    parser = QueryParser(analyzer)
+    parser = QueryParser(analyzer, fields=index.query_fields)
     items = (
         sorted(queries.items()) if isinstance(queries, dict)
         else list(enumerate(queries))
@@ -633,7 +646,7 @@ def count_hits(index: "Index", queries,
     """Exact total hit counts per query: (qid, total_hits)."""
     import ray.data
 
-    parser = QueryParser(analyzer)
+    parser = QueryParser(analyzer, fields=index.query_fields)
     items = (
         sorted(queries.items()) if isinstance(queries, dict)
         else list(enumerate(queries))

@@ -62,6 +62,8 @@ def flatten_term_sum(q: Query) -> Optional[Tuple[str, List[Tuple[str, float]]]]:
         boost *= q.boost
         q = q.query
     if isinstance(q, TermQuery):
+        if q.field is not None:
+            return None  # non-default-field terms take the exhaustive path
         return "or", [(q.term, boost)]
     if not isinstance(q, BooleanQuery) or q.minimum_should_match > 1:
         return None
@@ -79,7 +81,7 @@ def flatten_term_sum(q: Query) -> Optional[Tuple[str, List[Tuple[str, float]]]]:
         while isinstance(sub, BoostQuery):
             b *= sub.boost
             sub = sub.query
-        if not isinstance(sub, TermQuery):
+        if not isinstance(sub, TermQuery) or sub.field is not None:
             return None
         terms.append((sub.term, b))
     return kind, terms

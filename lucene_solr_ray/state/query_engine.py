@@ -128,7 +128,7 @@ class QueryEngine:
         if isinstance(index, str):
             index = Index(index)
         self.index = index
-        self.parser = QueryParser(analyzer)
+        self.parser = QueryParser(analyzer, fields=index.query_fields)
         self.sim = similarity or BM25Similarity()
         self._stats_cache: Dict[str, Tuple[int, int]] = {}
         self._expansion_cache: Dict[Query, Tuple[str, ...]] = {}
@@ -179,9 +179,15 @@ class QueryEngine:
                         acc.update(pa_[pi])
                     self._expansion_cache[pat] = tuple(sorted(acc))
         expansions = {p: self._expansion_cache[p] for p in patterns}
+        m = self.index.manifest
         stats = GlobalStats(
-            doc_count=self.index.manifest["doc_count"],
-            sum_total_term_freq=self.index.manifest["sum_total_term_freq"],
+            doc_count=m["doc_count"],
+            sum_total_term_freq=m["sum_total_term_freq"],
+            field_stats={
+                f: (fs["doc_count"], fs["sum_total_term_freq"])
+                for f, fs in m.get("fields", {}).items()
+                if f != m.get("default_field")
+            },
         )
         for t in terms:
             df, ttf = self._stats_cache.get(t, (0, 0))

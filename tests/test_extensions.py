@@ -325,3 +325,95 @@ def test_fetch_empty_keeps_types(docs_index, sf_dir):
 
     assert out.schema.field("n_chars").type == pa.int64()
     assert out.schema.field("lang").type == pa.string()
+
+
+# -- multi-field indexing ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mf_index(ray_session, sf_dir, tmp_path_factory):
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Index
+
+    out = str(tmp_path_factory.mktemp("mf"))
+    build_index(
+        f"{sf_dir}/documents.parquet", out, text_col="text", id_col="doc_id",
+        extra_fields={"lang": "lang", "source": "source"},
+        docs_per_segment=150,
+    )
+    return Index(out)
+
+
+def test_multifield_scoped_match_set(mf_index, sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    want = {
+        d for d, x, lg in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+        )
+        if lg == "en" and "merge" in x.split()
+    }
+    got = set(
+        mf_index.search({0: "merge AND lang:en"}, k=10_000)
+        .to_pandas()["doc_id"]
+    )
+    assert got == want
+
+
+def test_multifield_unknown_prefix_dropped(mf_index):
+    # unknown field prefixes keep single-field behavior (dropped)
+    a = mf_index.search({0: "nosuchfield:merge"}, k=5).to_pandas()
+    b = mf_index.search({0: "merge"}, k=5).to_pandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+
+
+def test_multifield_bare_query_matches_single_field(mf_index, docs_index):
+    # default-field scoring identical to a single-field index
+    a = mf_index.search({0: "merge AND sort"}, k=10).to_pandas()
+    b = docs_index.search({0: "merge AND sort"}, k=10).to_pandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_multifield_merge_preserves_field_scores(ray_session, sf_dir, tmp_path):
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.merge import merge_until_done
+    from lucene_solr_ray.index.merge_policy import MB, TieredMergePolicy
+    from lucene_solr_ray.search.searcher import Index
+
+    out = str(tmp_path / "mfm")
+    build_index(
+        f"{sf_dir}/documents.parquet", out, text_col="text", id_col="doc_id",
+        extra_fields={"lang": "lang"}, docs_per_segment=100,
+    )
+    q = {0: "merge AND lang:en", 1: "lang:de"}
+    before = Index(out).search(q, k=10).to_pandas()
+    n = merge_until_done(
+        out, TieredMergePolicy(max_merge_at_once=4, segs_per_tier=2.0,
+                               floor_segment_bytes=1 * MB),
+    )
+    assert n > 0
+    m = Index(out).manifest
+    assert "fields" in m and m.get("default_field") == "text"
+    after = Index(out).search(q, k=10).to_pandas()
+    assert list(before["doc_id"]) == list(after["doc_id"])
+    np.testing.assert_array_equal(
+        before["score"].to_numpy(), after["score"].to_numpy()
+    )
+
+
+def test_multifield_query_engine(mf_index):
+    from lucene_solr_ray.state.query_engine import QueryEngine
+
+    eng = QueryEngine(mf_index, num_actors=2)
+    try:
+        a = mf_index.search({0: "merge AND lang:en"}, k=10).to_pandas()
+        b = eng.search({0: "merge AND lang:en"}, k=10).to_pandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(), b["score"].to_numpy()
+        )
+    finally:
+        eng.shutdown()
