@@ -47,6 +47,9 @@ def main(argv=None) -> int:
     b.add_argument("--id-col", default=None)
     b.add_argument("--docs-per-segment", type=int, default=100_000)
     b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--field", action="append", default=[],
+                   metavar="NAME=COLUMN",
+                   help="extra indexed field (repeatable)")
 
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
@@ -73,11 +76,13 @@ def main(argv=None) -> int:
     if args.cmd == "build":
         from lucene_solr_ray.index.build import build_index
 
+        extra = dict(f.split("=", 1) for f in args.field)
         manifest = build_index(
             args.input, args.out,
             text_col=args.text_col, id_col=args.id_col,
             docs_per_segment=args.docs_per_segment,
             with_positions=not args.no_positions,
+            extra_fields=extra or None,
         )
         print(json.dumps({
             "generation": manifest["generation"],

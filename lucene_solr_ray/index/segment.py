@@ -8,9 +8,10 @@ contiguous slice of corpus rows and emits:
 
 - ``postings.parquet`` — one row per term, byte-sorted by term (as the
   reference sorts terms before flush, ``FreqProxTermsWriter.java:88-103``):
-  ``term, df:int32, ttf:int64, ords:list<int32> (segment-local doc ordinals,
-  ascending), freqs:list<int32>, positions:list<list<int32>>`` (positions
-  optional, for phrase queries).
+  ``term, df:int32, ttf:int64, blocks:binary`` (delta+FOR 128-blocks with
+  skip entries + competitive impacts, see ``postings_codec``) and
+  ``positions:binary`` (int32 positions in (doc, occurrence) order;
+  per-doc boundaries implied by freqs).
 - ``docmeta.parquet`` — one row per doc ordinal: ``doc_id:int64,
   norm:uint8, field_len:int32, content_sha256:binary`` (the norm byte per
   ``BM25Similarity.computeNorm``, ``BM25Similarity.java:115-126``).
