@@ -257,8 +257,10 @@ class _Eval:
                 out_ords.append(int(d))
                 out_freqs.append(float(len(base)))
             elif q.slop > 0:
-                # sloppy matching: approximate with windowed check
-                f = self._sloppy_freq(readers, d, q.slop)
+                f = self._sloppy_freq(
+                    readers, d, q.slop, rel,
+                    terms_distinct=len(set(keys)) == len(keys),
+                )
                 if f > 0:
                     out_ords.append(int(d))
                     out_freqs.append(f)
@@ -279,22 +281,31 @@ class _Eval:
         norms = self.reader.norms_for(q.field) if q.field else self.norms
         return ords, sc.score(freqs, norms[ords])
 
-    def _sloppy_freq(self, readers, d, slop) -> float:
-        # sloppy matcher: alignments where the terms fit within `slop`
-        # total displacement contribute sloppyWeight = 1/(1 + matchLength)
-        # each (``SloppyPhraseMatcher.sloppyWeight``); approximation: all
-        # alignments are enumerated rather than the reference's greedy
-        # non-overlapping match stream — documented divergence, exercised
-        # only by explicit ~N phrase queries
+    def _sloppy_freq(self, readers, d, slop, rel,
+                     terms_distinct: bool = True) -> float:
+        """Sloppy phrase frequency for one doc.
+
+        Distinct-term phrases run the exact reference algorithm
+        (``SloppyPhraseScorer.phraseFreq`` — the min-position priority
+        queue that minimizes each match length before scoring it
+        ``1/(1+matchLength)``).  Phrases with REPEATED terms fall back to
+        enumerating alignments (the reference's repeats machinery —
+        ``advanceRpts`` term grouping — is not ported)."""
         import itertools
 
         pos_lists = []
         for (ords, posfn) in readers:
             idx = np.searchsorted(ords, d)
             pos_lists.append(posfn(int(idx)))
+        if terms_distinct:
+            adjusted = [
+                (np.asarray(p, dtype=np.int64) - off).tolist()
+                for p, off in zip(pos_lists, rel)
+            ]
+            return _sloppy_freq_exact(adjusted, slop)
         freq = 0.0
         for combo in itertools.product(*[p.tolist() for p in pos_lists]):
-            adj = [p - i for i, p in enumerate(combo)]
+            adj = [int(p) - int(off) for p, off in zip(combo, rel)]
             ml = max(adj) - min(adj)
             if ml <= slop and len(set(combo)) == len(combo):
                 freq += 1.0 / (1.0 + ml)
@@ -342,3 +353,57 @@ def topk_segment(
     dids = reader.doc_ids[ords]
     order = np.lexsort((dids, -scores.astype(np.float64)))[:k]
     return ords[order], scores[order]
+
+
+def _sloppy_freq_exact(adjusted_pos_lists, slop: int) -> float:
+    """Port of the reference sloppy matcher's core loop
+    (``SloppyPhraseScorer.phraseFreq`` / ``SloppyPhraseMatcher``): a
+    priority queue of per-term iterators over offset-adjusted positions;
+    the minimum is advanced, shrinking the current match length until the
+    min term moves past the runner-up, at which point the match scores
+    ``1/(1 + matchLength)``.  Exact for phrases without repeated terms."""
+    import heapq
+
+    k = len(adjusted_pos_lists)
+    ptrs = [0] * k
+    heap = []  # (position, term_index)
+    end = -(1 << 60)
+    for i, pl in enumerate(adjusted_pos_lists):
+        if not pl:
+            return 0.0
+        heapq.heappush(heap, (pl[0], i))
+        end = max(end, pl[0])
+
+    def advance(i):
+        nonlocal end
+        ptrs[i] += 1
+        pl = adjusted_pos_lists[i]
+        if ptrs[i] >= len(pl):
+            return None
+        pos = pl[ptrs[i]]
+        if pos > end:
+            end = pos
+        return pos
+
+    freq = 0.0
+    pos, i = heapq.heappop(heap)
+    match_length = end - pos
+    nxt = heap[0][0] if heap else pos
+    while True:
+        new_pos = advance(i)
+        if new_pos is None:
+            break
+        if new_pos > nxt:
+            # done minimizing the current match length
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            heapq.heappush(heap, (new_pos, i))
+            pos, i = heapq.heappop(heap)
+            nxt = heap[0][0] if heap else pos
+            match_length = end - pos
+        else:
+            match_length = min(match_length, end - new_pos)
+            pos = new_pos
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq

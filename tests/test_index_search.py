@@ -226,3 +226,26 @@ def test_stored_cols_ride_docmeta(ray_session, sf_dir, tmp_path):
     joined = res.join(side, keys="doc_id")
     assert joined.num_rows == 3
     assert all(v is not None for v in joined.column("lang").to_pylist())
+
+
+def test_sloppy_phrase_matches_positional_oracle(built_index, corpus):
+    """Sloppy phrases: the matched-doc set equals a positional brute
+    oracle; exact-phrase docs rank above slop-only docs (sloppyWeight)."""
+    from lucene_solr_ray.search.searcher import Index
+
+    out, _ = built_index
+    doc_ids, texts = corpus
+    got = Index(out).search({0: '"fast key"~2'}, k=500).to_pandas()
+    a = StandardAnalyzer()
+    want = set()
+    for d, t in zip(doc_ids, texts):
+        toks = a.analyze(t)
+        pf = [i for i, w in enumerate(toks) if w == "fast"]
+        pk = [i for i, w in enumerate(toks) if w == "key"]
+        if any(abs((k - 1) - f) <= 2 and f != k for f in pf for k in pk):
+            want.add(d)
+    assert set(got["doc_id"]) == want
+    exact = set(
+        Index(out).search({0: '"fast key"'}, k=500).to_pandas()["doc_id"]
+    )
+    assert exact <= set(got["doc_id"])
