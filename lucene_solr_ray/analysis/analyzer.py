@@ -133,6 +133,31 @@ class StandardAnalyzer:
             positions.append(pos)
         return terms, positions, len(terms)
 
+    def analyze_with_offsets(self, text: str):
+        """(terms, positions, starts, ends, field_length) — the
+        OffsetAttribute path (start/end char offsets of surviving tokens,
+        reference ``analysis/tokenattributes/OffsetAttribute.java``)."""
+        from lucene_solr_ray.analysis.tokenizer import tokenize_with_offsets
+
+        stop = self.stop_words
+        if text.isascii():
+            triples = tokenize_with_offsets(
+                text.lower(), self.max_token_length
+            )
+            lowered = [t for t, _, _ in triples]
+        else:
+            triples = tokenize_with_offsets(text, self.max_token_length)
+            lowered = [lowercase(t) for t, _, _ in triples]
+        terms, positions, starts, ends = [], [], [], []
+        for pos, (lt, trip) in enumerate(zip(lowered, triples)):
+            if lt in stop:
+                continue
+            terms.append(lt)
+            positions.append(pos)
+            starts.append(trip[1])
+            ends.append(trip[2])
+        return terms, positions, starts, ends, len(terms)
+
     # -- multi-valued field ------------------------------------------------
     def analyze_multi(
         self, values: Sequence[str]

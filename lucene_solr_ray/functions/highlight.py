@@ -102,3 +102,56 @@ def highlight_batch(ds, text_col: str, term_weights: Dict[str, float],
         return t.append_column(out_col, pa.array(snips, pa.string()))
 
     return ds.map_batches(_hl, batch_format="pyarrow")
+
+
+def highlight_from_index(
+    index, doc_id: int, text: str, term_weights: Dict[str, float],
+    window: int = 30, pre: str = "<em>", post: str = "</em>",
+) -> str:
+    """Highlight using the INDEXED char offsets (offsets-enabled index,
+    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS) — no re-tokenization of the
+    stored text, the FastVectorHighlighter idea (reference
+    ``lucene/highlighter/.../vectorhighlight``): fetch each query term's
+    (start, end) spans for the doc from its postings, pick the window with
+    the max summed weight of distinct covered terms, wrap the spans."""
+    from lucene_solr_ray.search.reader import SegmentReader
+
+    spans = []  # (start, end, term)
+    for seg_dir in index.seg_dirs:
+        reader = SegmentReader(seg_dir, load_positions=True)
+        idx = np.searchsorted(reader.doc_ids, doc_id)
+        if idx >= reader.ndocs or reader.doc_ids[idx] != doc_id:
+            continue
+        for term in term_weights:
+            hit = reader.offsets(term)
+            if hit is None:
+                continue
+            ords, offfn = hit
+            j = np.searchsorted(ords, idx)
+            if j < len(ords) and ords[j] == idx:
+                for s0, e0 in offfn(int(j)):
+                    spans.append((int(s0), int(e0), term))
+        break
+    if not spans:
+        return ""
+    spans.sort()
+    # best window: char window sized ~window tokens (approx 8 chars/token)
+    char_w = window * 8
+    best = (0.0, spans[0][0])
+    for s0, _e, _t in spans:
+        covered = {t for (a, b, t) in spans if s0 <= a and b <= s0 + char_w}
+        score = sum(term_weights[t] for t in covered)
+        if score > best[0]:
+            best = (score, s0)
+    w_start = best[1]
+    w_end = min(len(text), w_start + char_w)
+    out = []
+    pos = w_start
+    for a, b, _t in spans:
+        if a < w_start or b > w_end:
+            continue
+        out.append(text[pos:a])
+        out.append(pre + text[a:b] + post)
+        pos = b
+    out.append(text[pos:w_end])
+    return "".join(out)

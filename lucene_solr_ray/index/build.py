@@ -139,6 +139,7 @@ class _BuildShard:
         with_positions: bool,
         stored_cols: Sequence[str] = (),
         extra_fields: Optional[Dict[str, str]] = None,
+        with_offsets: bool = False,
     ) -> None:
         self.out_dir = out_dir
         self.text_col = text_col
@@ -147,6 +148,7 @@ class _BuildShard:
         self.with_positions = with_positions
         self.stored_cols = list(stored_cols)
         self.extra_fields = dict(extra_fields or {})
+        self.with_offsets = with_offsets
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -177,11 +179,12 @@ class _BuildShard:
                 field_texts[fname] = t.column(colname).to_pylist()
             seg = build_segment_tables_multi(
                 doc_ids, field_texts, self.text_col, self.analyzer,
-                self.with_positions,
+                self.with_positions, self.with_offsets,
             )
         else:
             seg = build_segment_tables(
-                doc_ids, texts, self.analyzer, self.with_positions
+                doc_ids, texts, self.analyzer, self.with_positions,
+                self.with_offsets,
             )
         docmeta = seg.docmeta
         for c in self.stored_cols:  # docstore columns ride along docmeta
@@ -214,6 +217,7 @@ def build_index(
     analyzer: Optional[StandardAnalyzer] = None,
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     with_positions: bool = True,
+    with_offsets: bool = False,
     concurrency: Optional[int] = None,
 ) -> Dict:
     """Build (or resume) an index over corpus Parquet; returns the manifest.
@@ -240,7 +244,7 @@ def build_index(
     if todo:
         fn = _BuildShard(
             out_dir, text_col, id_col, analyzer, with_positions, stored_cols,
-            extra_fields,
+            extra_fields, with_offsets,
         )
         # one block per shard — map_batches parallelism follows block count,
         # so without this from_items may pack shards into few blocks and

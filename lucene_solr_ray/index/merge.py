@@ -76,6 +76,7 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
     # O(postings).
     term_lists: Dict[str, List] = {}
     has_positions = False
+    has_offsets = False
     for si, d in enumerate(seg_dirs):
         t = pq.read_table(os.path.join(d, "postings.parquet"))
         terms = t.column("term").to_pylist()
@@ -83,17 +84,23 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         dfs_in = t.column("df").to_pylist()
         ttfs_in = t.column("ttf").to_pylist()
         poss = t.column("positions").to_pylist()
-        for term, blob, df_i, ttf_i, pos in zip(
-            terms, blocks, dfs_in, ttfs_in, poss
+        offs = (
+            t.column("offsets").to_pylist()
+            if "offsets" in t.schema.names else [None] * t.num_rows
+        )
+        for term, blob, df_i, ttf_i, pos, off in zip(
+            terms, blocks, dfs_in, ttfs_in, poss, offs
         ):
             if pos is not None:
                 has_positions = True
+            if off is not None:
+                has_offsets = True
             term_lists.setdefault(term, []).append(
-                (si, blob, df_i, ttf_i, pos)
+                (si, blob, df_i, ttf_i, pos, off)
             )
 
     terms_sorted = sorted(term_lists)
-    blobs, dfs, ttfs, positions_out = [], [], [], []
+    blobs, dfs, ttfs, positions_out, offsets_out = [], [], [], [], []
     for term in terms_sorted:
         parts = sorted(term_lists[term], key=lambda x: x[0])
         blobs.append(
@@ -113,6 +120,10 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
             positions_out.append(b"".join(p[4] for p in parts))
         else:
             positions_out.append(None)
+        if has_offsets:
+            offsets_out.append(b"".join(p[5] or b"" for p in parts))
+        else:
+            offsets_out.append(None)
 
     postings = pa.table(
         {
@@ -121,6 +132,7 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
             "ttf": pa.array(np.asarray(ttfs, dtype=np.int64)),
             "blocks": pa.array(blobs, pa.binary()),
             "positions": pa.array(positions_out, type=pa.binary()),
+            "offsets": pa.array(offsets_out, type=pa.binary()),
         },
         schema=POSTINGS_SCHEMA,
     )

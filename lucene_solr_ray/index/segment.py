@@ -41,7 +41,7 @@ __all__ = ["build_segment_tables", "SegmentData", "POSTINGS_SCHEMA",
            "DOCMETA_SCHEMA", "FORMAT_VERSION"]
 
 #: bump when the on-disk segment layout changes (cache keys include it)
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -55,6 +55,9 @@ POSTINGS_SCHEMA = pa.schema(
         # occurrence) order; per-doc boundaries are implied by the freqs
         # (freq == #positions), so merge is a plain byte concat
         ("positions", pa.binary()),
+        # optional (start,end) char-offset int32 pairs in the same order —
+        # DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS (IndexOptions.java:25-48)
+        ("offsets", pa.binary()),
     ]
 )
 
@@ -84,6 +87,7 @@ def build_segment_tables(
     texts: Sequence[Optional[str]],
     analyzer: Optional[StandardAnalyzer] = None,
     with_positions: bool = True,
+    with_offsets: bool = False,
 ) -> SegmentData:
     """Invert a slice of documents into sorted postings + docmeta tables.
 
@@ -102,12 +106,20 @@ def build_segment_tables(
     all_terms: List[str] = []
     doc_lens = np.zeros(n, dtype=np.int64)
     all_pos_parts: List[List[int]] = []
+    all_off_parts: List[List[int]] = []  # interleaved (start, end) per token
     shas: List[bytes] = []
     for ord_, text in enumerate(texts):
         if text is None:
             text = ""
         shas.append(hashlib.sha256(text.encode("utf-8")).digest())
-        terms, positions, flen = analyzer.analyze_with_positions(text)
+        if with_offsets:
+            terms, positions, starts, ends, flen = \
+                analyzer.analyze_with_offsets(text)
+            all_off_parts.append(
+                [v for se in zip(starts, ends) for v in se]
+            )
+        else:
+            terms, positions, flen = analyzer.analyze_with_positions(text)
         all_terms.extend(terms)
         all_pos_parts.append(positions)
         doc_lens[ord_] = flen
@@ -165,6 +177,7 @@ def build_segment_tables(
             o, f = g_ord[s:e], g_freq[s:e]
             ttf[i] = ttf_per_group_cum[e] - ttf_per_group_cum[s]
             blobs.append(encode_postings(o, f, norm_bytes[o]))
+        offsets_arr = pa.array([None] * len(t_codes), type=pa.binary())
         if with_positions:
             # positions sorted by (term, doc): one '<i4' blob per term
             # spanning its (doc, occurrence)-ordered values
@@ -181,6 +194,22 @@ def build_segment_tables(
                 ],
                 type=pa.binary(),
             )
+            if with_offsets and all_off_parts:
+                # (start, end) pairs follow the same (term, doc, occurrence)
+                # sort; gather pairwise via the occurrence order
+                flat = np.concatenate(
+                    [np.asarray(p, dtype=np.int64).reshape(-1, 2)
+                     for p in all_off_parts if p]
+                ) if any(all_off_parts) else np.zeros((0, 2), np.int64)
+                pairs = flat[order].astype("<i4")
+                offsets_arr = pa.array(
+                    [
+                        pairs[term_val_edges[i]: term_val_edges[i + 1]]
+                        .tobytes()
+                        for i in range(len(t_codes))
+                    ],
+                    type=pa.binary(),
+                )
         else:
             positions_arr = pa.array(
                 [None] * len(t_codes), type=pa.binary()
@@ -191,6 +220,7 @@ def build_segment_tables(
         ttf = np.empty(0, dtype=np.int64)
         blobs = []
         positions_arr = pa.array([], type=pa.binary())
+        offsets_arr = pa.array([], type=pa.binary())
 
     postings_cols: Dict[str, pa.Array] = {
         "term": pa.array(terms_sorted, type=pa.string()),
@@ -198,6 +228,7 @@ def build_segment_tables(
         "ttf": pa.array(ttf),
         "blocks": pa.array(blobs, type=pa.binary()),
         "positions": positions_arr,
+        "offsets": offsets_arr,
     }
     postings = pa.table(postings_cols, schema=POSTINGS_SCHEMA)
 
@@ -237,6 +268,7 @@ def build_segment_tables_multi(
     default_field: str,
     analyzer: Optional[StandardAnalyzer] = None,
     with_positions: bool = True,
+    with_offsets: bool = False,
 ) -> SegmentData:
     """Multi-field inversion: run the single-field kernel per field, prefix
     non-default fields' terms with ``field\\x1f`` (terms stay byte-sorted:
@@ -254,7 +286,8 @@ def build_segment_tables_multi(
     """
     assert default_field in field_texts
     segs = {
-        f: build_segment_tables(doc_ids, texts, analyzer, with_positions)
+        f: build_segment_tables(doc_ids, texts, analyzer, with_positions,
+                                with_offsets)
         for f, texts in field_texts.items()
     }
     base = segs[default_field]

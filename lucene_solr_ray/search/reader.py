@@ -42,8 +42,12 @@ class SegmentReader:
         self.stats = self.meta["stats"]
 
         cols = ["term", "df", "ttf", "blocks"]
+        pq_schema = pq.read_schema(os.path.join(seg_dir, "postings.parquet"))
+        self._has_offsets_col = "offsets" in pq_schema.names
         if load_positions:
             cols.append("positions")
+            if self._has_offsets_col:
+                cols.append("offsets")
         t = pq.read_table(
             os.path.join(seg_dir, "postings.parquet"), columns=cols
         )
@@ -69,6 +73,14 @@ class SegmentReader:
                     [], type=pa.binary()
                 )
             self._pos_blobs = poscol
+            if self._has_offsets_col:
+                offcol = t.column("offsets").combine_chunks()
+                if isinstance(offcol, pa.ChunkedArray):
+                    offcol = offcol.chunk(0) if offcol.num_chunks else \
+                        pa.array([], type=pa.binary())
+                self._off_blobs = offcol
+            else:
+                self._off_blobs = None
 
         dm_schema = pq.read_schema(os.path.join(seg_dir, "docmeta.parquet"))
         extra = [c for c in dm_schema.names if c.startswith("norm__")]
@@ -145,3 +157,23 @@ class SegmentReader:
             return vals[offs[i]: offs[i + 1]]
 
         return ords, posfn
+
+    def offsets(self, term: str):
+        """(ords, offfn) — offfn(i) = (start, end) int32 pairs array of the
+        i-th posting entry (requires an offsets-enabled index)."""
+        if not self._has_positions or self._off_blobs is None:
+            raise RuntimeError("index built without offsets")
+        r = self._term_row.get(term)
+        if r is None:
+            return None
+        blob = self._off_blobs[r].as_py()
+        if blob is None:
+            raise RuntimeError("index built without offsets")
+        ords, freqs = self.postings(term)
+        vals = np.frombuffer(blob, dtype="<i4").reshape(-1, 2)
+        offs = np.concatenate([[0], np.cumsum(freqs, dtype=np.int64)])
+
+        def offfn(i: int) -> np.ndarray:
+            return vals[offs[i]: offs[i + 1]]
+
+        return ords, offfn

@@ -417,3 +417,58 @@ def test_multifield_query_engine(mf_index):
         )
     finally:
         eng.shutdown()
+
+
+# -- offsets (DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS) ----------------------
+
+def test_offsets_round_trip_and_index_highlight(ray_session, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.highlight import highlight_from_index
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.reader import SegmentReader
+    from lucene_solr_ray.search.searcher import Index
+
+    out = str(tmp_path / "offidx")
+    build_index(
+        f"{sf_dir}/documents.parquet", out, text_col="text", id_col="doc_id",
+        docs_per_segment=200, with_offsets=True,
+    )
+    idx = Index(out)
+    # offsets agree with the analyzer's own offsets for a sample doc
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    did = t.column("doc_id")[3].as_py()
+    text = t.column("text")[3].as_py()
+    reader = SegmentReader(idx.seg_dirs[0], load_positions=True)
+    loc = int(np.searchsorted(reader.doc_ids, did))
+    tok0 = text.split()[0]
+    ords, offfn = reader.offsets(tok0)
+    j = int(np.searchsorted(ords, loc))
+    assert ords[j] == loc
+    for s0, e0 in offfn(j):
+        assert text[s0:e0] == tok0
+    # index-driven highlighting wraps real spans without re-tokenizing
+    snip = highlight_from_index(idx, did, text, {tok0: 1.0}, window=10)
+    assert f"<em>{tok0}</em>" in snip
+
+
+def test_offsets_survive_merge(ray_session, sf_dir, tmp_path):
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.merge import merge_until_done
+    from lucene_solr_ray.index.merge_policy import MB, TieredMergePolicy
+    from lucene_solr_ray.search.reader import SegmentReader
+    from lucene_solr_ray.search.searcher import Index
+
+    out = str(tmp_path / "offm")
+    build_index(
+        f"{sf_dir}/documents.parquet", out, text_col="text", id_col="doc_id",
+        docs_per_segment=100, with_offsets=True,
+    )
+    merge_until_done(
+        out, TieredMergePolicy(max_merge_at_once=4, segs_per_tier=2.0,
+                               floor_segment_bytes=1 * MB),
+    )
+    idx = Index(out)
+    reader = SegmentReader(idx.seg_dirs[0], load_positions=True)
+    ords, offfn = reader.offsets("merge")
+    assert len(ords) > 0 and len(offfn(0)) > 0
