@@ -184,3 +184,33 @@ class StandardAnalyzer:
         from collections import Counter
 
         return Counter(self.analyze(text))
+
+
+class KeywordAnalyzer(StandardAnalyzer):
+    """The whole value is ONE atomic token — ``StringField`` /
+    ``KeywordAnalyzer`` semantics (reference
+    ``lucene/core/src/java/org/apache/lucene/analysis/standard/``'s
+    untokenized sibling; ``document/StringField.java``).  ``lowercase=True``
+    gives KeywordTokenizer+LowerCaseFilter (Solr's lowercase fieldType)."""
+
+    def __init__(self, lowercase_value: bool = False) -> None:
+        super().__init__()
+        self.lowercase_value = lowercase_value
+
+    def _one(self, text: str) -> List[str]:
+        if not text:
+            return []
+        return [lowercase(text) if self.lowercase_value else text]
+
+    def analyze(self, text: str) -> List[str]:
+        return self._one(text)
+
+    def analyze_with_positions(self, text: str):
+        t = self._one(text)
+        return t, [0] * len(t), len(t)
+
+    def analyze_with_offsets(self, text: str):
+        t = self._one(text)
+        if not t:
+            return [], [], [], [], 0
+        return t, [0], [0], [len(text)], 1

@@ -140,6 +140,7 @@ class _BuildShard:
         stored_cols: Sequence[str] = (),
         extra_fields: Optional[Dict[str, str]] = None,
         with_offsets: bool = False,
+        field_analyzers: Optional[Dict[str, StandardAnalyzer]] = None,
     ) -> None:
         self.out_dir = out_dir
         self.text_col = text_col
@@ -149,6 +150,7 @@ class _BuildShard:
         self.stored_cols = list(stored_cols)
         self.extra_fields = dict(extra_fields or {})
         self.with_offsets = with_offsets
+        self.field_analyzers = dict(field_analyzers or {})
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -180,6 +182,7 @@ class _BuildShard:
             seg = build_segment_tables_multi(
                 doc_ids, field_texts, self.text_col, self.analyzer,
                 self.with_positions, self.with_offsets,
+                self.field_analyzers,
             )
         else:
             seg = build_segment_tables(
@@ -218,6 +221,7 @@ def build_index(
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     with_positions: bool = True,
     with_offsets: bool = False,
+    field_analyzers: Optional[Dict[str, StandardAnalyzer]] = None,
     concurrency: Optional[int] = None,
 ) -> Dict:
     """Build (or resume) an index over corpus Parquet; returns the manifest.
@@ -244,7 +248,7 @@ def build_index(
     if todo:
         fn = _BuildShard(
             out_dir, text_col, id_col, analyzer, with_positions, stored_cols,
-            extra_fields, with_offsets,
+            extra_fields, with_offsets, field_analyzers,
         )
         # one block per shard — map_batches parallelism follows block count,
         # so without this from_items may pack shards into few blocks and

@@ -269,6 +269,7 @@ def build_segment_tables_multi(
     analyzer: Optional[StandardAnalyzer] = None,
     with_positions: bool = True,
     with_offsets: bool = False,
+    field_analyzers: "Optional[Dict[str, StandardAnalyzer]]" = None,
 ) -> SegmentData:
     """Multi-field inversion: run the single-field kernel per field, prefix
     non-default fields' terms with ``field\\x1f`` (terms stay byte-sorted:
@@ -285,9 +286,12 @@ def build_segment_tables_multi(
     invariant column of the corpus contract).
     """
     assert default_field in field_texts
+    field_analyzers = field_analyzers or {}
     segs = {
-        f: build_segment_tables(doc_ids, texts, analyzer, with_positions,
-                                with_offsets)
+        f: build_segment_tables(
+            doc_ids, texts, field_analyzers.get(f, analyzer),
+            with_positions, with_offsets,
+        )
         for f, texts in field_texts.items()
     }
     base = segs[default_field]

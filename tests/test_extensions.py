@@ -472,3 +472,47 @@ def test_offsets_survive_merge(ray_session, sf_dir, tmp_path):
     reader = SegmentReader(idx.seg_dirs[0], load_positions=True)
     ords, offfn = reader.offsets("merge")
     assert len(ords) > 0 and len(offfn(0)) > 0
+
+
+def test_keyword_analyzer_field(ray_session, sf_dir, tmp_path):
+    """StringField semantics: a KeywordAnalyzer field keeps multi-word
+    values atomic (part names with spaces match only as whole values)."""
+    from lucene_solr_ray.analysis.analyzer import KeywordAnalyzer
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.query import TermQuery
+    from lucene_solr_ray.search.searcher import Index
+
+    out = str(tmp_path / "kw")
+    build_index(
+        f"{sf_dir}/part.parquet", out, text_col="p_name",
+        id_col="p_partkey",
+        extra_fields={"brand": "p_brand"},
+        field_analyzers={"brand": KeywordAnalyzer()},
+        docs_per_segment=500,
+    )
+    idx = Index(out)
+    # "Brand#2" has '#' — atomic keyword token, unreachable by tokenization
+    hits = idx.search_parsed(
+        [(0, TermQuery("Brand#2", field="brand"), 10_000)]
+    ).to_pandas()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_brand"])
+    want = {
+        k for k, b in zip(t.column("p_partkey").to_pylist(),
+                          t.column("p_brand").to_pylist())
+        if b == "Brand#2"
+    }
+    assert set(hits["doc_id"]) == want
+
+
+def test_keyword_analyzer_unit():
+    from lucene_solr_ray.analysis.analyzer import KeywordAnalyzer
+
+    k = KeywordAnalyzer()
+    assert k.analyze("Foo Bar-Baz!") == ["Foo Bar-Baz!"]
+    assert k.analyze("") == []
+    assert KeywordAnalyzer(lowercase_value=True).analyze("FooBar") == ["foobar"]
+    t, p, s0, e0, n = k.analyze_with_offsets("Some Value")
+    assert (t, p, s0, e0, n) == (["Some Value"], [0], [0], [10], 1)
