@@ -22,6 +22,7 @@ __all__ = [
     "PhraseQuery",
     "SynonymQuery",
     "DisjunctionMaxQuery",
+    "BlendedTermQuery",
     "Occur",
     "BooleanClause",
     "BooleanQuery",
@@ -87,6 +88,20 @@ class SynonymQuery(Query):
 
     def terms(self) -> List[str]:
         return list(self.syn_terms)
+
+
+@dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """Weighted term union with BLENDED statistics: every term scores with
+    df = max df across the set, then per-term boosts apply and scores sum
+    (``BlendedTermQuery.java``; the shape FuzzyQuery's default
+    TopTermsBlendedFreqScoringRewrite produces)."""
+
+    bl_terms: Tuple[str, ...]
+    boosts: Tuple[float, ...]
+
+    def terms(self) -> List[str]:
+        return list(self.bl_terms)
 
 
 @dataclass(frozen=True)

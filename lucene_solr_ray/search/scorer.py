@@ -32,6 +32,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from lucene_solr_ray.search.query import (
+    BlendedTermQuery,
     BooleanQuery,
     BoostQuery,
     ConstantScoreQuery,
@@ -95,6 +96,8 @@ class _Eval:
             return self._phrase(q, boost)
         if isinstance(q, SynonymQuery):
             return self._synonym(q, boost)
+        if isinstance(q, BlendedTermQuery):
+            return self._blended(q, boost)
         if isinstance(q, DisjunctionMaxQuery):
             return self._dismax(q, boost)
         if isinstance(q, MatchAllDocsQuery):
@@ -168,6 +171,34 @@ class _Eval:
             df_max,
         )
         return ords, sc.score(freq_acc[ords], self.norms[ords])
+
+    def _blended(self, q: BlendedTermQuery, boost: float):
+        """Σ_t boost_t · BM25(freq_t, norm; df = max df over the set) —
+        blended statistics keep rare fuzzy variants from dominating via
+        tiny df (``BlendedTermQuery.java`` adjustFrequencies)."""
+        df_blend = max(
+            (self.stats.df.get(t, 0) for t in q.bl_terms), default=0
+        )
+        if df_blend <= 0:
+            return _EMPTY_I, _EMPTY_F
+        acc = np.zeros(self.ndocs, dtype=np.float64)
+        seen = np.zeros(self.ndocs, dtype=bool)
+        for t, b in zip(q.bl_terms, q.boosts):
+            p = self.reader.postings(t)
+            if p is None:
+                continue
+            ords, freqs = p
+            sc = self.sim.scorer(
+                boost * b, self.stats.doc_count,
+                self.stats.sum_total_term_freq, df_blend,
+            )
+            np.add.at(
+                acc, ords,
+                sc.score(freqs, self.norms[ords]).astype(np.float64),
+            )
+            seen[ords] = True
+        ords = np.nonzero(seen)[0].astype(np.int32)
+        return ords, acc[ords].astype(self.sim.out_dtype)
 
     def _dismax(self, q: DisjunctionMaxQuery, boost: float):
         """score = max + tie_breaker * (sum - max) over matching disjuncts

@@ -117,6 +117,13 @@ def match_terms(pattern: Query, terms: Sequence[str]) -> List[str]:
     raise TypeError(type(pattern))
 
 
+def _edit_distance(a: str, b: str, cap: int) -> int:
+    for k in range(cap + 1):
+        if _edit_distance_le(a, b, k):
+            return k
+    return cap + 1
+
+
 def _edit_distance_le(a: str, b: str, k: int) -> bool:
     if abs(len(a) - len(b)) > k:
         return False
@@ -133,8 +140,31 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
     return prev[-1] <= k
 
 
+#: FuzzyQuery.maxExpansions default (TopTermsRewrite size)
+FUZZY_MAX_EXPANSIONS = 50
+
+
 def rewrite_query(q: Query, expansions: Dict[Query, Tuple[str, ...]]) -> Query:
-    """Replace multi-term nodes with constant-score term sets."""
+    """Replace multi-term nodes with primitives: FuzzyQuery blends
+    (TopTermsBlendedFreqScoringRewrite, the reference default); the other
+    multi-term queries take CONSTANT_SCORE_REWRITE."""
+    if isinstance(q, FuzzyQuery):
+        ts = expansions.get(q, ())
+        if not ts:
+            return MatchNoDocsQuery(f"no terms match {q!r}")
+        # FuzzyTermsEnum boost: 1 - editDistance / min(|term|, |query|)
+        scored = []
+        for t in ts:
+            d = _edit_distance(q.term, t, q.max_edits)
+            b = 1.0 - d / max(min(len(t), len(q.term)), 1)
+            scored.append((b, t))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        scored = scored[:FUZZY_MAX_EXPANSIONS]
+        from lucene_solr_ray.search.query import BlendedTermQuery
+
+        return BlendedTermQuery(
+            tuple(t for _, t in scored), tuple(b for b, _ in scored)
+        )
     if isinstance(q, _MULTITERM):
         ts = expansions.get(q, ())
         if not ts:
@@ -432,6 +462,16 @@ class Index:
             parsed = [
                 (qid, rewrite_query(q, exp), kk) for qid, q, kk in parsed
             ]
+            # blended rewrites (fuzzy) introduce scoring terms the first
+            # stats pass didn't know — top up their df/ttf
+            extra = sorted(
+                {t for _, q, _ in parsed for t in q.terms()}
+                - set(stats.df)
+            )
+            if extra:
+                more, _ = self.collect_stats(extra)
+                stats.df.update(more.df)
+                stats.ttf.update(more.ttf)
 
         # 3: scoring pass over segments (actor pool when concurrency given)
         need_pos = any(

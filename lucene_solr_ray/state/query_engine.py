@@ -211,9 +211,17 @@ class QueryEngine:
         terms = sorted({t for _, q, _ in parsed for t in q.terms()})
         stats, exp = self._stats_for(terms, patterns)
         if patterns:
-            # expanded terms score constant — no extra stats needed
             parsed = [(qid, rewrite_query(q, exp), kk)
                       for qid, q, kk in parsed]
+            # blended rewrites (fuzzy) score with real stats — top up
+            extra = sorted(
+                {t for _, q, _ in parsed for t in q.terms()}
+                - set(stats.df)
+            )
+            if extra:
+                more, _ = self._stats_for(extra, [])
+                stats.df.update(more.df)
+                stats.ttf.update(more.ttf)
         futs = [a.search.remote(parsed, stats, self.sim) for a in self.actors]
         rows: List[dict] = []
         for part in ray.get(futs):
