@@ -516,3 +516,41 @@ def test_keyword_analyzer_unit():
     assert KeywordAnalyzer(lowercase_value=True).analyze("FooBar") == ["foobar"]
     t, p, s0, e0, n = k.analyze_with_offsets("Some Value")
     assert (t, p, s0, e0, n) == (["Some Value"], [0], [0], [10], 1)
+
+
+# -- line-doc source + resumable sink ----------------------------------------
+
+def test_line_doc_source(ray_session, tmp_path):
+    from lucene_solr_ray.sources.textline import read_line_docs
+
+    p = tmp_path / "docs.txt"
+    p.write_text("Title A\t2024-01-01\tbody words here\nbare line doc\n")
+    out = read_line_docs(str(p)).to_pandas()
+    assert len(out) == 2
+    rows = {
+        (r["title"], r["body"]) for _, r in out.iterrows()
+    }  # streaming executor may reorder blocks
+    assert rows == {("Title A", "body words here"), ("", "bare line doc")}
+
+
+def test_resumable_partitioned_sink(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_solr_ray.stages.sinks import resume_state, write_partitioned
+
+    ds = ray.data.from_items(
+        [{"grp": g, "v": i} for i, g in enumerate(["a", "a", "b", "c"])]
+    )
+    out = str(tmp_path / "sink")
+    w1 = write_partitioned(ds, out, "grp")
+    assert w1 == {"a": 2, "b": 1, "c": 1}
+    assert resume_state(out) == {"a": 2, "b": 1, "c": 1}
+    # rerun skips everything
+    w2 = write_partitioned(ds, out, "grp")
+    assert w2 == {}
+    # partial wipe → only that partition rewrites
+    import shutil
+
+    shutil.rmtree(out + "/grp=b")
+    w3 = write_partitioned(ds, out, "grp")
+    assert w3 == {"b": 1}
