@@ -230,13 +230,27 @@ class _StatsFn:
                          "df": int(df), "ttf": int(ttf)}
                     )
             if self.patterns:
-                term_list = pq.read_table(
-                    path, columns=["term"]
-                ).column("term").to_pylist()
+                t = pq.read_table(path, columns=["term", "df", "ttf"])
+                term_list = t.column("term").to_pylist()
+                row_of = {tm: i for i, tm in enumerate(term_list)}
+                dfs = t.column("df").to_numpy()
+                ttfs = t.column("ttf").to_numpy()
+                # expansion rows carry the segment's df/ttf so the blended
+                # fuzzy rewrite needs no second stats pass — but each key's
+                # stats must be counted ONCE per segment (a term can be an
+                # explicit query term and match several patterns)
+                counted = set(self.terms)
                 for pi, pat in enumerate(self.patterns):
                     for tm in match_terms(pat, term_list):
+                        if tm in counted:
+                            df_v = ttf_v = 0
+                        else:
+                            counted.add(tm)
+                            i = row_of[tm]
+                            df_v, ttf_v = int(dfs[i]), int(ttfs[i])
                         rows.append(
-                            {"kind": f"pat{pi}", "key": tm, "df": 0, "ttf": 0}
+                            {"kind": f"pat{pi}", "key": tm,
+                             "df": df_v, "ttf": ttf_v}
                         )
         if not rows:
             rows = []
@@ -395,11 +409,10 @@ class Index:
                 _StatsFn(list(terms), patterns), batch_format="pyarrow"
             ).take_all()
             for r in parts:
-                if r["kind"] == "stat":
-                    stats.df[r["key"]] = stats.df.get(r["key"], 0) + r["df"]
-                    stats.ttf[r["key"]] = stats.ttf.get(r["key"], 0) + r["ttf"]
-                else:
+                if r["kind"] != "stat":
                     expansions[patterns[int(r["kind"][3:])]].add(r["key"])
+                stats.df[r["key"]] = stats.df.get(r["key"], 0) + r["df"]
+                stats.ttf[r["key"]] = stats.ttf.get(r["key"], 0) + r["ttf"]
         return stats, {
             p: tuple(sorted(ts)) for p, ts in expansions.items()
         }
