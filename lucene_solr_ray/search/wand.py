@@ -146,7 +146,16 @@ def topk_pruned(
     sim: Optional[BM25Similarity] = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Block-max pruned top-k; None if the query shape is unsupported."""
+    from lucene_solr_ray.search.query import PhraseQuery
+
     sim = sim or BM25Similarity()
+    if (
+        isinstance(query, PhraseQuery)
+        and query.slop == 0
+        and query.field is None
+        and len(set(query.phrase_terms)) == len(query.phrase_terms)
+    ):
+        return _phrase_pruned(reader, query, stats, k, sim)
     flat = flatten_term_sum(query)
     if flat is None:
         return None
@@ -272,3 +281,84 @@ def _conj(tps, norms, doc_ids, k, out_dtype, eq_prune=True):
         )
     order = np.lexsort((heap_d, -heap_s.astype(np.float64)))
     return heap_o[order].astype(np.int32), heap_s[order]
+
+
+def _phrase_pruned(reader, q, stats: GlobalStats, k: int, sim):
+    """Impact-pruned exact-phrase top-k (the phrase-impacts idea the
+    reference added for exact phrases in 8.x: ``PhraseQuery``'s impacts
+    merge term impacts; here the per-candidate upper bound is the phrase
+    scorer applied to min-over-terms term freq — phrase freq can never
+    exceed any term's freq).  Candidates verify positions in descending
+    bound order and stop once the bound can't beat the k-th score."""
+    from lucene_solr_ray.search.scorer import _Eval
+
+    keys = list(q.phrase_terms)
+    posts = []
+    for t in keys:
+        p = reader.postings(t)
+        if p is None or stats.df.get(t, 0) <= 0:
+            return (np.empty(0, np.int32), np.empty(0, sim.out_dtype))
+        posts.append(p)
+    cand = posts[0][0]
+    for ords, _ in posts[1:]:
+        cand = np.intersect1d(cand, ords, assume_unique=True)
+    if len(cand) == 0:
+        return (np.empty(0, np.int32), np.empty(0, sim.out_dtype))
+    # min term freq per candidate = phrase-freq upper bound
+    min_f = None
+    for ords, freqs in posts:
+        idx = np.searchsorted(ords, cand)
+        f = freqs[idx].astype(np.float64)
+        min_f = f if min_f is None else np.minimum(min_f, f)
+    dt = sim.out_dtype
+    doc_count, sttf = stats.collection_for(q.field)
+    idf = dt(0.0)
+    for t in keys:
+        idf = dt(idf + sim.idf_value(stats.df[t], doc_count))
+    sc = sim.scorer_from_idf(1.0, idf, doc_count, sttf)
+    norms = reader.norms
+    bounds = sc.score(min_f, norms[cand])
+    order = np.argsort(-bounds.astype(np.float64), kind="stable")
+
+    ev = _Eval(reader, stats, sim)
+    pos_readers = [reader.positions(t) for t in keys]
+    rel = np.asarray(q.positions, dtype=np.int64)
+    rel = rel - rel[0]
+    heap_s: list = []
+    heap_d: list = []
+    doc_ids = reader.doc_ids
+    out_o, out_s = [], []
+    import heapq
+
+    heap = []  # (score, -doc_id) min-heap of the current top-k
+    for ci in order:
+        d = int(cand[ci])
+        if len(heap) >= k and float(bounds[ci]) < heap[0][0]:
+            break  # bounds descend; nothing below can compete (equal
+            # bounds still verify: an equal score can win the doc-id tie)
+        # exact phrase freq via position intersection
+        base = None
+        ok = True
+        for (ords, posfn), off in zip(pos_readers, rel):
+            j = int(np.searchsorted(ords, d))
+            pos = posfn(j) - off
+            base = pos if base is None else np.intersect1d(
+                base, pos, assume_unique=True
+            )
+            if len(base) == 0:
+                ok = False
+                break
+        if not ok:
+            continue
+        score = sc.score(
+            np.asarray([float(len(base))]), norms[[d]]
+        )[0]
+        item = (float(score), -doc_ids[d], d)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+    res = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    o = np.asarray([r[2] for r in res], dtype=np.int32)
+    sarr = np.asarray([r[0] for r in res], dtype=dt)
+    return o, sarr

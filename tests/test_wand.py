@@ -25,6 +25,7 @@ class _MemReader:
     def __init__(self, seg):
         import numpy as np
 
+        self._seg = seg
         self.norms = seg.docmeta.column("norm").to_numpy()
         self.doc_ids = seg.docmeta.column("doc_id").to_numpy()
         self.ndocs = len(self.norms)
@@ -42,6 +43,22 @@ class _MemReader:
 
         blob = self.postings_blob(term)
         return None if blob is None else decode_postings(blob)
+
+    def positions(self, term):
+        import numpy as np
+
+        r = self._row.get(term)
+        if r is None:
+            return None
+        ords, freqs = self.postings(term)
+        blob = self._seg.postings.column("positions")[r].as_py() or b""
+        vals = np.frombuffer(blob, dtype="<i4")
+        offs = np.concatenate([[0], np.cumsum(freqs, dtype=np.int64)])
+
+        def posfn(i):
+            return vals[offs[i]: offs[i + 1]]
+
+        return ords, posfn
 
 
 def _make_corpus(rng: random.Random, n_docs: int, vocab_n: int):
@@ -75,7 +92,7 @@ def _stats(seg, reader):
 QUERIES = [
     "t0", "t1", "t5 OR t9", "t0 OR t1 OR t2 OR t3",
     "t0 AND t1", "t0 AND t1 AND t2", "t2 OR t40", "t3^2 OR t7",
-    "t0 AND t30",
+    "t0 AND t30", '"t0 t1"', '"t1 t2"', '"t0 t40"',
 ]
 
 
@@ -84,7 +101,7 @@ QUERIES = [
 def test_check_top_scores(seed, k):
     rng = random.Random(seed)
     texts = _make_corpus(rng, 400, 50)
-    seg = build_segment_tables(list(range(400)), texts, with_positions=False)
+    seg = build_segment_tables(list(range(400)), texts)
     reader = _MemReader(seg)
     stats = _stats(seg, reader)
     sim = BM25Similarity()
@@ -102,7 +119,7 @@ def test_pruned_skips_are_exercised():
     windows (sanity that the threshold machinery engages)."""
     rng = random.Random(9)
     texts = _make_corpus(rng, 3000, 10)
-    seg = build_segment_tables(list(range(3000)), texts, with_positions=False)
+    seg = build_segment_tables(list(range(3000)), texts)
     reader = _MemReader(seg)
     stats = _stats(seg, reader)
     q = parse("t0 OR t1")
@@ -113,7 +130,7 @@ def test_pruned_skips_are_exercised():
 
 
 def test_missing_required_term_short_circuits():
-    seg = build_segment_tables([0, 1], ["a b", "a c"], with_positions=False)
+    seg = build_segment_tables([0, 1], ["a b", "a c"])
     reader = _MemReader(seg)
     stats = _stats(seg, reader)
     o, s = topk_segment(reader, parse("a AND zzz"), stats, 10, pruning=True)
