@@ -107,6 +107,7 @@ def highlight_batch(ds, text_col: str, term_weights: Dict[str, float],
 def highlight_from_index(
     index, doc_id: int, text: str, term_weights: Dict[str, float],
     window: int = 30, pre: str = "<em>", post: str = "</em>",
+    readers: "Optional[Dict[str, object]]" = None,
 ) -> str:
     """Highlight using the INDEXED char offsets (offsets-enabled index,
     DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS) — no re-tokenization of the
@@ -117,8 +118,15 @@ def highlight_from_index(
     from lucene_solr_ray.search.reader import SegmentReader
 
     spans = []  # (start, end, term)
+    # pass a shared ``readers`` dict when highlighting many docs: loading a
+    # SegmentReader per call re-reads the segment's whole postings table
+    if readers is None:
+        readers = {}
     for seg_dir in index.seg_dirs:
-        reader = SegmentReader(seg_dir, load_positions=True)
+        reader = readers.get(seg_dir)
+        if reader is None:
+            reader = SegmentReader(seg_dir, load_positions=True)
+            readers[seg_dir] = reader
         idx = np.searchsorted(reader.doc_ids, doc_id)
         if idx >= reader.ndocs or reader.doc_ids[idx] != doc_id:
             continue

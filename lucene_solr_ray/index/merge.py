@@ -121,7 +121,14 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         else:
             positions_out.append(None)
         if has_offsets:
-            offsets_out.append(b"".join(p[5] or b"" for p in parts))
+            if any(p[5] is None for p in parts):
+                # a part without offsets would misalign the freq-cumsum
+                # indexing of the merged blob — reject mixed IndexOptions
+                raise ValueError(
+                    f"term {term!r}: cannot merge segments with and "
+                    "without offsets"
+                )
+            offsets_out.append(b"".join(p[5] for p in parts))
         else:
             offsets_out.append(None)
 

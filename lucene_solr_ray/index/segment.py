@@ -95,6 +95,11 @@ def build_segment_tables(
     parallelism (the determinism the resume/checkpoint protocol relies on).
     """
     analyzer = analyzer or StandardAnalyzer()
+    if with_offsets and not with_positions:
+        raise ValueError(
+            "with_offsets requires with_positions (the offsets blob is "
+            "indexed by the freq boundaries the positions path defines)"
+        )
     n = len(texts)
     assert len(doc_ids) == n
 

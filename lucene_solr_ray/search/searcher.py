@@ -80,7 +80,15 @@ def _collect_patterns(q: Query, out: List[Query]) -> None:
 
 
 def match_terms(pattern: Query, terms: Sequence[str]) -> List[str]:
-    """Expand one multi-term query against a term dictionary slice."""
+    """Expand one multi-term query against a term dictionary slice.
+
+    Multi-term queries are DEFAULT-field scoped (field-scoped wildcards are
+    rejected at parse time), so other fields' ``field\x1fterm`` dictionary
+    keys are excluded before matching — otherwise a text wildcard like
+    ``lan*`` would leak matches from a ``lang`` keyword field."""
+    from lucene_solr_ray.index.segment import FIELD_SEP
+
+    terms = [t for t in terms if FIELD_SEP not in t]
     if isinstance(pattern, PrefixQuery):
         return [t for t in terms if t.startswith(pattern.prefix)]
     if isinstance(pattern, WildcardQuery):

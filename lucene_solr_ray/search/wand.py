@@ -290,8 +290,6 @@ def _phrase_pruned(reader, q, stats: GlobalStats, k: int, sim):
     scorer applied to min-over-terms term freq — phrase freq can never
     exceed any term's freq).  Candidates verify positions in descending
     bound order and stop once the bound can't beat the k-th score."""
-    from lucene_solr_ray.search.scorer import _Eval
-
     keys = list(q.phrase_terms)
     posts = []
     for t in keys:
@@ -320,14 +318,10 @@ def _phrase_pruned(reader, q, stats: GlobalStats, k: int, sim):
     bounds = sc.score(min_f, norms[cand])
     order = np.argsort(-bounds.astype(np.float64), kind="stable")
 
-    ev = _Eval(reader, stats, sim)
     pos_readers = [reader.positions(t) for t in keys]
     rel = np.asarray(q.positions, dtype=np.int64)
     rel = rel - rel[0]
-    heap_s: list = []
-    heap_d: list = []
     doc_ids = reader.doc_ids
-    out_o, out_s = [], []
     import heapq
 
     heap = []  # (score, -doc_id) min-heap of the current top-k

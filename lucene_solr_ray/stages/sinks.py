@@ -32,7 +32,13 @@ def write_partitioned(
     the checkpoint/resume contract of the north rule, at the sink.
 
     Returns partition → row count for partitions written this run."""
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
+    # sweep stale .tmp-* leftovers from crashed runs
+    for name in os.listdir(out_dir):
+        if ".tmp-" in name:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     done = resume_state(out_dir) if skip_complete else {}
 
     keys = [k for k in (ds.unique(partition_col) or ()) if k is not None]
@@ -43,11 +49,27 @@ def write_partitioned(
             continue
         pdir = os.path.join(out_dir, f"{partition_col}={part}")
         tmp = pdir + ".tmp-" + uuid.uuid4().hex[:8]
-        sub = ds.filter(expr=f"{partition_col} == {key!r}")
-        sub.write_parquet(tmp)
-        n = sub.count()
+
+        def _eq(t, key=key):
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t.column(partition_col), key))
+
+        # injection-safe vectorized filter (no expr-string interpolation);
+        # executed ONCE — row counts come from the written files' metadata
+        ds.map_batches(_eq, batch_format="pyarrow").write_parquet(tmp)
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
         with open(os.path.join(tmp, _DONE), "w") as f:
             json.dump({"partition": part, "rows": n}, f)
+        if os.path.isdir(pdir):
+            # rerun over an invalid/partial partition: replace it
+            shutil.rmtree(pdir)
         os.rename(tmp, pdir)
         written[part] = n
     return written

@@ -214,8 +214,32 @@ class QueryEngine:
             parsed = [(qid, rewrite_query(q, exp), kk)
                       for qid, q, kk in parsed]
             # blended rewrites (fuzzy) score with real stats — top up
+            # ONLY their terms (constant-score expansions never read df,
+            # and a broad wildcard would otherwise drag thousands of
+            # stats fetches into the warm path)
+            from lucene_solr_ray.search.query import BlendedTermQuery
+
+            def _blended_terms(q):
+                out = set()
+                stack = [q]
+                while stack:
+                    node = stack.pop()
+                    if isinstance(node, BlendedTermQuery):
+                        out.update(node.bl_terms)
+                    for attr in ("query", "disjuncts", "clauses"):
+                        sub = getattr(node, attr, None)
+                        if sub is None:
+                            continue
+                        if attr == "clauses":
+                            stack.extend(c.query for c in sub)
+                        elif attr == "disjuncts":
+                            stack.extend(sub)
+                        else:
+                            stack.append(sub)
+                return out
+
             extra = sorted(
-                {t for _, q, _ in parsed for t in q.terms()}
+                {t for _, q, _ in parsed for t in _blended_terms(q)}
                 - set(stats.df)
             )
             if extra:
