@@ -47,38 +47,14 @@ from lucene_solr_ray.index.segment import DOCMETA_SCHEMA, POSTINGS_SCHEMA
 __all__ = ["merge_segments", "merge_once", "merge_until_done"]
 
 
-def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
-    """Execute one merge spec → new committed segment dir; returns its meta.
-    Pure function of the input segment dirs (deterministic, idempotent)."""
-    import pyarrow.parquet as pq
-
-    import json
-
-    seg_dirs = [os.path.join(index_dir, segment_dir_name(s)) for s in spec_ids]
-    bases: List[int] = []
-    base = 0
-    docmetas = []
-    in_metas = []
-    for d in seg_dirs:
-        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
-        bases.append(base)
-        base += dm.num_rows
-        docmetas.append(dm)
-        with open(os.path.join(d, "segment.json")) as f:
-            in_metas.append(json.load(f))
-    docmeta = pa.concat_tables(docmetas)
-
-    # term-aligned merge WITHOUT codec work: within-block deltas are
-    # invariant under the ordinal rebase, so each term's merged posting
-    # list is its input blobs concatenated with block headers patched by
-    # the segment's doc base (postings_codec.concat_postings); df/ttf are
-    # column sums. Only block headers are touched — O(blocks), not
-    # O(postings).
+def _merge_postings_rows(tables, bases) -> "pa.Table":
+    """Term-aligned merge of input postings tables (already filtered to a
+    common term range) into one combined table — the per-term concat logic
+    shared by the single-task and term-sharded merge paths."""
     term_lists: Dict[str, List] = {}
     has_positions = False
     has_offsets = False
-    for si, d in enumerate(seg_dirs):
-        t = pq.read_table(os.path.join(d, "postings.parquet"))
+    for si, t in enumerate(tables):
         terms = t.column("term").to_pylist()
         blocks = t.column("blocks").to_pylist()
         dfs_in = t.column("df").to_pylist()
@@ -110,20 +86,15 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         ttfs.append(sum(p[3] for p in parts))
         if has_positions:
             if any(p[4] is None for p in parts):
-                # mixed IndexOptions across inputs cannot be reconciled
-                # (the reference rejects inconsistent field IndexOptions too)
                 raise ValueError(
                     f"term {term!r}: cannot merge segments with and "
                     "without positions"
                 )
-            # positions are doc-relative '<i4' blobs — merge is byte concat
             positions_out.append(b"".join(p[4] for p in parts))
         else:
             positions_out.append(None)
         if has_offsets:
             if any(p[5] is None for p in parts):
-                # a part without offsets would misalign the freq-cumsum
-                # indexing of the merged blob — reject mixed IndexOptions
                 raise ValueError(
                     f"term {term!r}: cannot merge segments with and "
                     "without offsets"
@@ -131,8 +102,7 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
             offsets_out.append(b"".join(p[5] for p in parts))
         else:
             offsets_out.append(None)
-
-    postings = pa.table(
+    return pa.table(
         {
             "term": pa.array(terms_sorted, pa.string()),
             "df": pa.array(np.asarray(dfs, dtype=np.int32)),
@@ -143,6 +113,39 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         },
         schema=POSTINGS_SCHEMA,
     )
+
+
+def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
+    """Execute one merge spec → new committed segment dir; returns its meta.
+    Pure function of the input segment dirs (deterministic, idempotent)."""
+    import pyarrow.parquet as pq
+
+    import json
+
+    seg_dirs = [os.path.join(index_dir, segment_dir_name(s)) for s in spec_ids]
+    bases: List[int] = []
+    base = 0
+    docmetas = []
+    in_metas = []
+    for d in seg_dirs:
+        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
+        bases.append(base)
+        base += dm.num_rows
+        docmetas.append(dm)
+        with open(os.path.join(d, "segment.json")) as f:
+            in_metas.append(json.load(f))
+    docmeta = pa.concat_tables(docmetas)
+
+    # term-aligned merge WITHOUT codec work: within-block deltas are
+    # invariant under the ordinal rebase, so each term's merged posting
+    # list is its input blobs concatenated with block headers patched by
+    # the segment's doc base (postings_codec.concat_postings); df/ttf are
+    # column sums. Only block headers are touched — O(blocks), not
+    # O(postings).
+    tables = [
+        pq.read_table(os.path.join(d, "postings.parquet")) for d in seg_dirs
+    ]
+    postings = _merge_postings_rows(tables, bases)
     # top-level stats sum the INPUT segments' top-level stats: for
     # multi-field segments those cover the default field only (the
     # collection stats BM25's avgdl derives from), while Σ over the merged
@@ -155,7 +158,7 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         "sum_doc_freq": int(
             sum(im["stats"]["sum_doc_freq"] for im in in_metas)
         ),
-        "term_count": len(terms_sorted),
+        "term_count": postings.num_rows,
     }
     # per-field stats + default_field carry through merges (multi-field)
     fields_acc: Dict[str, Dict[str, int]] = {}
@@ -183,9 +186,177 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
     return meta
 
 
+def merge_segments_sharded(
+    index_dir: str, spec_ids: List[int], new_id: int, num_shards: int = 8,
+) -> Dict:
+    """Term-range-sharded merge for specs too big for one task's CPU: the
+    term space is split at sampled boundaries; each Ray task merges ONE
+    range (parquet row-group statistics prune each input's read to the
+    range — terms are sorted on disk), writing a part file; the finalize
+    step streams the parts into the final postings.parquet row-group by
+    row-group (bounded memory).  This is the groupby(term-range) shuffle
+    of the north rule's skew story — a stop-word-scale posting list still
+    lands in ONE range, but concat_postings makes its work O(blocks).
+    Byte-identical output to :func:`merge_segments`."""
+    import json
+    import shutil
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    seg_dirs = [os.path.join(index_dir, segment_dir_name(s)) for s in spec_ids]
+    bases: List[int] = []
+    base = 0
+    docmetas = []
+    in_metas = []
+    for d in seg_dirs:
+        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
+        bases.append(base)
+        base += dm.num_rows
+        docmetas.append(dm)
+        with open(os.path.join(d, "segment.json")) as f:
+            in_metas.append(json.load(f))
+    docmeta = pa.concat_tables(docmetas)
+
+    # boundaries: quantile terms of the largest input's dictionary
+    big = max(seg_dirs, key=lambda d: os.path.getsize(
+        os.path.join(d, "postings.parquet")))
+    terms = pq.read_table(
+        os.path.join(big, "postings.parquet"), columns=["term"]
+    ).column("term").to_pylist()
+    cuts = [
+        terms[(len(terms) * i) // num_shards]
+        for i in range(1, num_shards)
+    ] if terms else []
+    cuts = sorted(set(cuts))
+    ranges = []
+    lo = None
+    for c in cuts:
+        ranges.append((lo, c))
+        lo = c
+    ranges.append((lo, None))
+
+    tmp_parts = os.path.join(
+        index_dir, f".merge-{new_id}.parts-{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(tmp_parts, exist_ok=True)
+
+    def _one_range(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for row in batch.to_pylist():
+            lo_, hi_, ri = row["lo"], row["hi"], row["ri"]
+            filt = None
+            if lo_ is not None:
+                filt = pc.field("term") >= lo_
+            if hi_ is not None:
+                f2 = pc.field("term") < hi_
+                filt = f2 if filt is None else (filt & f2)
+            tables = []
+            for d in seg_dirs:
+                dsrc = pads.dataset(
+                    os.path.join(d, "postings.parquet"), format="parquet"
+                )
+                tables.append(
+                    dsrc.to_table(filter=filt) if filt is not None
+                    else dsrc.to_table()
+                )
+            part = _merge_postings_rows(tables, bases)
+            pq.write_table(
+                part, os.path.join(tmp_parts, f"part-{ri:04d}.parquet"),
+                compression="zstd",
+            )
+            out_rows.append({"ri": ri, "terms": part.num_rows})
+        return pa.Table.from_pylist(out_rows)
+
+    items = [
+        {"lo": lo_, "hi": hi_, "ri": i}
+        for i, (lo_, hi_) in enumerate(ranges)
+    ]
+    ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        _one_range, batch_size=1, batch_format="pyarrow"
+    ).take_all()
+
+    # finalize: stream parts (in term order) into one postings file
+    final_tmp = os.path.join(
+        index_dir, segment_dir_name(new_id) + ".tmp-" + uuid.uuid4().hex[:8]
+    )
+    os.makedirs(final_tmp, exist_ok=True)
+    writer = None
+    dfs_total = 0
+    ttfs_total = 0
+    n_terms = 0
+    for i in range(len(ranges)):
+        part = pq.read_table(os.path.join(tmp_parts, f"part-{i:04d}.parquet"))
+        if writer is None:
+            writer = pq.ParquetWriter(
+                os.path.join(final_tmp, "postings.parquet"), part.schema,
+                compression="zstd",
+            )
+        if part.num_rows:
+            writer.write_table(part)
+        n_terms += part.num_rows
+    if writer is not None:
+        writer.close()
+    shutil.rmtree(tmp_parts, ignore_errors=True)
+    pq.write_table(
+        docmeta, os.path.join(final_tmp, "docmeta.parquet"),
+        compression="zstd",
+    )
+    stats = {
+        "doc_count": docmeta.num_rows,
+        "sum_total_term_freq": int(
+            sum(im["stats"]["sum_total_term_freq"] for im in in_metas)
+        ),
+        "sum_doc_freq": int(
+            sum(im["stats"]["sum_doc_freq"] for im in in_metas)
+        ),
+        "term_count": n_terms,
+    }
+    fields_acc: Dict[str, Dict[str, int]] = {}
+    for im in in_metas:
+        for fname, fs in (im["stats"].get("fields") or {}).items():
+            acc = fields_acc.setdefault(
+                fname, {"doc_count": 0, "sum_total_term_freq": 0}
+            )
+            acc["doc_count"] += fs["doc_count"]
+            acc["sum_total_term_freq"] += fs["sum_total_term_freq"]
+    if fields_acc:
+        stats["fields"] = fields_acc
+    meta = {
+        "segment_id": new_id,
+        "stats": stats,
+        "lineage": {"merged_from": list(spec_ids), "sharded": len(ranges)},
+    }
+    df_field = next(
+        (im.get("default_field") for im in in_metas
+         if im.get("default_field")), None,
+    )
+    if df_field:
+        meta["default_field"] = df_field
+    with open(os.path.join(final_tmp, "segment.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    final = os.path.join(index_dir, segment_dir_name(new_id))
+    try:
+        os.rename(final_tmp, final)
+    except OSError:
+        if os.path.isdir(final):
+            shutil.rmtree(final_tmp, ignore_errors=True)
+        else:
+            raise
+    return meta
+
+
+#: specs above this size run term-range-sharded (one task per range)
+SHARDED_MERGE_THRESHOLD = 512 * 1024 * 1024
+
+
 def merge_once(
     index_dir: str, policy: Optional[TieredMergePolicy] = None,
     drop_merged: bool = True,
+    shard_threshold_bytes: int = SHARDED_MERGE_THRESHOLD,
 ) -> int:
     """One merge round: policy over the latest manifest, execute specs in
     parallel (Ray tasks via a Dataset over specs), commit the next
@@ -205,10 +376,15 @@ def merge_once(
     if not specs:
         return 0
     next_id = max(live) + 1
-    items = [
-        {"spec_ids": list(sp.segment_ids), "new_id": next_id + i}
-        for i, sp in enumerate(specs)
-    ]
+    small_items = []
+    big = []
+    for i, sp in enumerate(specs):
+        if sp.total_bytes > shard_threshold_bytes:
+            big.append({"spec_ids": list(sp.segment_ids),
+                        "new_id": next_id + i})
+        else:
+            small_items.append({"spec_ids": list(sp.segment_ids),
+                                "new_id": next_id + i})
 
     def _run(batch: pa.Table) -> pa.Table:
         out = []
@@ -218,9 +394,13 @@ def merge_once(
             [{"segment_id": m["segment_id"]} for m in out]
         )
 
-    ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
-        _run, batch_size=1, batch_format="pyarrow"
-    ).take_all()
+    if small_items:
+        ray.data.from_items(
+            small_items, override_num_blocks=len(small_items)
+        ).map_batches(_run, batch_size=1, batch_format="pyarrow").take_all()
+    for row in big:
+        # over-threshold merges parallelize internally by term range
+        merge_segments_sharded(index_dir, row["spec_ids"], row["new_id"])
 
     merged_away = {sid for sp in specs for sid in sp.segment_ids}
     survivors = [m for sid, m in live.items() if sid not in merged_away]

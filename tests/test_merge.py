@@ -93,3 +93,39 @@ def test_check_index_after_merge(sf_dir, tmp_path):
     rep = check_index(out)
     assert rep["ok"], rep["errors"]
     assert rep["docs"] == 500
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_merge_byte_identical(sf_dir, tmp_path):
+    """Term-range-sharded merge must produce the same segment content as
+    the single-task merge (same terms/df/ttf/blobs, same search results)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.merge import (
+        merge_segments,
+        merge_segments_sharded,
+    )
+    from lucene_solr_ray.search.searcher import Index
+
+    outs = []
+    for variant in ("single", "sharded"):
+        out = str(tmp_path / variant)
+        build_index(
+            f"{sf_dir}/documents.parquet", out, text_col="text",
+            id_col="doc_id", docs_per_segment=150,
+        )
+        ids = [s["segment_id"]
+               for s in read_latest_manifest(out)["segments"]]
+        if variant == "single":
+            merge_segments(out, ids, 99)
+        else:
+            merge_segments_sharded(out, ids, 99, num_shards=4)
+        outs.append(out)
+    a = pq.read_table(os.path.join(outs[0], "seg_000099/postings.parquet"))
+    b = pq.read_table(os.path.join(outs[1], "seg_000099/postings.parquet"))
+    assert a.column("term").to_pylist() == b.column("term").to_pylist()
+    assert a.column("df").to_pylist() == b.column("df").to_pylist()
+    assert a.column("blocks").to_pylist() == b.column("blocks").to_pylist()
+    assert a.column("positions").to_pylist() == b.column("positions").to_pylist()
