@@ -219,19 +219,11 @@ class QueryParser:
     def _term(self, text: str, fuzz: Optional[str]) -> Optional[Query]:
         fld, text = self._strip_field(text)
         if fuzz is not None:
-            if fld is not None:
-                raise ParseError(
-                    f"field-scoped fuzzy ({fld}:{text}~) is not supported"
-                )
             base = text.lower()
             max_edits = int(float(fuzz)) if fuzz else 2
-            return FuzzyQuery(base, max_edits=max_edits)
+            return FuzzyQuery(base, max_edits=max_edits, field=fld)
         if "*" in text or "?" in text:
-            if fld is not None:
-                raise ParseError(
-                    f"field-scoped wildcard ({fld}:{text}) is not supported"
-                )
-            return WildcardQuery(text.lower())
+            return WildcardQuery(text.lower(), field=fld)
         toks = self.analyzer.analyze(text)
         if not toks:
             return None

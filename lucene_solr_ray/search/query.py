@@ -184,6 +184,7 @@ class ConstantScoreQuery(Query):
 @dataclass(frozen=True)
 class PrefixQuery(Query):
     prefix: str
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -191,11 +192,13 @@ class WildcardQuery(Query):
     """``*`` any run, ``?`` one char (``WildcardQuery.java``)."""
 
     pattern: str
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
 class RegexpQuery(Query):
     pattern: str
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -203,6 +206,7 @@ class FuzzyQuery(Query):
     term: str
     max_edits: int = 2  # FuzzyQuery.defaultMaxEdits
     prefix_length: int = 0
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -211,6 +215,7 @@ class TermRangeQuery(Query):
     upper: Optional[str]
     include_lower: bool = True
     include_upper: bool = True
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -82,13 +82,26 @@ def _collect_patterns(q: Query, out: List[Query]) -> None:
 def match_terms(pattern: Query, terms: Sequence[str]) -> List[str]:
     """Expand one multi-term query against a term dictionary slice.
 
-    Multi-term queries are DEFAULT-field scoped (field-scoped wildcards are
-    rejected at parse time), so other fields' ``field\x1fterm`` dictionary
-    keys are excluded before matching — otherwise a text wildcard like
-    ``lan*`` would leak matches from a ``lang`` keyword field."""
-    from lucene_solr_ray.index.segment import FIELD_SEP
+    Patterns match only within their own field's dictionary slice: a
+    default-field pattern sees bare terms only (a text wildcard like
+    ``lan*`` must not leak matches from a ``lang`` keyword field), and a
+    field-scoped pattern sees that field's ``field\x1fterm`` keys with the
+    prefix stripped for matching and restored in the result (expansion
+    keys feed postings lookups directly)."""
+    from lucene_solr_ray.index.segment import FIELD_SEP, field_term
 
+    fld = getattr(pattern, "field", None)
+    if fld:
+        pre = fld + FIELD_SEP
+        suffixes = [t[len(pre):] for t in terms if t.startswith(pre)]
+        return [
+            field_term(fld, t) for t in _match_bare(pattern, suffixes)
+        ]
     terms = [t for t in terms if FIELD_SEP not in t]
+    return _match_bare(pattern, terms)
+
+
+def _match_bare(pattern: Query, terms: Sequence[str]) -> List[str]:
     if isinstance(pattern, PrefixQuery):
         return [t for t in terms if t.startswith(pattern.prefix)]
     if isinstance(pattern, WildcardQuery):
@@ -160,6 +173,11 @@ def rewrite_query(q: Query, expansions: Dict[Query, Tuple[str, ...]]) -> Query:
         ts = expansions.get(q, ())
         if not ts:
             return MatchNoDocsQuery(f"no terms match {q!r}")
+        if q.field is not None:
+            # field-scoped fuzzy: constant-score (blended scoring would
+            # need that field's norms wired through BlendedTermQuery —
+            # deferred; keys are already field-prefixed)
+            return ConstantScoreQuery(TermInSetQuery(tuple(ts)))
         # FuzzyTermsEnum boost: 1 - editDistance / min(|term|, |query|)
         scored = []
         for t in ts:

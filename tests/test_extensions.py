@@ -554,3 +554,27 @@ def test_resumable_partitioned_sink(ray_session, tmp_path):
     shutil.rmtree(out + "/grp=b")
     w3 = write_partitioned(ds, out, "grp")
     assert w3 == {"b": 1}
+
+
+def test_field_scoped_multiterm(mf_index, sf_dir):
+    """Field-scoped wildcard/prefix expand within that field's dictionary
+    slice only; default-field wildcards never leak other fields' values."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang"])
+    langs = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("lang").to_pylist()))
+    # lang:e* == docs with lang in {en, es}
+    got = set(
+        mf_index.search({0: "lang:e*"}, k=10_000).to_pandas()["doc_id"]
+    )
+    want = {d for d, lg in langs.items() if lg.startswith("e")}
+    assert got == want
+    # default-field wildcard must not see lang values
+    assert mf_index.search({0: "lan*"}, k=10).to_pandas().empty
+    # field fuzzy (constant-score) matches the right docs
+    got_f = set(
+        mf_index.search({0: "lang:een~1"}, k=10_000).to_pandas()["doc_id"]
+    )
+    assert got_f >= {d for d, lg in langs.items() if lg == "en"}
