@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sortfield_topk": fulltext.sortfield_topk,
         "hit_counts": fulltext.hit_counts,
         "multifield_topk": fulltext.multifield_topk,
+        "field_wildcard_docs": fulltext.field_wildcard_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -66,6 +67,7 @@ def oracle_sql() -> dict[str, str]:
         "sortfield_topk": fulltext.sortfield_topk_sql(),
         "hit_counts": fulltext.hit_counts_sql(),
         "multifield_topk": fulltext.multifield_topk_sql(),
+        "field_wildcard_docs": fulltext.field_wildcard_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

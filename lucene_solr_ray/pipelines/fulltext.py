@@ -609,3 +609,26 @@ SELECT 0 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
   WHERE d.lang = 'en'
 ) WHERE rank <= 10
 """
+
+
+def field_wildcard_docs(sf_dir: str) -> pa.Table:
+    """Field-scoped wildcard over the ``lang`` keyword field:
+    docs whose lang starts with 'e' (constant-score rewrite)."""
+    idx = documents_index_mf(sf_dir)
+    t = idx.search({0: "lang:e*"}, k=100_000)
+    out = t.sort_by("doc_id")
+    return pa.table(
+        {
+            "doc_id": out.column("doc_id"),
+            "score": pa.array(
+                out.column("score").to_numpy().astype(np.float64)
+            ),
+        }
+    )
+
+
+def field_wildcard_docs_sql() -> str:
+    return """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE lang LIKE 'e%' ORDER BY doc_id
+"""
