@@ -685,3 +685,57 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS count FROM (
 
 QUERIES["facet_price_ranges"] = facet_price_ranges
 ORACLES["facet_price_ranges"] = FACET_RANGE_SQL
+
+
+# -- JSON Facet API ----------------------------------------------------------
+
+def json_facet_brands(sf_dir: str) -> pd.DataFrame:
+    """Nested JSON facet: top-5 brands by count with avg retail price and
+    the top-2 sizes inside each brand — flattened to rows for the gate."""
+    from lucene_solr_ray.stages.json_facet import json_facet
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    res = json_facet(ds, {
+        "type": "terms", "field": "p_brand", "limit": 5,
+        "sort": "count desc",
+        "facet": {
+            "avg_price": "avg(p_retailprice)",
+            "by_size": {"type": "terms", "field": "p_size", "limit": 2},
+        },
+    })
+    rows = []
+    for b in res["buckets"]:
+        for sb in b["by_size"]["buckets"]:
+            rows.append({
+                "p_brand": b["val"],
+                "count": int(b["count"]),
+                "avg_price": round(float(b["avg_price"]), 6),
+                "p_size": int(sb["val"]),
+                "size_count": int(sb["count"]),
+            })
+    return pd.DataFrame(rows).sort_values(
+        ["p_brand", "p_size"]).reset_index(drop=True)
+
+
+JSON_FACET_SQL = """
+WITH top_brands AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS count,
+         ROUND(AVG(p_retailprice), 6) AS avg_price
+  FROM part GROUP BY p_brand
+  ORDER BY count DESC, p_brand LIMIT 5
+),
+sizes AS (
+  SELECT p_brand, p_size, CAST(COUNT(*) AS BIGINT) AS size_count,
+    ROW_NUMBER() OVER (PARTITION BY p_brand
+                       ORDER BY COUNT(*) DESC, p_size) AS rn
+  FROM part WHERE p_brand IN (SELECT p_brand FROM top_brands)
+  GROUP BY p_brand, p_size
+)
+SELECT t.p_brand, t.count, t.avg_price,
+       CAST(s.p_size AS BIGINT) AS p_size, s.size_count
+FROM top_brands t JOIN sizes s USING (p_brand)
+WHERE s.rn <= 2 ORDER BY t.p_brand, s.p_size
+"""
+
+QUERIES["json_facet_brands"] = json_facet_brands
+ORACLES["json_facet_brands"] = JSON_FACET_SQL

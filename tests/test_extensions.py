@@ -578,3 +578,30 @@ def test_field_scoped_multiterm(mf_index, sf_dir):
         mf_index.search({0: "lang:een~1"}, k=10_000).to_pandas()["doc_id"]
     )
     assert got_f >= {d for d, lg in langs.items() if lg == "en"}
+
+
+def test_plumbing_streams(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.stages.plumbing import (
+        Let,
+        cell_stream,
+        echo_stream,
+        list_stream,
+        null_stream,
+        priority_stream,
+        tup_stream,
+    )
+
+    a = ray.data.from_items([{"x": 1}, {"x": 2}])
+    b = ray.data.from_items([{"x": 3}])
+    assert list_stream(a, b).count() == 3
+    assert null_stream(a).take(1)[0]["nullCount"] == 2
+    assert echo_stream("hi").take(1)[0]["echo"] == "hi"
+    assert tup_stream(k=7).take(1)[0]["k"] == 7
+    cell = cell_stream("rows", b).take(1)[0]
+    assert cell["rows"][0]["x"] == 3
+    empty = ray.data.from_items([{"x": 0}]).filter(expr="x > 10")
+    assert priority_stream(empty, b) is b
+    env = Let(docs=a).let("n", 2)
+    assert env.get("n") == 2 and env.get("docs") is a
