@@ -11,6 +11,7 @@ Usage (each command owns its Ray session; on a cluster submit with
     python -m lucene_solr_ray.cli suggest --index IDX --prefix s [-n 10]
     python -m lucene_solr_ray.cli stats  --index IDX
     python -m lucene_solr_ray.cli check  --index IDX
+    python -m lucene_solr_ray.cli serve  --index IDX   # queries on stdin
 """
 
 from __future__ import annotations
@@ -70,6 +71,11 @@ def main(argv=None) -> int:
     ck = sub.add_parser("check")
     ck.add_argument("--index", required=True)
 
+    sv = sub.add_parser("serve")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--actors", type=int, default=4)
+    sv.add_argument("-k", type=int, default=10)
+
     args = ap.parse_args(argv)
     _ray_init(args.num_cpus)
 
@@ -110,6 +116,35 @@ def main(argv=None) -> int:
         for term, w in suggest_terms(Index(args.index), args.prefix,
                                      n=args.n):
             print(json.dumps({"term": term, "weight": w}))
+    elif args.cmd == "serve":
+        from lucene_solr_ray.state.query_engine import QueryEngine
+
+        eng = QueryEngine(args.index, num_actors=args.actors)
+        eng.warm()
+        print(json.dumps({"ready": True, "actors": len(eng.actors)}),
+              flush=True)
+        try:
+            for line in sys.stdin:  # one query per line → one JSON per hit
+                q = line.strip()
+                if not q:
+                    continue
+                import time as _t
+
+                t0 = _t.time()
+                try:
+                    res = eng.search({0: q}, k=args.k)
+                except Exception as exc:  # bad query syntax etc.
+                    print(json.dumps({
+                        "query": q, "error": f"{type(exc).__name__}: {exc}",
+                    }), flush=True)
+                    continue
+                ms = round((_t.time() - t0) * 1000, 2)
+                print(json.dumps({
+                    "query": q, "ms": ms,
+                    "hits": res.to_pylist(),
+                }), flush=True)
+        finally:
+            eng.shutdown()
     elif args.cmd == "check":
         from lucene_solr_ray.index.check import check_index
 

@@ -43,6 +43,14 @@ class SegmentReader:
 
         cols = ["term", "df", "ttf", "blocks"]
         pq_schema = pq.read_schema(os.path.join(seg_dir, "postings.parquet"))
+        if "positions" in pq_schema.names and not pa.types.is_binary(
+            pq_schema.field("positions").type
+        ):
+            raise ValueError(
+                f"segment {seg_dir} uses an outdated on-disk format "
+                "(nested-list positions); rebuild the index with the "
+                "current engine (FORMAT_VERSION >= 3)"
+            )
         self._has_offsets_col = "offsets" in pq_schema.names
         if load_positions:
             cols.append("positions")
