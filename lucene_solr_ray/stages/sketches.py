@@ -126,3 +126,47 @@ def quantile(ds, col: str, q: float) -> float:
     sorted_ds = ds.select_columns([col]).sort(col)
     _, tail = sorted_ds.split_at_indices([r])
     return tail.take(1)[0][col]
+
+
+def quantile_approx(ds, col: str, q, bins: int = 2048):
+    """Approximate quantile(s) via a mergeable fixed-bin histogram sketch —
+    the PercentileAgg scale path (two passes, NO global sort):
+
+    1. min/max aggregate (tiny);
+    2. per-batch histogram partials over [min, max] merged by summation
+       (histograms are trivially mergeable, like the HLL above);
+    3. invert the cumulative histogram at each q — error ≤ (max-min)/bins.
+
+    Accepts a float or a list of floats; returns float or list.
+    """
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi <= lo:
+        qs = q if isinstance(q, (list, tuple)) else [q]
+        out = [lo for _ in qs]
+        return out if isinstance(q, (list, tuple)) else out[0]
+    width = (hi - lo) / bins
+
+    def _hist(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy()
+        v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(idx, minlength=bins).astype(np.int64)
+        return pa.table({"hist": pa.array([counts.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(_hist, batch_format="pyarrow").take_all()
+    acc = np.zeros(bins, dtype=np.int64)
+    for r in parts:
+        acc += np.frombuffer(r["hist"], dtype=np.int64)
+    cum = np.cumsum(acc)
+    n = int(cum[-1])
+    qs = q if isinstance(q, (list, tuple)) else [q]
+    out = []
+    for qq in qs:
+        rank = qq * (n - 1)
+        b = int(np.searchsorted(cum, rank + 1))
+        b = min(b, bins - 1)
+        out.append(lo + (b + 0.5) * width)
+    return out if isinstance(q, (list, tuple)) else out[0]

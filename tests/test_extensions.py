@@ -605,3 +605,22 @@ def test_plumbing_streams(ray_session):
     assert priority_stream(empty, b) is b
     env = Let(docs=a).let("n", 2)
     assert env.get("n") == 2 and env.get("docs") is a
+
+
+def test_quantile_approx_close_to_exact(ray_session, sf_dir):
+    import ray.data
+
+    from lucene_solr_ray.stages.sketches import quantile, quantile_approx
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    exact = quantile(ds, "l_extendedprice", 0.5)
+    approx = quantile_approx(ds, "l_extendedprice", 0.5, bins=2048)
+    spread = quantile(ds, "l_extendedprice", 0.99) - quantile(
+        ds, "l_extendedprice", 0.01
+    )
+    assert abs(approx - exact) <= spread / 100  # well within bin error
+    # multi-q form
+    q10, q90 = quantile_approx(ds, "l_extendedprice", [0.1, 0.9])
+    assert q10 < q90
