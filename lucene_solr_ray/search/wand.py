@@ -53,18 +53,18 @@ from lucene_solr_ray.search.similarity import BM25Similarity
 __all__ = ["flatten_term_sum", "topk_pruned"]
 
 
-def flatten_term_sum(q: Query) -> Optional[Tuple[str, List[Tuple[str, float]]]]:
+def flatten_term_sum(q: Query) -> Optional[Tuple[str, List[Tuple]]]:
     """If the query is a pure term disjunction or conjunction, return
-    ("or"|"and", [(term, boost), ...]); else None (caller falls back to the
-    exhaustive evaluator) — the Boolean2ScorerSupplier dispatch subset."""
+    ("or"|"and", [(term, boost, field), ...]); else None (caller falls
+    back to the exhaustive evaluator) — the Boolean2ScorerSupplier
+    dispatch subset.  Field-scoped terms participate: the pruning data
+    (impacts) was built with each field's own norms."""
     boost = 1.0
     while isinstance(q, BoostQuery):
         boost *= q.boost
         q = q.query
     if isinstance(q, TermQuery):
-        if q.field is not None:
-            return None  # non-default-field terms take the exhaustive path
-        return "or", [(q.term, boost)]
+        return "or", [(q.term, boost, q.field)]
     if not isinstance(q, BooleanQuery) or q.minimum_should_match > 1:
         return None
     occurs = {c.occur for c in q.clauses}
@@ -74,24 +74,25 @@ def flatten_term_sum(q: Query) -> Optional[Tuple[str, List[Tuple[str, float]]]]:
         kind = "and"
     else:
         return None
-    terms: List[Tuple[str, float]] = []
+    terms: List[Tuple] = []
     for c in q.clauses:
         sub = c.query
         b = boost
         while isinstance(sub, BoostQuery):
             b *= sub.boost
             sub = sub.query
-        if not isinstance(sub, TermQuery) or sub.field is not None:
+        if not isinstance(sub, TermQuery):
             return None
-        terms.append((sub.term, b))
+        terms.append((sub.term, b, sub.field))
     return kind, terms
 
 
 class _TermPostings:
     __slots__ = ("ords", "freqs", "starts", "lasts", "counts", "offsets",
-                 "bmax", "scorer", "n_blocks", "gmax")
+                 "bmax", "scorer", "n_blocks", "gmax", "norms")
 
-    def __init__(self, blob: bytes, scorer):
+    def __init__(self, blob: bytes, scorer, norms):
+        self.norms = norms  # the term's FIELD norms array
         self.ords, self.freqs = decode_postings(blob)
         skips = decode_block_skips(blob)
         self.starts = np.array([s[0] for s in skips], dtype=np.int64)
@@ -111,16 +112,22 @@ class _TermPostings:
 
 
 def _build_terms(reader, terms, stats: GlobalStats, sim) -> List[_TermPostings]:
+    from lucene_solr_ray.index.segment import field_term
+
     out = []
-    for term, boost in terms:
-        df = stats.df.get(term, 0)
-        blob = reader.postings_blob(term)
+    for term, boost, fld in terms:
+        key = field_term(fld, term)
+        df = stats.df.get(key, 0)
+        blob = reader.postings_blob(key)
         if blob is None or df <= 0:
             continue
+        doc_count, sttf = stats.collection_for(fld)
         scorer = sim.scorer(
-            boost, stats.doc_count, stats.sum_total_term_freq, df
+            boost, doc_count, sttf, df,
+            total_term_freq=stats.ttf.get(key, df),
         )
-        out.append(_TermPostings(blob, scorer))
+        norms = reader.norms_for(fld) if fld else reader.norms
+        out.append(_TermPostings(blob, scorer, norms))
     return out
 
 
@@ -167,7 +174,6 @@ def topk_pruned(
         return empty
     if kind == "and" and len(tps) < len(terms):
         return empty  # a required term is absent from this segment
-    norms = reader.norms
 
     # pruning windows run in ascending ORD order; "equal score loses the
     # tie" (the <= prune) is only valid when doc_ids ascend with ords —
@@ -176,14 +182,15 @@ def topk_pruned(
     dids = reader.doc_ids
     eq_prune = bool(np.all(np.diff(dids) > 0)) if len(dids) > 1 else True
     if kind == "and" and len(tps) > 1:
-        return _conj(tps, norms, dids, k, out_dtype, eq_prune)
-    return _disj(tps, norms, dids, k, out_dtype, eq_prune)
+        return _conj(tps, dids, k, out_dtype, eq_prune)
+    return _disj(tps, dids, k, out_dtype, eq_prune)
 
 
-def _score_sum(tps, norms, cand, out_dtype):
+def _score_sum(tps, cand, out_dtype):
     """Exact scores for candidate ords: per-term lookup via searchsorted,
     accumulated in float64 in clause order, cast once (the
-    DisjunctionSumScorer double-accumulation contract)."""
+    DisjunctionSumScorer double-accumulation contract).  Each term scores
+    against its own field's norms (``tp.norms``)."""
     acc = np.zeros(len(cand), dtype=np.float64)
     for tp in tps:
         idx = np.searchsorted(tp.ords, cand)
@@ -192,7 +199,7 @@ def _score_sum(tps, norms, cand, out_dtype):
         if hit.any():
             sc = tp.scorer.score(
                 tp.freqs[idx_c[hit]].astype(np.float64),
-                norms[cand[hit]],
+                tp.norms[cand[hit]],
             )
             acc[hit] += sc.astype(np.float64)
     return acc.astype(out_dtype)
@@ -203,7 +210,7 @@ def _prunable(ub, thresh, out_dtype, eq_prune):
     return (ub_r <= thresh) if eq_prune else (ub_r < thresh)
 
 
-def _disj(tps, norms, doc_ids, k, out_dtype, eq_prune=True):
+def _disj(tps, doc_ids, k, out_dtype, eq_prune=True):
     ptr = [0] * len(tps)  # current block index per term
     heap_s = np.empty(0, dtype=out_dtype)
     heap_o = np.empty(0, dtype=np.int64)
@@ -237,7 +244,7 @@ def _disj(tps, norms, doc_ids, k, out_dtype, eq_prune=True):
                         cands.append(seg)
             if cands:
                 cand = np.unique(np.concatenate(cands)).astype(np.int64)
-                scores = _score_sum(tps, norms, cand, out_dtype)
+                scores = _score_sum(tps, cand, out_dtype)
                 heap_s, heap_o, heap_d, thresh = _push_topk(
                     heap_s, heap_o, heap_d, cand, doc_ids[cand], scores, k
                 )
@@ -250,7 +257,7 @@ def _disj(tps, norms, doc_ids, k, out_dtype, eq_prune=True):
     return heap_o[order].astype(np.int32), heap_s[order]
 
 
-def _conj(tps, norms, doc_ids, k, out_dtype, eq_prune=True):
+def _conj(tps, doc_ids, k, out_dtype, eq_prune=True):
     # lead with the sparsest list (BlockMaxConjunctionScorer.java:48-60)
     tps = sorted(tps, key=lambda tp: len(tp.ords))
     lead, rest = tps[0], tps[1:]
@@ -275,7 +282,7 @@ def _conj(tps, norms, doc_ids, k, out_dtype, eq_prune=True):
                 break
         if len(cand) == 0:
             continue
-        scores = _score_sum(tps, norms, cand, out_dtype)
+        scores = _score_sum(tps, cand, out_dtype)
         heap_s, heap_o, heap_d, thresh = _push_topk(
             heap_s, heap_o, heap_d, cand, doc_ids[cand], scores, k
         )

@@ -624,3 +624,24 @@ def test_quantile_approx_close_to_exact(ray_session, sf_dir):
     # multi-q form
     q10, q90 = quantile_approx(ds, "l_extendedprice", [0.1, 0.9])
     assert q10 < q90
+
+
+def test_field_terms_pruned_equals_exhaustive(mf_index):
+    """checkTopScores for field-scoped term queries: WAND with per-field
+    norms/stats must equal the exhaustive path."""
+    from lucene_solr_ray.search.parser import QueryParser
+    from lucene_solr_ray.search.reader import SegmentReader
+    from lucene_solr_ray.search.scorer import topk_segment
+
+    parser = QueryParser(fields=mf_index.query_fields)
+    for qs in ["lang:en", "merge AND lang:en", "lang:de OR lang:fr",
+               "source:src3"]:
+        q = parser.parse(qs)
+        terms = sorted(set(q.terms()))
+        stats, _ = mf_index.collect_stats(terms)
+        for seg_dir in mf_index.seg_dirs:
+            reader = SegmentReader(seg_dir, load_positions=True)
+            oe, se = topk_segment(reader, q, stats, 10, pruning=False)
+            op, sp = topk_segment(reader, q, stats, 10, pruning=True)
+            assert list(oe) == list(op), qs
+            np.testing.assert_array_equal(se, sp, err_msg=qs)
