@@ -97,8 +97,10 @@ class BlendedTermQuery(Query):
     (``BlendedTermQuery.java``; the shape FuzzyQuery's default
     TopTermsBlendedFreqScoringRewrite produces)."""
 
+    #: term-DICTIONARY keys (already field-prefixed when field is set)
     bl_terms: Tuple[str, ...]
     boosts: Tuple[float, ...]
+    field: Optional[str] = None
 
     def terms(self) -> List[str]:
         return list(self.bl_terms)

@@ -181,6 +181,8 @@ class _Eval:
         )
         if df_blend <= 0:
             return _EMPTY_I, _EMPTY_F
+        doc_count, sttf = self.stats.collection_for(q.field)
+        norms = self.reader.norms_for(q.field) if q.field else self.norms
         acc = np.zeros(self.ndocs, dtype=np.float64)
         seen = np.zeros(self.ndocs, dtype=bool)
         for t, b in zip(q.bl_terms, q.boosts):
@@ -188,13 +190,10 @@ class _Eval:
             if p is None:
                 continue
             ords, freqs = p
-            sc = self.sim.scorer(
-                boost * b, self.stats.doc_count,
-                self.stats.sum_total_term_freq, df_blend,
-            )
+            sc = self.sim.scorer(boost * b, doc_count, sttf, df_blend)
             np.add.at(
                 acc, ords,
-                sc.score(freqs, self.norms[ords]).astype(np.float64),
+                sc.score(freqs, norms[ords]).astype(np.float64),
             )
             seen[ords] = True
         ords = np.nonzero(seen)[0].astype(np.int32)

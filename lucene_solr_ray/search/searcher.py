@@ -173,23 +173,24 @@ def rewrite_query(q: Query, expansions: Dict[Query, Tuple[str, ...]]) -> Query:
         ts = expansions.get(q, ())
         if not ts:
             return MatchNoDocsQuery(f"no terms match {q!r}")
-        if q.field is not None:
-            # field-scoped fuzzy: constant-score (blended scoring would
-            # need that field's norms wired through BlendedTermQuery —
-            # deferred; keys are already field-prefixed)
-            return ConstantScoreQuery(TermInSetQuery(tuple(ts)))
-        # FuzzyTermsEnum boost: 1 - editDistance / min(|term|, |query|)
+        from lucene_solr_ray.index.segment import FIELD_SEP
+        from lucene_solr_ray.search.query import BlendedTermQuery
+
+        # FuzzyTermsEnum boost: 1 - editDistance / min(|term|, |query|);
+        # for field-scoped fuzzy the expansion keys carry the field prefix
+        # (stripped for the distance, kept as the lookup key)
+        prefix_len = len(q.field) + len(FIELD_SEP) if q.field else 0
         scored = []
         for t in ts:
-            d = _edit_distance(q.term, t, q.max_edits)
-            b = 1.0 - d / max(min(len(t), len(q.term)), 1)
+            bare = t[prefix_len:]
+            d = _edit_distance(q.term, bare, q.max_edits)
+            b = 1.0 - d / max(min(len(bare), len(q.term)), 1)
             scored.append((b, t))
         scored.sort(key=lambda x: (-x[0], x[1]))
         scored = scored[:FUZZY_MAX_EXPANSIONS]
-        from lucene_solr_ray.search.query import BlendedTermQuery
-
         return BlendedTermQuery(
-            tuple(t for _, t in scored), tuple(b for b, _ in scored)
+            tuple(t for _, t in scored), tuple(b for b, _ in scored),
+            field=q.field,
         )
     if isinstance(q, _MULTITERM):
         ts = expansions.get(q, ())
