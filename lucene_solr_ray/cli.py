@@ -71,6 +71,10 @@ def main(argv=None) -> int:
     ck = sub.add_parser("check")
     ck.add_argument("--index", required=True)
 
+    ct = sub.add_parser("count")
+    ct.add_argument("--index", required=True)
+    ct.add_argument("--query", required=True, action="append")
+
     sv = sub.add_parser("serve")
     sv.add_argument("--index", required=True)
     sv.add_argument("--actors", type=int, default=4)
@@ -116,6 +120,14 @@ def main(argv=None) -> int:
         for term, w in suggest_terms(Index(args.index), args.prefix,
                                      n=args.n):
             print(json.dumps({"term": term, "weight": w}))
+    elif args.cmd == "count":
+        from lucene_solr_ray.search.searcher import Index, count_hits
+
+        res = count_hits(
+            Index(args.index), {i: q for i, q in enumerate(args.query)}
+        )
+        for row in res.to_pylist():
+            print(json.dumps(row))
     elif args.cmd == "serve":
         from lucene_solr_ray.state.query_engine import QueryEngine
 

@@ -758,3 +758,64 @@ def count_hits(index: "Index", queries,
             ),
         }
     )
+
+
+def search_grouped(
+    index: "Index",
+    query: str,
+    group_table: str,
+    group_col: str,
+    top_groups: int = 10,
+    docs_per_group: int = 3,
+    key: str = "doc_id",
+    analyzer: Optional[StandardAnalyzer] = None,
+    similarity: Optional[BM25Similarity] = None,
+) -> pa.Table:
+    """Grouped search (the grouping-module contract, reference
+    ``lucene/grouping/`` TopGroups/GroupDocs): match the query, attach the
+    group field from a side table (two-phase fetch), rank groups by their
+    best hit's score, keep ``docs_per_group`` hits per group ranked by
+    (score desc, doc asc).  Columns: group, group_rank, rank_in_group,
+    doc_id, score."""
+    from lucene_solr_ray.search.fetch import fetch_from_corpus
+
+    hits = index.search(
+        {0: query}, k=1_000_000, analyzer=analyzer, similarity=similarity
+    )
+    fetched = fetch_from_corpus(
+        hits, group_table, key, [group_col]
+    ).to_pandas()
+    if fetched.empty:
+        return pa.table(
+            {
+                "group": pa.array([], pa.string()),
+                "group_rank": pa.array([], pa.int32()),
+                "rank_in_group": pa.array([], pa.int32()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    fetched = fetched.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    # groups ranked by their best hit (score desc, doc asc), as TopGroups
+    order = (
+        fetched.groupby(group_col, sort=False)
+        .head(1)
+        .reset_index(drop=True)
+    )
+    rows = []
+    for g_rank, (_, top_row) in enumerate(order.head(top_groups).iterrows()):
+        gval = top_row[group_col]
+        grp = fetched[fetched[group_col] == gval].head(docs_per_group)
+        for i, (_, r) in enumerate(grp.iterrows()):
+            rows.append(
+                {
+                    "group": str(gval),
+                    "group_rank": g_rank + 1,
+                    "rank_in_group": i + 1,
+                    "doc_id": int(r["doc_id"]),
+                    "score": float(r["score"]),
+                }
+            )
+    return pa.Table.from_pylist(rows)

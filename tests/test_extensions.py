@@ -645,3 +645,22 @@ def test_field_terms_pruned_equals_exhaustive(mf_index):
             op, sp = topk_segment(reader, q, stats, 10, pruning=True)
             assert list(oe) == list(op), qs
             np.testing.assert_array_equal(se, sp, err_msg=qs)
+
+
+def test_search_grouped(docs_index, sf_dir):
+    from lucene_solr_ray.search.searcher import search_grouped
+
+    out = search_grouped(
+        docs_index, "merge", f"{sf_dir}/documents.parquet", "lang",
+        top_groups=3, docs_per_group=2,
+    ).to_pandas()
+    assert set(out["group_rank"]) <= {1, 2, 3}
+    assert out.groupby("group")["rank_in_group"].max().max() <= 2
+    # group 1's best hit outscores group 2's best hit
+    best = out[out["rank_in_group"] == 1].sort_values("group_rank")
+    assert (best["score"].diff().dropna() <= 0).all()
+    # no empty-match query
+    empty = search_grouped(
+        docs_index, "zzznope", f"{sf_dir}/documents.parquet", "lang"
+    )
+    assert empty.num_rows == 0
