@@ -32,8 +32,10 @@ from lucene_solr_ray.analysis.tokenizer import (
 
 __all__ = [
     "StandardAnalyzer",
+    "KeywordAnalyzer",
     "ENGLISH_STOP_WORDS",
     "lowercase",
+    "analyzer_from_spec",
 ]
 
 #: ``EnglishAnalyzer.ENGLISH_STOP_WORDS_SET`` (reference
@@ -185,6 +187,25 @@ class StandardAnalyzer:
 
         return Counter(self.analyze(text))
 
+    # -- query-time normalization ------------------------------------------
+    def normalize(self, text: str) -> str:
+        """Apply the chain's normalization filters WITHOUT tokenizing — the
+        path multi-term queries (wildcard/fuzzy/range/prefix) take through
+        ``Analyzer.normalize`` (reference ``analysis/Analyzer.java:256-280``,
+        used by ``QueryParserBase.getWildcardQuery`` et al.)."""
+        return lowercase(text)
+
+    def spec(self) -> Dict:
+        """JSON-serializable description, persisted in the index manifest so
+        query-time code reconstructs per-field analyzers
+        (``analyzer_from_spec``)."""
+        return {
+            "kind": "standard",
+            "stop_words": sorted(self.stop_words),
+            "max_token_length": self.max_token_length,
+            "position_increment_gap": self.position_increment_gap,
+        }
+
 
 class KeywordAnalyzer(StandardAnalyzer):
     """The whole value is ONE atomic token — ``StringField`` /
@@ -214,3 +235,28 @@ class KeywordAnalyzer(StandardAnalyzer):
         if not t:
             return [], [], [], [], 0
         return t, [0], [0], [len(text)], 1
+
+    def normalize(self, text: str) -> str:
+        # KeywordAnalyzer has no LowerCaseFilter unless configured
+        return lowercase(text) if self.lowercase_value else text
+
+    def spec(self) -> Dict:
+        return {"kind": "keyword", "lowercase": self.lowercase_value}
+
+
+def analyzer_from_spec(spec: Dict) -> StandardAnalyzer:
+    """Reconstruct an analyzer from its manifest ``spec()`` dict."""
+    kind = spec.get("kind", "standard")
+    if kind == "keyword":
+        return KeywordAnalyzer(lowercase_value=bool(spec.get("lowercase")))
+    if kind == "english":
+        from lucene_solr_ray.analysis.en import EnglishAnalyzer
+
+        return EnglishAnalyzer(stop_words=spec.get("stop_words"))
+    return StandardAnalyzer(
+        stop_words=spec.get("stop_words", ()),
+        max_token_length=spec.get(
+            "max_token_length", DEFAULT_MAX_TOKEN_LENGTH
+        ),
+        position_increment_gap=spec.get("position_increment_gap", 0),
+    )

@@ -196,6 +196,16 @@ class _BuildShard:
             "segment_id": shard["segment_id"],
             "stats": seg.stats,
             **({"default_field": self.text_col} if self.extra_fields else {}),
+            "analyzer": self.analyzer.spec(),
+            **(
+                {
+                    "field_analyzers": {
+                        f: a.spec() for f, a in self.field_analyzers.items()
+                    }
+                }
+                if self.field_analyzers
+                else {}
+            ),
             "lineage": {
                 "path": shard["path"],
                 "row_start": shard["row_start"],

@@ -140,6 +140,11 @@ def commit_manifest(out_dir: str, segments: List[Dict]) -> Dict:
         manifest["fields"] = fields
     if segments and segments[0].get("default_field"):
         manifest["default_field"] = segments[0]["default_field"]
+    # analyzer specs (PerFieldAnalyzerWrapper reconstruction at query time)
+    if segments and segments[0].get("analyzer"):
+        manifest["analyzer"] = segments[0]["analyzer"]
+    if segments and segments[0].get("field_analyzers"):
+        manifest["field_analyzers"] = segments[0]["field_analyzers"]
     tmp = os.path.join(out_dir, f".manifest-{gen}.json.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

@@ -56,9 +56,9 @@ _TOKEN_RE = re.compile(
   | (?P<minus>-)
   | (?P<lparen>\()
   | (?P<rparen>\)(?:\^\d+(?:\.\d+)?)?)
-  | (?P<phrase>"(?:[^"\\]|\\.)*")
-  | (?P<regexp>/(?:[^/\\]|\\.)+/)
-  | (?P<range>[\[{][^\]}]*(?:TO)[^\]}]*[\]}])
+  | (?P<phrase>(?:\w+:)?"(?:[^"\\]|\\.)*")
+  | (?P<regexp>(?:\w+:)?/(?:[^/\\]|\\.)+/)
+  | (?P<range>(?:\w+:)?[\[{][^\]}]*(?:TO)[^\]}]*[\]}])
   | (?P<term>[^\s()+\-!"^~][^\s()"^~]*)
     """,
     re.VERBOSE,
@@ -73,12 +73,27 @@ class ParseError(ValueError):
 
 class QueryParser:
     def __init__(self, analyzer: Optional[StandardAnalyzer] = None,
-                 fields: Optional[set] = None) -> None:
+                 fields: Optional[set] = None,
+                 field_analyzers: Optional[dict] = None,
+                 numeric_fields: Optional[dict] = None) -> None:
         self.analyzer = analyzer or StandardAnalyzer()
         #: known NON-default field names: "lang:en" becomes a field-scoped
         #: TermQuery when "lang" is listed here; unknown prefixes are
         #: validated-and-dropped (single-field behavior)
         self.fields = frozenset(fields or ())
+        #: field → analyzer: field-scoped text analyzes with the FIELD's own
+        #: chain (``PerFieldAnalyzerWrapper`` semantics, reference
+        #: ``analysis/miscellaneous/PerFieldAnalyzerWrapper.java``); fields
+        #: not listed use the default analyzer
+        self.field_analyzers = dict(field_analyzers or {})
+        #: numeric point fields: field → dtype ("int64"/"double");
+        #: ``field:[a TO b]`` on these parses to PointRangeQuery
+        self.numeric_fields = dict(numeric_fields or {})
+
+    def _field_analyzer(self, fld: Optional[str]) -> StandardAnalyzer:
+        if fld is not None and fld in self.field_analyzers:
+            return self.field_analyzers[fld]
+        return self.analyzer
 
     # -- lexer -------------------------------------------------------------
     def _lex(self, s: str) -> List[Tuple[str, str]]:
@@ -193,11 +208,14 @@ class QueryParser:
 
         q: Optional[Query]
         if kind == "phrase":
-            q = self._phrase(text, int(float(fuzz)) if fuzz else 0)
+            fld, text = self._strip_prefix(text)
+            q = self._phrase(text, int(float(fuzz)) if fuzz else 0, fld)
         elif kind == "regexp":
-            q = RegexpQuery(text.strip("/"))
+            fld, text = self._strip_prefix(text)
+            q = RegexpQuery(text.strip("/"), field=fld)
         elif kind == "range":
-            q = self._range(text)
+            fld, text = self._strip_prefix(text)
+            q = self._range(text, fld)
         else:
             q = self._term(text, fuzz)
         if q is None:
@@ -213,18 +231,33 @@ class QueryParser:
         m = re.match(r"^(\w+):(.+)$", text)
         if not m:
             return None, text
-        fld = m.group(1) if m.group(1) in self.fields else None
-        return fld, m.group(2)
+        fld = m.group(1)
+        if fld in self.fields or fld in self.numeric_fields:
+            return fld, m.group(2)
+        return None, m.group(2)
+
+    def _strip_prefix(self, text: str):
+        """Field prefix on phrase/range/regexp tokens (lexer allows
+        ``field:"..."`` / ``field:[a TO b]`` / ``field:/re/``)."""
+        m = re.match(r"^(\w+):", text)
+        if not m:
+            return None, text
+        fld = m.group(1)
+        rest = text[m.end():]
+        if fld in self.fields or fld in self.numeric_fields:
+            return fld, rest
+        return None, rest
 
     def _term(self, text: str, fuzz: Optional[str]) -> Optional[Query]:
         fld, text = self._strip_field(text)
+        analyzer = self._field_analyzer(fld)
         if fuzz is not None:
-            base = text.lower()
+            base = analyzer.normalize(text)
             max_edits = int(float(fuzz)) if fuzz else 2
             return FuzzyQuery(base, max_edits=max_edits, field=fld)
         if "*" in text or "?" in text:
-            return WildcardQuery(text.lower(), field=fld)
-        toks = self.analyzer.analyze(text)
+            return WildcardQuery(analyzer.normalize(text), field=fld)
+        toks = analyzer.analyze(text)
         if not toks:
             return None
         if len(toks) == 1:
@@ -236,25 +269,40 @@ class QueryParser:
             )
         )
 
-    def _phrase(self, text: str, slop: int) -> Optional[Query]:
+    def _phrase(self, text: str, slop: int,
+                fld: Optional[str] = None) -> Optional[Query]:
         body = text[1:-1].replace('\\"', '"')
-        terms, positions, _ = self.analyzer.analyze_with_positions(body)
+        analyzer = self._field_analyzer(fld)
+        terms, positions, _ = analyzer.analyze_with_positions(body)
         if not terms:
             return None
         if len(terms) == 1:
-            return TermQuery(terms[0])
-        return PhraseQuery(tuple(terms), tuple(positions), slop)
+            return TermQuery(terms[0], field=fld)
+        return PhraseQuery(tuple(terms), tuple(positions), slop, field=fld)
 
-    def _range(self, text: str) -> Query:
+    def _range(self, text: str, fld: Optional[str] = None) -> Query:
         include_lower = text[0] == "["
         include_upper = text[-1] == "]"
         body = text[1:-1]
         m = re.match(r"\s*(\S+)\s+TO\s+(\S+)\s*", body)
         if not m:
             raise ParseError(f"bad range: {text!r}")
-        lo = None if m.group(1) == "*" else m.group(1).lower()
-        hi = None if m.group(2) == "*" else m.group(2).lower()
-        return TermRangeQuery(lo, hi, include_lower, include_upper)
+        lo_raw = None if m.group(1) == "*" else m.group(1)
+        hi_raw = None if m.group(2) == "*" else m.group(2)
+        if fld is not None and fld in self.numeric_fields:
+            from lucene_solr_ray.search.query import PointRangeQuery
+
+            conv = float if self.numeric_fields[fld] == "double" else int
+            return PointRangeQuery(
+                fld,
+                None if lo_raw is None else conv(lo_raw),
+                None if hi_raw is None else conv(hi_raw),
+                include_lower, include_upper,
+            )
+        analyzer = self._field_analyzer(fld)
+        lo = None if lo_raw is None else analyzer.normalize(lo_raw)
+        hi = None if hi_raw is None else analyzer.normalize(hi_raw)
+        return TermRangeQuery(lo, hi, include_lower, include_upper, field=fld)
 
 
 def parse(s: str, analyzer: Optional[StandardAnalyzer] = None) -> Query:

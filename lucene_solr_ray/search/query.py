@@ -35,6 +35,7 @@ __all__ = [
     "FuzzyQuery",
     "TermRangeQuery",
     "TermInSetQuery",
+    "PointRangeQuery",
     "ConstantScoreQuery",
 ]
 
@@ -218,6 +219,21 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     field: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class PointRangeQuery(Query):
+    """Range over an INDEXED NUMERIC point field — constant-score doc-id
+    selection from the per-segment sorted points column (the engine's
+    flat-sorted analogue of the BKD tree: reference
+    ``lucene/core/src/java/org/apache/lucene/search/PointRangeQuery.java:47``,
+    ``util/bkd/BKDWriter.java:82``).  ``None`` bound = open."""
+
+    nfield: str
+    lower: Optional[float]
+    upper: Optional[float]
+    include_lower: bool = True
+    include_upper: bool = True
 
 
 @dataclass(frozen=True)

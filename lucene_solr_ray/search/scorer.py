@@ -302,11 +302,15 @@ class _Eval:
         # multiple TermStatistics), accumulated in the similarity's dtype
         dt = self.sim.out_dtype
         doc_count, sttf = self.stats.collection_for(q.field)
-        idf = dt(0.0)
+        # per-term float idfs summed in a DOUBLE, single final cast —
+        # BM25Similarity.idfExplain(CollectionStatistics, TermStatistics[])
+        # accumulates getValue().doubleValue() and casts once
+        idf_acc = 0.0
         for key in keys:
-            idf = dt(
-                idf + self.sim.idf_value(self.stats.df[key], doc_count)
+            idf_acc += float(
+                dt(self.sim.idf_value(self.stats.df[key], doc_count))
             )
+        idf = dt(idf_acc)
         sc = self.sim.scorer_from_idf(boost, idf, doc_count, sttf)
         norms = self.reader.norms_for(q.field) if q.field else self.norms
         return ords, sc.score(freqs, norms[ords])

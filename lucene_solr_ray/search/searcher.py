@@ -386,6 +386,41 @@ class Index:
             if f != self.manifest.get("default_field")
         }
 
+    @property
+    def field_analyzers(self) -> Dict[str, StandardAnalyzer]:
+        """Per-field analyzers reconstructed from manifest specs
+        (PerFieldAnalyzerWrapper at query time)."""
+        from lucene_solr_ray.analysis.analyzer import analyzer_from_spec
+
+        return {
+            f: analyzer_from_spec(s)
+            for f, s in self.manifest.get("field_analyzers", {}).items()
+        }
+
+    @property
+    def default_analyzer(self) -> Optional[StandardAnalyzer]:
+        """The build-time default-field analyzer, if recorded."""
+        from lucene_solr_ray.analysis.analyzer import analyzer_from_spec
+
+        spec = self.manifest.get("analyzer")
+        return analyzer_from_spec(spec) if spec else None
+
+    @property
+    def numeric_fields(self) -> Dict[str, str]:
+        """Indexed numeric point fields: name → dtype."""
+        return dict(self.manifest.get("numeric_fields", {}))
+
+    def make_parser(
+        self, analyzer: Optional[StandardAnalyzer] = None
+    ) -> QueryParser:
+        """QueryParser wired to this index's fields + per-field analyzers."""
+        return QueryParser(
+            analyzer or self.default_analyzer,
+            fields=self.query_fields,
+            field_analyzers=self.field_analyzers,
+            numeric_fields=self.numeric_fields,
+        )
+
     def search(
         self,
         queries: Dict[int, str] | Sequence[str],
@@ -396,7 +431,7 @@ class Index:
     ) -> pa.Table:
         """Parse + run a batch of query strings; returns
         (qid, rank, doc_id, score) sorted by (qid, rank)."""
-        parser = QueryParser(analyzer, fields=self.query_fields)
+        parser = self.make_parser(analyzer)
         if isinstance(queries, dict):
             items = sorted(queries.items())
         else:
@@ -648,7 +683,7 @@ def search_by_field(
     are doc-id-sorted, not field-sorted)."""
     import ray.data
 
-    parser = QueryParser(analyzer, fields=index.query_fields)
+    parser = index.make_parser(analyzer)
     items = (
         sorted(queries.items()) if isinstance(queries, dict)
         else list(enumerate(queries))
@@ -726,7 +761,7 @@ def count_hits(index: "Index", queries,
     """Exact total hit counts per query: (qid, total_hits)."""
     import ray.data
 
-    parser = QueryParser(analyzer, fields=index.query_fields)
+    parser = index.make_parser(analyzer)
     items = (
         sorted(queries.items()) if isinstance(queries, dict)
         else list(enumerate(queries))

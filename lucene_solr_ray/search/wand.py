@@ -317,9 +317,12 @@ def _phrase_pruned(reader, q, stats: GlobalStats, k: int, sim):
         min_f = f if min_f is None else np.minimum(min_f, f)
     dt = sim.out_dtype
     doc_count, sttf = stats.collection_for(q.field)
-    idf = dt(0.0)
+    # per-term float idfs summed in a double, one final cast (matches
+    # scorer._phrase / BM25Similarity.idfExplain over TermStatistics[])
+    idf_acc = 0.0
     for t in keys:
-        idf = dt(idf + sim.idf_value(stats.df[t], doc_count))
+        idf_acc += float(dt(sim.idf_value(stats.df[t], doc_count)))
+    idf = dt(idf_acc)
     sc = sim.scorer_from_idf(1.0, idf, doc_count, sttf)
     norms = reader.norms
     bounds = sc.score(min_f, norms[cand])

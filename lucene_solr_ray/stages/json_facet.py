@@ -72,27 +72,42 @@ def json_facet(ds, request: Dict) -> Dict:
         aggs.append((op, col, name))
     top = rollup(ds, [field], aggs).to_pandas()
 
-    if sort.startswith("index"):
-        top = top.sort_values(field, ascending=True)
-    else:
-        top = top.sort_values(["count", field], ascending=[False, True])
+    top = _sort_buckets(top, field, sort, [n for n, _, _ in metrics])
     top = top.head(limit)
 
     buckets = []
     kept_vals = set(top[field])
     sub_results: Dict[str, Dict] = {}
     for name, spec in subs.items():
+        if _subfacets(spec.get("facet")):
+            raise ValueError(
+                f"sub-facet {name!r}: nesting deeper than 2 levels is not "
+                "implemented"
+            )
         child = spec["field"]
         climit = int(spec.get("limit", 10))
-        nested = rollup(ds, [field, child],
-                        [("count", None, "count")]).to_pandas()
+        csort = spec.get("sort", "count desc")
+        cmetrics = _parse_metrics(spec.get("facet"))
+        caggs = [("count", None, "count")] + [
+            (op, col, mname) for mname, op, col in cmetrics
+            if op != "count"
+        ]
+        nested = rollup(ds, [field, child], caggs).to_pandas()
         nested = nested[nested[field].isin(kept_vals)]
-        nested = nested.sort_values(
-            ["count", child], ascending=[False, True]
+        nested = _sort_buckets(
+            nested, child, csort, [n for n, _, _ in cmetrics]
         )
         sub_results[name] = {
             val: [
-                {"val": r[child], "count": int(r["count"])}
+                {
+                    "val": r[child],
+                    "count": int(r["count"]),
+                    **{
+                        mname: float(r[mname])
+                        for mname, op, _ in cmetrics
+                        if op != "count"
+                    },
+                }
                 for _, r in g.head(climit).iterrows()
             ]
             for val, g in nested.groupby(field, sort=False)
@@ -107,3 +122,27 @@ def json_facet(ds, request: Dict) -> Dict:
             b[name] = {"buckets": sub_results[name].get(row[field], [])}
         buckets.append(b)
     return {"buckets": buckets}
+
+
+def _sort_buckets(df, field: str, sort: str, metric_names: List[str]):
+    """Order buckets by ``sort``: "count desc" (default), "index asc/desc",
+    or "<metric> asc/desc" over a requested metric — anything else raises
+    (the reference rejects unknown sorts; silent fallback gives
+    well-formed-but-wrong buckets)."""
+    parts = sort.strip().split()
+    key = parts[0] if parts else "count"
+    direction = parts[1] if len(parts) > 1 else "desc"
+    if direction not in ("asc", "desc"):
+        raise ValueError(f"unsupported facet sort direction {sort!r}")
+    asc = direction == "asc"
+    if key == "index":
+        return df.sort_values(field, ascending=asc, kind="mergesort")
+    if key == "count" or key in metric_names:
+        # ties break by index asc, as FacetFieldProcessor's secondary sort
+        return df.sort_values(
+            [key, field], ascending=[asc, True], kind="mergesort"
+        )
+    raise ValueError(
+        f"unsupported facet sort {sort!r} (not count/index/a requested "
+        "metric)"
+    )

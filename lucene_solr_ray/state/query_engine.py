@@ -128,7 +128,7 @@ class QueryEngine:
         if isinstance(index, str):
             index = Index(index)
         self.index = index
-        self.parser = QueryParser(analyzer, fields=index.query_fields)
+        self.parser = index.make_parser(analyzer)
         self.sim = similarity or BM25Similarity()
         self._stats_cache: Dict[str, Tuple[int, int]] = {}
         self._expansion_cache: Dict[Query, Tuple[str, ...]] = {}

@@ -185,3 +185,54 @@ def test_corpus_generator_deterministic(tmp_path):
     mt = os.path.getmtime(p1[0])
     generate_corpus(str(tmp_path / "a"), n_docs=200, n_files=2)
     assert os.path.getmtime(p1[0]) == mt
+
+
+# -- json_facet round-2: metric sort, sub-facet metrics, strict errors ------
+
+
+def test_json_facet_metric_sort_and_sub_metrics(ray_session, sf_dir):
+    import ray.data
+    from lucene_solr_ray.stages.json_facet import json_facet
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_brand", "p_retailprice", "p_size"],
+    )
+    res = json_facet(ds, {
+        "type": "terms", "field": "p_brand", "limit": 3,
+        "sort": "avg_price desc",
+        "facet": {
+            "avg_price": "avg(p_retailprice)",
+            "by_size": {
+                "type": "terms", "field": "p_size", "limit": 2,
+                "facet": {"max_price": "max(p_retailprice)"},
+            },
+        },
+    })
+    bks = res["buckets"]
+    assert len(bks) == 3
+    avgs = [b["avg_price"] for b in bks]
+    assert avgs == sorted(avgs, reverse=True)
+    for b in bks:
+        for sb in b["by_size"]["buckets"]:
+            assert "max_price" in sb and sb["max_price"] >= 0
+
+
+def test_json_facet_rejects_unsupported(ray_session, sf_dir):
+    import pytest as _pytest
+    import ray.data
+    from lucene_solr_ray.stages.json_facet import json_facet
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_size"]
+    )
+    with _pytest.raises(ValueError, match="sort"):
+        json_facet(ds, {"type": "terms", "field": "p_brand",
+                        "sort": "bogus_metric desc"})
+    with _pytest.raises(ValueError, match="nesting"):
+        json_facet(ds, {
+            "type": "terms", "field": "p_brand",
+            "facet": {"s": {"type": "terms", "field": "p_size",
+                            "facet": {"t": {"type": "terms",
+                                            "field": "p_brand"}}}},
+        })

@@ -141,3 +141,57 @@ def test_group_boost():
     q2 = parse("(a OR b)^1.5 AND c")
     occ = [(c.occur, type(c.query).__name__) for c in q2.clauses]
     assert occ[0] == (Occur.MUST, "BoostQuery")
+
+
+# -- field-scoped atoms + per-field analyzers (round-2 fixes) ---------------
+
+
+def test_field_scoped_range_and_regexp():
+    from lucene_solr_ray.search.parser import QueryParser
+
+    p = QueryParser(fields={"lang"})
+    q = p.parse("lang:[aa TO bb]")
+    assert q == TermRangeQuery("aa", "bb", True, True, field="lang")
+    q = p.parse("lang:{aa TO bb}")
+    assert q == TermRangeQuery("aa", "bb", False, False, field="lang")
+    q = p.parse("lang:/e.*/")
+    assert q == RegexpQuery("e.*", field="lang")
+
+
+def test_field_scoped_phrase():
+    from lucene_solr_ray.search.parser import QueryParser
+
+    p = QueryParser(fields={"title"})
+    q = p.parse('title:"foo bar"')
+    assert isinstance(q, PhraseQuery) and q.field == "title"
+    assert q.phrase_terms == ("foo", "bar")
+
+
+def test_field_analyzer_keyword_not_split():
+    """brand:Brand#2 with a KeywordAnalyzer field must stay ONE
+    case-preserved token (PerFieldAnalyzerWrapper semantics)."""
+    from lucene_solr_ray.analysis.analyzer import KeywordAnalyzer
+    from lucene_solr_ray.search.parser import QueryParser
+
+    p = QueryParser(
+        fields={"brand"}, field_analyzers={"brand": KeywordAnalyzer()}
+    )
+    assert p.parse("brand:Brand#2") == TermQuery("Brand#2", field="brand")
+    # fuzzy / wildcard on a keyword field keep case (normalize() is identity)
+    assert p.parse("brand:Brand*") == WildcardQuery("Brand*", field="brand")
+    f = p.parse("brand:Brand~1")
+    assert f == FuzzyQuery("Brand", max_edits=1, field="brand")
+    # range bounds keep case too
+    r = p.parse("brand:[Brand#1 TO Brand#3]")
+    assert r == TermRangeQuery("Brand#1", "Brand#3", True, True, field="brand")
+
+
+def test_numeric_field_range_parses_to_point_range():
+    from lucene_solr_ray.search.parser import QueryParser
+    from lucene_solr_ray.search.query import PointRangeQuery
+
+    p = QueryParser(numeric_fields={"size": "int64"})
+    q = p.parse("size:[10 TO 20]")
+    assert q == PointRangeQuery("size", 10, 20, True, True)
+    q = p.parse("size:{* TO 20}")
+    assert q == PointRangeQuery("size", None, 20, False, False)
