@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_counts": fulltext.hit_counts,
         "multifield_topk": fulltext.multifield_topk,
         "field_wildcard_docs": fulltext.field_wildcard_docs,
+        "delete_then_search": fulltext.delete_then_search,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -68,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
         "hit_counts": fulltext.hit_counts_sql(),
         "multifield_topk": fulltext.multifield_topk_sql(),
         "field_wildcard_docs": fulltext.field_wildcard_docs_sql(),
+        "delete_then_search": fulltext.delete_then_search_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -121,7 +121,13 @@ def commit_manifest(out_dir: str, segments: List[Dict]) -> Dict:
     manifest = {
         "generation": gen,
         "segments": sorted(segments, key=lambda s: s["segment_id"]),
+        # maxDoc semantics: tombstoned docs still count here (and in the
+        # collection stats) until a merge reclaims them, as in Lucene
         "doc_count": sum(s["stats"]["doc_count"] for s in segments),
+        "live_doc_count": sum(
+            s["stats"]["doc_count"] - int(s.get("del_count", 0))
+            for s in segments
+        ),
         "sum_total_term_freq": sum(
             s["stats"]["sum_total_term_freq"] for s in segments
         ),

@@ -115,25 +115,76 @@ def _merge_postings_rows(tables, bases) -> "pa.Table":
     )
 
 
-def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
-    """Execute one merge spec → new committed segment dir; returns its meta.
-    Pure function of the input segment dirs (deterministic, idempotent)."""
-    import pyarrow.parquet as pq
-
+def _effective_inputs(seg_dirs: List[str]):
+    """Per-input (docmeta, meta, deleted_ords, effective_stats): segments
+    with tombstones get COMPACTED docmeta + recomputed stats — the merge
+    physically drops deleted docs (``SegmentMerger`` + ``MergeState.DocMap``,
+    reference ``index/SegmentMerger.java:105-139``)."""
     import json
 
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.deletes import segment_deleted_ords
+
+    docmetas, in_metas, dels, eff_stats = [], [], [], []
+    for d in seg_dirs:
+        with open(os.path.join(d, "segment.json")) as f:
+            meta = json.load(f)
+        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
+        deleted = segment_deleted_ords(d)
+        if len(deleted):
+            live = np.ones(dm.num_rows, dtype=bool)
+            live[deleted] = False
+            dm = dm.filter(pa.array(live))
+        docmetas.append(dm)
+        in_metas.append(meta)
+        dels.append(deleted)
+        if len(deleted):
+            # recompute default-field + per-field sums off compacted docmeta
+            # (field_len columns ARE the per-field token sums); df-based
+            # numbers are filled by the caller from compacted postings
+            flens = dm.column("field_len").to_numpy()
+            st = {
+                "doc_count": int(dm.num_rows),
+                "sum_total_term_freq": int(flens.sum()),
+            }
+            if meta["stats"].get("fields"):
+                st["fields"] = {}
+                for fname in meta["stats"]["fields"]:
+                    col = f"field_len__{fname}"
+                    fl = (
+                        dm.column(col).to_numpy()
+                        if col in dm.schema.names else flens
+                    )
+                    st["fields"][fname] = {
+                        "doc_count": int((fl > 0).sum()),
+                        "sum_total_term_freq": int(fl.sum()),
+                    }
+            eff_stats.append(st)
+        else:
+            eff_stats.append(meta["stats"])
+    return docmetas, in_metas, dels, eff_stats
+
+
+def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
+    """Execute one merge spec → new committed segment dir; returns its meta.
+    Pure function of the input segment dirs (deterministic, idempotent).
+    Inputs carrying tombstones are compacted first (deleted docs dropped,
+    survivors renumbered) — deletions are reclaimed here, as in Lucene."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.deletes import (
+        _compacted_norm_lookup,
+        compact_postings_rows,
+    )
+
     seg_dirs = [os.path.join(index_dir, segment_dir_name(s)) for s in spec_ids]
+    docmetas, in_metas, dels, eff_stats = _effective_inputs(seg_dirs)
     bases: List[int] = []
     base = 0
-    docmetas = []
-    in_metas = []
-    for d in seg_dirs:
-        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
+    for dm in docmetas:
         bases.append(base)
         base += dm.num_rows
-        docmetas.append(dm)
-        with open(os.path.join(d, "segment.json")) as f:
-            in_metas.append(json.load(f))
     docmeta = pa.concat_tables(docmetas)
 
     # term-aligned merge WITHOUT codec work: within-block deltas are
@@ -141,29 +192,33 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
     # list is its input blobs concatenated with block headers patched by
     # the segment's doc base (postings_codec.concat_postings); df/ttf are
     # column sums. Only block headers are touched — O(blocks), not
-    # O(postings).
-    tables = [
-        pq.read_table(os.path.join(d, "postings.parquet")) for d in seg_dirs
-    ]
+    # O(postings).  Segments WITH deletes pay a decode-filter-reencode
+    # compaction first (O(postings) for those segments only).
+    tables = []
+    for d, dm, deleted in zip(seg_dirs, docmetas, dels):
+        t = pq.read_table(os.path.join(d, "postings.parquet"))
+        if len(deleted):
+            t = compact_postings_rows(t, deleted, _compacted_norm_lookup(dm))
+        tables.append(t)
     postings = _merge_postings_rows(tables, bases)
-    # top-level stats sum the INPUT segments' top-level stats: for
-    # multi-field segments those cover the default field only (the
+    # top-level stats sum the inputs' EFFECTIVE stats (post-compaction):
+    # for multi-field segments those cover the default field only (the
     # collection stats BM25's avgdl derives from), while Σ over the merged
     # term rows would also count field-prefixed terms
     stats = {
         "doc_count": docmeta.num_rows,
         "sum_total_term_freq": int(
-            sum(im["stats"]["sum_total_term_freq"] for im in in_metas)
+            sum(st["sum_total_term_freq"] for st in eff_stats)
         ),
         "sum_doc_freq": int(
-            sum(im["stats"]["sum_doc_freq"] for im in in_metas)
-        ),
+            postings.column("df").to_numpy().sum()
+        ) if postings.num_rows else 0,
         "term_count": postings.num_rows,
     }
     # per-field stats + default_field carry through merges (multi-field)
     fields_acc: Dict[str, Dict[str, int]] = {}
-    for im in in_metas:
-        for fname, fs in (im["stats"].get("fields") or {}).items():
+    for st in eff_stats:
+        for fname, fs in (st.get("fields") or {}).items():
             acc = fields_acc.setdefault(
                 fname, {"doc_count": 0, "sum_total_term_freq": 0}
             )
@@ -182,6 +237,14 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
     )
     if df_field:
         meta["default_field"] = df_field
+    for im in in_metas:
+        if im.get("analyzer"):
+            meta["analyzer"] = im["analyzer"]
+            break
+    for im in in_metas:
+        if im.get("field_analyzers"):
+            meta["field_analyzers"] = im["field_analyzers"]
+            break
     write_segment_dir(index_dir, new_id, postings, docmeta, meta)
     return meta
 
@@ -207,19 +270,27 @@ def merge_segments_sharded(
     import pyarrow.parquet as pq
     import ray.data
 
+    from lucene_solr_ray.index.deletes import compact_postings_rows
+
     seg_dirs = [os.path.join(index_dir, segment_dir_name(s)) for s in spec_ids]
+    docmetas, in_metas, dels, eff_stats = _effective_inputs(seg_dirs)
     bases: List[int] = []
     base = 0
-    docmetas = []
-    in_metas = []
-    for d in seg_dirs:
-        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
+    for dm in docmetas:
         bases.append(base)
         base += dm.num_rows
-        docmetas.append(dm)
-        with open(os.path.join(d, "segment.json")) as f:
-            in_metas.append(json.load(f))
     docmeta = pa.concat_tables(docmetas)
+    # per-segment compacted norm arrays (uint8) for re-encode impacts —
+    # small enough to ride the task closure / object store broadcast
+    seg_norms: List[Dict[Optional[str], np.ndarray]] = []
+    for dm in docmetas:
+        m: Dict[Optional[str], np.ndarray] = {
+            None: dm.column("norm").to_numpy()
+        }
+        for c in dm.schema.names:
+            if c.startswith("norm__"):
+                m[c[len("norm__"):]] = dm.column(c).to_numpy()
+        seg_norms.append(m)
 
     # boundaries: quantile terms of the largest input's dictionary
     big = max(seg_dirs, key=lambda d: os.path.getsize(
@@ -255,14 +326,26 @@ def merge_segments_sharded(
                 f2 = pc.field("term") < hi_
                 filt = f2 if filt is None else (filt & f2)
             tables = []
-            for d in seg_dirs:
+            for si, d in enumerate(seg_dirs):
                 dsrc = pads.dataset(
                     os.path.join(d, "postings.parquet"), format="parquet"
                 )
-                tables.append(
+                t = (
                     dsrc.to_table(filter=filt) if filt is not None
                     else dsrc.to_table()
                 )
+                if len(dels[si]):
+                    nm = seg_norms[si]
+                    t = compact_postings_rows(
+                        t, dels[si],
+                        lambda fld, _nm=nm: _nm.get(
+                            fld,
+                            np.zeros(
+                                len(_nm[None]), dtype=np.uint8
+                            ),
+                        ),
+                    )
+                tables.append(t)
             part = _merge_postings_rows(tables, bases)
             pq.write_table(
                 part, os.path.join(tmp_parts, f"part-{ri:04d}.parquet"),
@@ -285,8 +368,7 @@ def merge_segments_sharded(
     )
     os.makedirs(final_tmp, exist_ok=True)
     writer = None
-    dfs_total = 0
-    ttfs_total = 0
+    df_total = 0
     n_terms = 0
     for i in range(len(ranges)):
         part = pq.read_table(os.path.join(tmp_parts, f"part-{i:04d}.parquet"))
@@ -297,6 +379,7 @@ def merge_segments_sharded(
             )
         if part.num_rows:
             writer.write_table(part)
+            df_total += int(part.column("df").to_numpy().sum())
         n_terms += part.num_rows
     if writer is not None:
         writer.close()
@@ -308,16 +391,14 @@ def merge_segments_sharded(
     stats = {
         "doc_count": docmeta.num_rows,
         "sum_total_term_freq": int(
-            sum(im["stats"]["sum_total_term_freq"] for im in in_metas)
+            sum(st["sum_total_term_freq"] for st in eff_stats)
         ),
-        "sum_doc_freq": int(
-            sum(im["stats"]["sum_doc_freq"] for im in in_metas)
-        ),
+        "sum_doc_freq": df_total,
         "term_count": n_terms,
     }
     fields_acc: Dict[str, Dict[str, int]] = {}
-    for im in in_metas:
-        for fname, fs in (im["stats"].get("fields") or {}).items():
+    for st in eff_stats:
+        for fname, fs in (st.get("fields") or {}).items():
             acc = fields_acc.setdefault(
                 fname, {"doc_count": 0, "sum_total_term_freq": 0}
             )
@@ -336,6 +417,14 @@ def merge_segments_sharded(
     )
     if df_field:
         meta["default_field"] = df_field
+    for im in in_metas:
+        if im.get("analyzer"):
+            meta["analyzer"] = im["analyzer"]
+            break
+    for im in in_metas:
+        if im.get("field_analyzers"):
+            meta["field_analyzers"] = im["field_analyzers"]
+            break
     with open(os.path.join(final_tmp, "segment.json"), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
     final = os.path.join(index_dir, segment_dir_name(new_id))

@@ -89,12 +89,11 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     Columns (qid, doc_id, rank, score) — rank 1-based, score ROUND(·, 4).
     """
     idx = documents_index(sf_dir)
-    tabs = []
-    for qid, qs, k, _ in QUERY_SET:
-        tabs.append(
-            idx.search({qid: qs}, k=k, similarity=BM25SimilarityF64())
-        )
-    t = pa.concat_tables(tabs)
+    # ONE batched search job for the whole query set (one stats pass + one
+    # scoring pass over all segments), with per-query k via search_parsed
+    parser = idx.make_parser()
+    parsed = [(qid, parser.parse(qs), k) for qid, qs, k, _ in QUERY_SET]
+    t = idx.search_parsed(parsed, similarity=BM25SimilarityF64())
     return pa.table(
         {
             "qid": t.column("qid"),
@@ -609,6 +608,80 @@ SELECT 0 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
   WHERE d.lang = 'en'
 ) WHERE rank <= 10
 """
+
+
+def delete_then_search(sf_dir: str) -> pa.Table:
+    """Deletes gate (``IndexWriter.deleteDocuments`` semantics): build a
+    private index copy, tombstone every doc containing 'window', re-run a
+    BM25 batch — survivors keep their EXACT pre-delete scores (stats stay
+    maxDoc-based until merge), deleted docs vanish from every result."""
+    from lucene_solr_ray.index.deletes import delete_by_query
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"documents_del_v{FORMAT_VERSION}_{key}")
+    if read_latest_manifest(out) is None:
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            text_col="text",
+            id_col="doc_id",
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    # idempotent: re-running unions to the same tombstone set
+    delete_by_query(out, "window")
+    idx = Index(out)
+    t = idx.search(
+        {0: "merge", 1: "fast OR slow", 2: "sort AND batch"},
+        k=10, similarity=BM25SimilarityF64(),
+    )
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def delete_then_search_sql() -> str:
+    # scores use the FULL corpus stats (deleted docs still count, exactly
+    # the engine's pre-merge semantics); only the result set excludes docs
+    # matching the delete query
+    specs = [
+        (0, ["merge"], [["merge"]]),
+        (1, ["fast", "slow"], [["fast", "slow"]]),
+        (2, ["sort", "batch"], [["sort"], ["batch"]]),
+    ]
+    selects = []
+    for qid, all_terms, groups in specs:
+        in_list = ", ".join(f"'{t}'" for t in sorted(all_terms))
+        having = " AND ".join(
+            "SUM(CASE WHEN term IN ({}) THEN 1 ELSE 0 END) > 0".format(
+                ", ".join(f"'{t}'" for t in g)
+            )
+            for g in groups
+        )
+        selects.append(
+            f"""
+  SELECT {qid} AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM (
+      SELECT doc_id, SUM(tscore) AS score
+      FROM scores WHERE term IN ({in_list})
+        AND doc_id NOT IN (
+          SELECT doc_id FROM tok WHERE term = 'window'
+        )
+      GROUP BY doc_id
+      HAVING {having}
+    )
+  ) WHERE rank <= 10"""
+        )
+    return _BM25_CTE + "\nUNION ALL\n".join(selects)
 
 
 def field_wildcard_docs(sf_dir: str) -> pa.Table:

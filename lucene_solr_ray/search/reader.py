@@ -20,7 +20,29 @@ import pyarrow.parquet as pq
 
 from lucene_solr_ray.index.postings_codec import decode_postings
 
-__all__ = ["SegmentReader"]
+__all__ = ["SegmentReader", "latest_deletes_file"]
+
+_DELETES_RE = __import__("re").compile(r"^deletes-(\d+)\.parquet$")
+
+
+def latest_deletes_file(seg_dir: str) -> Optional[str]:
+    """Highest-generation ``deletes-N.parquet`` in the segment dir, or None.
+
+    The per-segment live-docs sidecar (the ``.liv`` file role, reference
+    ``lucene/core/src/java/org/apache/lucene/codecs/lucene50/
+    Lucene50LiveDocsFormat.java:30-60``): segments stay immutable; deletes
+    ride in a generation-stamped sidecar, highest generation wins."""
+    best, best_gen = None, -1
+    try:
+        names = os.listdir(seg_dir)
+    except OSError:
+        return None
+    for name in names:
+        m = _DELETES_RE.match(name)
+        if m and int(m.group(1)) > best_gen:
+            best_gen = int(m.group(1))
+            best = name
+    return best
 
 
 def _list_views(col: pa.ChunkedArray) -> Tuple[np.ndarray, np.ndarray]:
@@ -104,6 +126,30 @@ class SegmentReader:
             c[len("norm__"):]: dm.column(c).to_numpy() for c in extra
         }
         self.ndocs = len(self.doc_ids)
+
+        # live docs: deleted segment-local ordinals from the newest sidecar
+        self.del_file = latest_deletes_file(seg_dir)
+        if self.del_file:
+            self.deleted_ords: np.ndarray = np.sort(
+                pq.read_table(os.path.join(seg_dir, self.del_file))
+                .column("ord").to_numpy().astype(np.int64)
+            )
+        else:
+            self.deleted_ords = np.empty(0, dtype=np.int64)
+        self.has_deletes = len(self.deleted_ords) > 0
+
+    def live_mask(self, ords: np.ndarray) -> np.ndarray:
+        """Boolean mask of which ords are LIVE (not tombstoned)."""
+        d = self.deleted_ords
+        if not self.has_deletes or len(ords) == 0:
+            return np.ones(len(ords), dtype=bool)
+        idx = np.searchsorted(d, ords)
+        idx_c = np.minimum(idx, len(d) - 1)
+        return ~((idx < len(d)) & (d[idx_c] == ords))
+
+    @property
+    def live_doc_count(self) -> int:
+        return self.ndocs - len(self.deleted_ords)
 
     def norms_for(self, field: "Optional[str]") -> np.ndarray:
         """Norm bytes for a field (None/default → the legacy column)."""

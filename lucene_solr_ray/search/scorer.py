@@ -349,9 +349,18 @@ class _Eval:
 def score_segment(
     reader, query: Query, stats: GlobalStats, sim: Optional[BM25Similarity] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Exhaustively score one segment; returns (ords asc, float32 scores)."""
+    """Exhaustively score one segment; returns (ords asc, float32 scores).
+
+    Tombstoned docs are dropped from the RESULT but still count in the
+    collection/term stats — exactly Lucene's live-docs contract (deleted
+    docs affect docFreq/avgdl until the segment merges away;
+    ``LeafReader.getLiveDocs`` filters iteration only)."""
     ev = _Eval(reader, stats, sim or BM25Similarity())
-    return ev.eval(query, 1.0)
+    ords, scores = ev.eval(query, 1.0)
+    if getattr(reader, "has_deletes", False) and len(ords):
+        m = reader.live_mask(ords)
+        ords, scores = ords[m], scores[m]
+    return ords, scores
 
 
 def topk_segment(
@@ -366,7 +375,11 @@ def topk_segment(
     conjunctions take the block-max WAND/MaxScore path (search/wand.py);
     everything else — and ``pruning=False`` (COMPLETE mode, the
     checkTopScores oracle) — scores exhaustively."""
-    if pruning:
+    # segments with tombstones take the exhaustive path: WAND's top-k would
+    # under-fill after post-hoc filtering (Lucene threads liveDocs through
+    # the scorer iterators; deleted segments merge away, so this slow path
+    # is transient per segment)
+    if pruning and not getattr(reader, "has_deletes", False):
         from lucene_solr_ray.search.wand import topk_pruned
 
         hit = topk_pruned(reader, query, stats, k, sim)

@@ -307,10 +307,15 @@ class _SearchFn:
         self._readers: Dict[str, SegmentReader] = {}
 
     def _reader(self, seg_dir: str) -> SegmentReader:
-        r = self._readers.get(seg_dir)
+        from lucene_solr_ray.search.reader import latest_deletes_file
+
+        # cache key includes the live-docs generation: a delete between
+        # searches must not serve a stale cached reader
+        key = (seg_dir, latest_deletes_file(seg_dir))
+        r = self._readers.get(key)
         if r is None:
             r = SegmentReader(seg_dir, load_positions=self.need_positions)
-            self._readers[seg_dir] = r
+            self._readers[key] = r
         return r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -641,10 +646,13 @@ class _FieldSortFn:
             batch.column("seg_dir").to_pylist(),
             batch.column("seg_ord").to_pylist(),
         ):
-            reader = self._readers.get(seg_dir)
+            from lucene_solr_ray.search.reader import latest_deletes_file
+
+            rkey = (seg_dir, latest_deletes_file(seg_dir))
+            reader = self._readers.get(rkey)
             if reader is None:
                 reader = SegmentReader(seg_dir, load_positions=self.need_pos)
-                self._readers[seg_dir] = reader
+                self._readers[rkey] = reader
             vals = pq.read_table(
                 os.path.join(seg_dir, "docmeta.parquet"),
                 columns=[self.field],
