@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multifield_topk": fulltext.multifield_topk,
         "field_wildcard_docs": fulltext.field_wildcard_docs,
         "delete_then_search": fulltext.delete_then_search,
+        "numeric_range_topk": fulltext.numeric_range_topk,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -70,6 +71,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_topk": fulltext.multifield_topk_sql(),
         "field_wildcard_docs": fulltext.field_wildcard_docs_sql(),
         "delete_then_search": fulltext.delete_then_search_sql(),
+        "numeric_range_topk": fulltext.numeric_range_topk_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

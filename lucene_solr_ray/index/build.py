@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional, Sequence
 
+import numpy as np
 import pyarrow.parquet as pq
 
 from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
@@ -141,6 +142,7 @@ class _BuildShard:
         extra_fields: Optional[Dict[str, str]] = None,
         with_offsets: bool = False,
         field_analyzers: Optional[Dict[str, StandardAnalyzer]] = None,
+        numeric_fields: Optional[Dict[str, str]] = None,
     ) -> None:
         self.out_dir = out_dir
         self.text_col = text_col
@@ -151,6 +153,7 @@ class _BuildShard:
         self.extra_fields = dict(extra_fields or {})
         self.with_offsets = with_offsets
         self.field_analyzers = dict(field_analyzers or {})
+        self.numeric_fields = dict(numeric_fields or {})
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -164,7 +167,7 @@ class _BuildShard:
     def _build_one(self, shard: Dict) -> Dict:
         cols = [self.text_col] + self.stored_cols + list(
             self.extra_fields.values()
-        )
+        ) + list(self.numeric_fields.values())
         if self.id_col:
             cols = [self.id_col] + cols
         t = _read_shard_columns(shard, list(dict.fromkeys(cols)))
@@ -192,10 +195,31 @@ class _BuildShard:
         docmeta = seg.docmeta
         for c in self.stored_cols:  # docstore columns ride along docmeta
             docmeta = docmeta.append_column(c, t.column(c))
+        points = None
+        numeric_meta: Dict[str, str] = {}
+        points_minmax: Dict[str, list] = {}
+        if self.numeric_fields:
+            from lucene_solr_ray.index.points import build_points_table
+
+            field_vals = {}
+            for fname, colname in self.numeric_fields.items():
+                arr = t.column(colname).to_numpy(zero_copy_only=False)
+                field_vals[fname] = arr
+                numeric_meta[fname] = (
+                    "double" if arr.dtype.kind == "f" else "int64"
+                )
+                fin = arr[~np.isnan(arr.astype(np.float64))] if len(arr) \
+                    else arr
+                if len(fin):
+                    points_minmax[fname] = [float(fin.min()),
+                                            float(fin.max())]
+            points = build_points_table(field_vals)
         meta = {
             "segment_id": shard["segment_id"],
             "stats": seg.stats,
             **({"default_field": self.text_col} if self.extra_fields else {}),
+            **({"numeric_fields": numeric_meta} if numeric_meta else {}),
+            **({"points_minmax": points_minmax} if points_minmax else {}),
             "analyzer": self.analyzer.spec(),
             **(
                 {
@@ -214,7 +238,8 @@ class _BuildShard:
             },
         }
         write_segment_dir(
-            self.out_dir, shard["segment_id"], seg.postings, docmeta, meta
+            self.out_dir, shard["segment_id"], seg.postings, docmeta, meta,
+            points=points,
         )
         return meta
 
@@ -232,6 +257,7 @@ def build_index(
     with_positions: bool = True,
     with_offsets: bool = False,
     field_analyzers: Optional[Dict[str, StandardAnalyzer]] = None,
+    numeric_fields: Optional[Dict[str, str]] = None,
     concurrency: Optional[int] = None,
 ) -> Dict:
     """Build (or resume) an index over corpus Parquet; returns the manifest.
@@ -258,7 +284,7 @@ def build_index(
     if todo:
         fn = _BuildShard(
             out_dir, text_col, id_col, analyzer, with_positions, stored_cols,
-            extra_fields, with_offsets, field_analyzers,
+            extra_fields, with_offsets, field_analyzers, numeric_fields,
         )
         # one block per shard — map_batches parallelism follows block count,
         # so without this from_items may pack shards into few blocks and

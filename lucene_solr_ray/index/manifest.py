@@ -49,6 +49,7 @@ def write_segment_dir(
     postings,
     docmeta,
     meta: Dict,
+    points=None,
 ) -> str:
     """Write one segment atomically (tmp dir + rename). Idempotent: if the
     final dir already exists (another attempt won), keep the existing one."""
@@ -67,6 +68,10 @@ def write_segment_dir(
     pq.write_table(
         docmeta, os.path.join(tmp, "docmeta.parquet"), compression="zstd"
     )
+    if points is not None:
+        pq.write_table(
+            points, os.path.join(tmp, "points.parquet"), compression="zstd"
+        )
     with open(os.path.join(tmp, "segment.json"), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
     try:
@@ -151,6 +156,8 @@ def commit_manifest(out_dir: str, segments: List[Dict]) -> Dict:
         manifest["analyzer"] = segments[0]["analyzer"]
     if segments and segments[0].get("field_analyzers"):
         manifest["field_analyzers"] = segments[0]["field_analyzers"]
+    if segments and segments[0].get("numeric_fields"):
+        manifest["numeric_fields"] = segments[0]["numeric_fields"]
     tmp = os.path.join(out_dir, f".manifest-{gen}.json.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

@@ -201,6 +201,7 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
             t = compact_postings_rows(t, deleted, _compacted_norm_lookup(dm))
         tables.append(t)
     postings = _merge_postings_rows(tables, bases)
+    points = _merge_points(seg_dirs, bases, dels)
     # top-level stats sum the inputs' EFFECTIVE stats (post-compaction):
     # for multi-field segments those cover the default field only (the
     # collection stats BM25's avgdl derives from), while Σ over the merged
@@ -245,8 +246,36 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         if im.get("field_analyzers"):
             meta["field_analyzers"] = im["field_analyzers"]
             break
-    write_segment_dir(index_dir, new_id, postings, docmeta, meta)
+    nf = next(
+        (im.get("numeric_fields") for im in in_metas
+         if im.get("numeric_fields")), None,
+    )
+    if nf:
+        meta["numeric_fields"] = nf
+    write_segment_dir(index_dir, new_id, postings, docmeta, meta,
+                      points=points)
     return meta
+
+
+def _merge_points(seg_dirs: List[str], bases: List[int], dels):
+    """Merge the inputs' points.parquet (numeric point fields), rebasing
+    ords and compacting tombstones with the same DocMap as postings."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.points import merge_points_tables
+
+    tabs = []
+    any_points = False
+    for d in seg_dirs:
+        p = os.path.join(d, "points.parquet")
+        if os.path.exists(p):
+            tabs.append(pq.read_table(p))
+            any_points = True
+        else:
+            tabs.append(None)
+    if not any_points:
+        return None
+    return merge_points_tables(tabs, bases, dels)
 
 
 def merge_segments_sharded(
@@ -388,6 +417,12 @@ def merge_segments_sharded(
         docmeta, os.path.join(final_tmp, "docmeta.parquet"),
         compression="zstd",
     )
+    points = _merge_points(seg_dirs, bases, dels)
+    if points is not None:
+        pq.write_table(
+            points, os.path.join(final_tmp, "points.parquet"),
+            compression="zstd",
+        )
     stats = {
         "doc_count": docmeta.num_rows,
         "sum_total_term_freq": int(
@@ -425,6 +460,12 @@ def merge_segments_sharded(
         if im.get("field_analyzers"):
             meta["field_analyzers"] = im["field_analyzers"]
             break
+    nf = next(
+        (im.get("numeric_fields") for im in in_metas
+         if im.get("numeric_fields")), None,
+    )
+    if nf:
+        meta["numeric_fields"] = nf
     with open(os.path.join(final_tmp, "segment.json"), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
     final = os.path.join(index_dir, segment_dir_name(new_id))

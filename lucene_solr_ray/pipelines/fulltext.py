@@ -610,6 +610,81 @@ SELECT 0 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
 """
 
 
+def documents_index_pts(sf_dir: str) -> Index:
+    """documents indexed with an INDEXED NUMERIC point field ``n_chars``
+    (LongPoint semantics: flat-sorted per-segment points, PointRangeQuery
+    in the query language)."""
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"documents_pts_v{FORMAT_VERSION}_{key}")
+    if read_latest_manifest(out) is None:
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            text_col="text",
+            id_col="doc_id",
+            numeric_fields={"n_chars": "n_chars"},
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    return Index(out)
+
+
+def numeric_range_topk(sf_dir: str) -> pa.Table:
+    """Indexed numeric range queries (reference ``search/PointRangeQuery``):
+    BM25 text score + constant-score numeric clause; inclusive, exclusive
+    and half-open ranges."""
+    idx = documents_index_pts(sf_dir)
+    t = idx.search(
+        {
+            0: "merge AND n_chars:[200 TO 400]",
+            1: "sort AND n_chars:{500 TO *}",
+            2: "n_chars:[* TO 120]",
+        },
+        k=10, similarity=BM25SimilarityF64(),
+    )
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def numeric_range_topk_sql() -> str:
+    return _BM25_CTE + """
+SELECT 0 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+  SELECT d.doc_id, s.score + 1.0 AS score,
+    ROW_NUMBER() OVER (ORDER BY s.score + 1.0 DESC, d.doc_id) AS rank
+  FROM (
+    SELECT doc_id, SUM(tscore) AS score FROM scores
+    WHERE term = 'merge' GROUP BY doc_id
+  ) s JOIN documents d USING (doc_id)
+  WHERE d.n_chars BETWEEN 200 AND 400
+) WHERE rank <= 10
+UNION ALL
+SELECT 1 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+  SELECT d.doc_id, s.score + 1.0 AS score,
+    ROW_NUMBER() OVER (ORDER BY s.score + 1.0 DESC, d.doc_id) AS rank
+  FROM (
+    SELECT doc_id, SUM(tscore) AS score FROM scores
+    WHERE term = 'sort' GROUP BY doc_id
+  ) s JOIN documents d USING (doc_id)
+  WHERE d.n_chars > 500
+) WHERE rank <= 10
+UNION ALL
+SELECT 2 AS qid, doc_id, rank, 1.0 AS score FROM (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY doc_id) AS rank
+  FROM documents WHERE n_chars <= 120
+) WHERE rank <= 10
+"""
+
+
 def delete_then_search(sf_dir: str) -> pa.Table:
     """Deletes gate (``IndexWriter.deleteDocuments`` semantics): build a
     private index copy, tombstone every doc containing 'window', re-run a

@@ -138,6 +138,34 @@ class SegmentReader:
             self.deleted_ords = np.empty(0, dtype=np.int64)
         self.has_deletes = len(self.deleted_ords) > 0
 
+    def points(self, field: str):
+        """(values float64 sorted asc, ords int32 aligned) of one numeric
+        point field, or None if the segment has no values for it.  Lazy:
+        points.parquet loads on first use and caches per field (the BKD
+        leaf-block read of the 1-D flat-sorted representation)."""
+        cached = getattr(self, "_points_cache", None)
+        if cached is None:
+            cached = self._points_cache = {}
+        hit = cached.get(field)
+        if hit is not None:
+            return hit if hit != () else None
+        path = os.path.join(self.seg_dir, "points.parquet")
+        if not os.path.exists(path):
+            cached[field] = ()
+            return None
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(path, format="parquet").to_table(
+            filter=pc.field("field") == field
+        )
+        if t.num_rows == 0:
+            cached[field] = ()
+            return None
+        out = (t.column("value").to_numpy(), t.column("ord").to_numpy())
+        cached[field] = out
+        return out
+
     def live_mask(self, ords: np.ndarray) -> np.ndarray:
         """Boolean mask of which ords are LIVE (not tombstoned)."""
         d = self.deleted_ords

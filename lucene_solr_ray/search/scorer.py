@@ -41,6 +41,7 @@ from lucene_solr_ray.search.query import (
     MatchNoDocsQuery,
     Occur,
     PhraseQuery,
+    PointRangeQuery,
     Query,
     SynonymQuery,
     TermInSetQuery,
@@ -110,6 +111,8 @@ class _Eval:
             ords, _ = self.eval(q.query, 1.0)
             dt = self.sim.out_dtype
             return ords, np.full(len(ords), dt(boost), dtype=dt)
+        if isinstance(q, PointRangeQuery):
+            return self._point_range(q, boost)
         if isinstance(q, TermInSetQuery):
             # constant-score union (CONSTANT_SCORE_REWRITE semantics)
             all_ords: List[np.ndarray] = []
@@ -125,6 +128,46 @@ class _Eval:
         raise TypeError(
             f"unrewritten or unsupported query node: {type(q).__name__}"
         )
+
+    def _point_range(self, q: "PointRangeQuery", boost: float):
+        """Constant-score numeric range over the segment's flat-sorted
+        points (1-D BKD semantics, reference ``search/PointRangeQuery.java``
+        — the weight is a ConstantScoreWeight)."""
+        # segment-level prune off the meta min/max (the BKD root-cell
+        # check) — skips the points.parquet read entirely
+        mm = self.reader.meta.get("points_minmax", {}).get(q.nfield)
+        if mm is not None:
+            if q.lower is not None and (
+                mm[1] < q.lower
+                or (mm[1] == q.lower and not q.include_lower)
+            ):
+                return _EMPTY_I, _EMPTY_F
+            if q.upper is not None and (
+                mm[0] > q.upper
+                or (mm[0] == q.upper and not q.include_upper)
+            ):
+                return _EMPTY_I, _EMPTY_F
+        p = self.reader.points(q.nfield)
+        if p is None:
+            return _EMPTY_I, _EMPTY_F
+        vals, ords = p
+        lo = 0
+        hi = len(vals)
+        if q.lower is not None:
+            lo = np.searchsorted(
+                vals, float(q.lower),
+                side="left" if q.include_lower else "right",
+            )
+        if q.upper is not None:
+            hi = np.searchsorted(
+                vals, float(q.upper),
+                side="right" if q.include_upper else "left",
+            )
+        if hi <= lo:
+            return _EMPTY_I, _EMPTY_F
+        sel = np.sort(ords[lo:hi]).astype(np.int32)
+        dt = self.sim.out_dtype
+        return sel, np.full(len(sel), dt(boost), dtype=dt)
 
     def _term(self, term: str, boost: float, fld: Optional[str] = None):
         from lucene_solr_ray.index.segment import field_term

@@ -204,3 +204,72 @@ def test_delete_all_postings_of_term_drops_row(built, tmp_path):
     seg = os.path.join(out, f"seg_{meta['segment_id']:06d}")
     r = SegmentReader(seg)
     assert "scan" not in r.terms
+
+
+# -- numeric point fields through deletes + merge ---------------------------
+
+
+def test_numeric_points_range_and_merge(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.search.reader import SegmentReader
+
+    n = 80
+    rng = random.Random(11)
+    texts = [" ".join(rng.choice(WORDS) for _ in range(5)) for _ in range(n)]
+    sizes = [rng.randint(0, 1000) for _ in range(n)]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts),
+                  "size": pa.array(sizes, pa.int64())}), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                numeric_fields={"size": "size"}, docs_per_segment=20)
+    idx = Index(out)
+    assert idx.numeric_fields == {"size": "int64"}
+
+    def expect(lo, hi, ex=None):
+        return sorted(
+            i for i, s in enumerate(sizes)
+            if (lo is None or s >= lo) and (hi is None or s <= hi)
+            and (ex is None or i not in ex)
+        )
+
+    hits = idx.search({0: "size:[100 TO 300]"}, k=1000).to_pandas()
+    assert sorted(hits.doc_id) == expect(100, 300)
+    # exclusive + open bounds
+    hits = idx.search({0: "size:{900 TO *}"}, k=1000).to_pandas()
+    assert sorted(hits.doc_id) == sorted(
+        i for i, s in enumerate(sizes) if s > 900)
+
+    # delete some docs, range must exclude them
+    delete_doc_ids(out, list(range(0, n, 3)))
+    idx2 = Index(out)
+    hits = idx2.search({0: "size:[100 TO 300]"}, k=1000).to_pandas()
+    assert sorted(hits.doc_id) == expect(100, 300, ex=set(range(0, n, 3)))
+
+    # merge compacts tombstones; points survive with rebased ords
+    m = read_latest_manifest(out)
+    ids = [s["segment_id"] for s in m["segments"]]
+    meta = merge_segments(out, ids, max(ids) + 1)
+    commit_manifest(out, [meta])
+    idx3 = Index(out)
+    assert idx3.numeric_fields == {"size": "int64"}
+    hits = idx3.search({0: "size:[100 TO 300]"}, k=1000).to_pandas()
+    assert sorted(hits.doc_id) == expect(100, 300, ex=set(range(0, n, 3)))
+    seg = os.path.join(out, f"seg_{meta['segment_id']:06d}")
+    r = SegmentReader(seg)
+    vals, ords = r.points("size")
+    assert (np.diff(vals) >= 0).all() and len(vals) == r.ndocs
+
+    # combined text + numeric MUST: score = BM25 + 1.0 constant
+    hits = idx3.search({0: "merge AND size:[0 TO 1000]"}, k=1000).to_pandas()
+    base = idx3.search({0: "merge"}, k=1000).to_pandas()
+    assert sorted(hits.doc_id) == sorted(base.doc_id)
+    assert np.allclose(
+        np.sort(hits.score.to_numpy()),
+        np.sort(base.score.to_numpy() + np.float32(1.0)),
+    )
