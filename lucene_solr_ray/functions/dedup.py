@@ -21,6 +21,7 @@ groups (skewed giant buckets are capped; see ``max_bucket``).
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -135,123 +136,253 @@ def minhash_lsh_pairs(
 ):
     """Near-duplicate pairs via banded MinHash-LSH + exact verification.
 
-    Pipeline: per-batch signatures → explode to (band, band_hash, id) rows
-    (NO text rides the shuffle — only 3 tiny columns) → groupby(band,
-    band_hash) → candidate pairs → distinct → verify n-gram Jaccard with a
-    broadcast id→text lookup (``ray.put`` once, read per verify task).
-    Returns (id_a, id_b, jaccard) with id_a < id_b.  Buckets larger than
-    ``max_bucket`` (degenerate content) are truncated.
+    Fully distributed — nothing corpus-sized ever touches the driver:
 
-    Scale note: the broadcast verify lookup assumes the *candidate* docs'
-    texts fit in the object store; at 10^9-doc scale replace it with two
-    hash-partitioned fetch joins of the pair list against the corpus
-    (same semantics, all-shuffle).
+    1. per-batch signatures → explode to (band, band_hash, id) rows (NO
+       text rides the shuffle — 3 tiny columns);
+    2. candidate pairs by a hash-partitioned SELF-JOIN on the bucket key
+       (C-path; buckets larger than ``max_bucket`` — degenerate content —
+       are dropped first);
+    3. cross-band distinct via a tiny-row ``groupby(id_a, id_b)``;
+    4. verification fetches texts through two reduce-side fetch joins of
+       the pair list against the candidate-pruned corpus (the corpus side
+       shuffles by id, never materializes centrally), then an exact
+       n-gram-Jaccard filter per batch.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    import ray
-
     rows_per_band = num_perm // bands
 
     def _bandify(t: pa.Table) -> pa.Table:
         texts = t.column(col).to_pylist()
-        ids = t.column(id_col).to_pylist()
+        ids = t.column(id_col).to_numpy()
         sigs = minhash_signatures(texts, num_perm, shingle_k, seed)
-        band_ids, band_hashes, out_ids = [], [], []
-        for i, d in enumerate(ids):
+        n = len(ids)
+        # band hash VECTORIZED over all docs: a multiply-accumulate mix of
+        # the band's minhash values (equal chunks → equal hash; 64-bit
+        # collisions are negligible vs blake2b-per-row, which measured as
+        # the bandify hotspot)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        band_ids = np.repeat(
+            np.arange(bands, dtype=np.int64), n
+        )
+        hashes = np.empty((bands, n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for bnd in range(bands):
-                chunk = sigs[i, bnd * rows_per_band : (bnd + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                band_ids.append(bnd)
-                band_hashes.append(h)
-                out_ids.append(d)
+                h = np.full(n, np.uint64(bnd * 2 + 1), dtype=np.uint64)
+                for j in range(rows_per_band):
+                    h = h * mult + sigs[:, bnd * rows_per_band + j]
+                h ^= h >> np.uint64(29)
+                h = h * mult
+                h ^= h >> np.uint64(32)
+                hashes[bnd] = h
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
-                id_col: pa.array(out_ids, pa.int64()),
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(
+                    hashes.reshape(-1).view(np.int64)
+                ),
+                id_col: pa.array(np.tile(ids, bands)),
             }
         )
 
+    # materialize ONCE: banded is consumed by the size aggregate and both
+    # self-join sides — lazily it would recompute the signatures per
+    # consumer (tiny rows: bands x (int32, 16B hash, int64) per doc)
     banded = ds.select_columns([id_col, col]).map_batches(
         _bandify, batch_format="pyarrow"
     ).materialize()
 
-    # almost every bucket is a singleton: find the multi-member buckets
-    # with a C-path count aggregate (NO per-group python over ~docs×bands
-    # groups — that was measured at >10x the cost of everything else),
-    # then keep only their rows for pair generation
+    pairs = _bucket_pairs(
+        banded, ["band", "band_hash"], id_col, max_bucket
+    )
+    corpus = ds.select_columns([id_col, col])
+    with_texts = _fetch_pair_texts(pairs, corpus, id_col, col)
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        jac = [
+            ngram_jaccard(a or "", b or "", shingle_k)
+            for a, b in zip(batch["_text_a"], batch["_text_b"])
+        ]
+        batch = batch.assign(jaccard=jac)
+        batch = batch[batch["jaccard"] >= jaccard_threshold]
+        return batch[["id_a", "id_b", "jaccard"]]
+
+    return with_texts.map_batches(_verify, batch_format="pandas")
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the cluster (each join spins up
+    its partition-count of aggregator actors)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(16, cpus // 2))
+
+
+def _hot_bucket_rows(banded, bucket_cols: List[str], max_bucket: int):
+    """Drop DEGENERATE buckets (> max_bucket members — Σn² would explode
+    in the self-join).  Only the oversize keys come to the driver: they are
+    pathological-content buckets, definitionally rare (empty in practice),
+    so the closure stays bounded — the common multi-member buckets never
+    leave the cluster.  (A banded ⋈ sizes semi-join was measured ~2×
+    slower than the full self-join it was meant to shrink.)"""
     from ray.data.aggregate import Count
 
-    sizes = (
-        banded.groupby(["band", "band_hash"])
-        .aggregate(Count(alias_name="n"))
+    over = (
+        banded.groupby(bucket_cols)
+        .aggregate(Count(alias_name="_n"))
+        .filter(expr=f"_n > {max_bucket}")
+        .to_pandas()
     )
-    hot = sizes.filter(expr="n > 1").to_pandas()
-    hot_keys = set(zip(hot["band"], hot["band_hash"]))
+    if over.empty:
+        return banded
+    bad = set(map(tuple, over[bucket_cols].itertuples(index=False)))
 
-    def _only_hot(t: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [
-                (b, h) in hot_keys
-                for b, h in zip(
-                    t.column("band").to_pylist(),
-                    t.column("band_hash").to_pylist(),
-                )
-            ]
-        )
-        return t.filter(mask)
+    def _keep(t: pa.Table) -> pa.Table:
+        keys = zip(*(t.column(c).to_pylist() for c in bucket_cols))
+        return t.filter(pa.array([k not in bad for k in keys]))
 
-    survivors = banded.map_batches(
-        _only_hot, batch_format="pyarrow"
-    ).to_pandas()
+    # consumed by both self-join sides — materialize the filtered rows
+    return banded.map_batches(_keep, batch_format="pyarrow").materialize()
 
-    # pair generation over the (small) surviving buckets, driver-side;
-    # dedup across bands with one drop_duplicates
-    out_pairs: List[Tuple[int, int]] = []
-    for (_b, _h), g in survivors.groupby(["band", "band_hash"], sort=False):
-        ids = sorted(set(g[id_col].tolist()))[:max_bucket]
-        out_pairs.extend(
-            (ids[i], ids[j])
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        )
-    pairs_df = pd.DataFrame(
-        out_pairs, columns=["id_a", "id_b"]
-    ).drop_duplicates(ignore_index=True)
-    import ray.data
 
-    pairs = ray.data.from_pandas(
-        pairs_df
-        if not pairs_df.empty
-        else pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"),
-             "id_b": pd.Series([], dtype="int64")}
-        )
+def _bucket_pairs(banded, bucket_cols: List[str], id_col: str,
+                  max_bucket: int):
+    """Candidate pairs by SELF-JOIN on the bucket key — all C-path: one
+    hash-partitioned join (output Σn² over bucket sizes ≈ input size when
+    dup buckets are rare), a vectorized ``id_a < id_b`` filter, and a
+    tiny-row groupby distinct.  Replaces per-group Python (measured ~10×
+    slower at ~#docs×bands groups)."""
+    from ray.data.aggregate import Count
+
+    hot_rows = _hot_bucket_rows(banded, bucket_cols, max_bucket)
+    left = _rename_arrow(hot_rows, {id_col: "id_a"})
+    right = _rename_arrow(hot_rows, {id_col: "id_b"})
+    joined = left.join(
+        right, join_type="inner", num_partitions=_join_partitions(),
+        on=tuple(bucket_cols),
     )
 
-    texts_df = ds.select_columns([id_col, col]).to_pandas()
-    texts_ref = ray.put(dict(zip(texts_df[id_col], texts_df[col])))
+    def _ordered(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    class _Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
+        t = t.filter(pc.less(t.column("id_a"), t.column("id_b")))
+        return t.select(["id_a", "id_b"])
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if batch.empty:
-                return pd.DataFrame(
-                    {"id_a": pd.Series([], dtype="int64"),
-                     "id_b": pd.Series([], dtype="int64"),
-                     "jaccard": pd.Series([], dtype="float64")}
-                )
-            jac = [
-                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""),
-                              shingle_k)
-                for a, b in zip(batch["id_a"], batch["id_b"])
-            ]
-            batch = batch.assign(jaccard=jac)
-            return batch[batch["jaccard"] >= jaccard_threshold]
+    return (
+        joined.map_batches(_ordered, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_nbands"))
+        .select_columns(["id_a", "id_b"])
+    )
 
-    return pairs.map_batches(_Verify, batch_format="pandas",
-                             concurrency=(1, 8))
+
+def _rename_arrow(ds, mapping):
+    """rename_columns via a pyarrow map (Dataset.rename_columns breaks on
+    pandas-backed blocks in ray 2.49)."""
+
+    def _r(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [mapping.get(c, c) for c in t.schema.names]
+        )
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+def _attach_text(rows, corpus, side: str, carry: List[Tuple[str, object]],
+                 out_col: str, id_col: str, col: str):
+    """Reduce-side (repartition) join: union the row list with the corpus
+    keyed on ``side``/``id_col``, shuffle ONCE on the key, and inside each
+    group copy the key's text onto every row — the hash-partitioned fetch
+    join, expressed as ``groupby(key).map_groups`` so neither side ever
+    materializes centrally."""
+
+    def _prep_rows(t: pa.Table) -> pa.Table:
+        cols = {
+            "key": t.column(side).cast(pa.int64()),
+            "_kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "_txt": pa.nulls(t.num_rows, pa.string()),
+        }
+        for c, typ in carry:
+            cols[c] = t.column(c).cast(typ)
+        return pa.table(cols)
+
+    def _prep_corpus(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "key": t.column(id_col).cast(pa.int64()),
+            "_kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "_txt": t.column(col).cast(pa.string()),
+        }
+        for c, typ in carry:
+            cols[c] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    out_schema = pa.schema(
+        [(side, pa.int64())] + [(c, t) for c, t in carry]
+        + [(out_col, pa.string())]
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        kinds = t.column("_kind").to_numpy(zero_copy_only=False)
+        ci = np.nonzero(kinds == 0)[0]
+        pi = np.nonzero(kinds == 1)[0]
+        if len(ci) == 0 or len(pi) == 0:
+            return out_schema.empty_table()
+        txt = t.column("_txt")[int(ci[0])].as_py()
+        n = len(pi)
+        idx = pa.array(pi)
+        cols = {side: t.column("key").take(idx)}
+        for c, _typ in carry:
+            cols[c] = t.column(c).take(idx)
+        cols[out_col] = pa.array([txt] * n, pa.string())
+        return pa.table(cols, schema=out_schema)
+
+    unioned = rows.map_batches(_prep_rows, batch_format="pyarrow").union(
+        corpus.map_batches(_prep_corpus, batch_format="pyarrow")
+    )
+    return unioned.groupby("key").map_groups(
+        _merge, batch_format="pyarrow"
+    )
+
+
+def _fetch_pair_texts(pairs, corpus, id_col: str, col: str):
+    """Attach both sides' text to an (id_a, id_b) pair list with two
+    reduce-side fetch joins — scales to corpora that never fit one hop.
+
+    The corpus is first pruned to CANDIDATE ids (vectorized isin filter):
+    the driver holds only the candidate id array — 16 bytes per pair,
+    bounded by the dedup OUTPUT size, never by the corpus — which caps the
+    fetch joins' group count at #candidates instead of #docs."""
+    pairs = pairs.materialize()
+    pid = pairs.to_pandas()
+    cand = np.unique(
+        np.concatenate([pid["id_a"].to_numpy(), pid["id_b"].to_numpy()])
+    ) if len(pid) else np.empty(0, dtype=np.int64)
+
+    def _prune(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        return t.filter(pa.array(np.isin(ids, cand)))
+
+    # candidate texts only — bounded by the pair-output size; materialized
+    # once so both attach passes skip the full corpus re-read
+    corpus = corpus.map_batches(_prune, batch_format="pyarrow").materialize()
+    a = _attach_text(
+        pairs, corpus, "id_a", [("id_b", pa.int64())], "_text_a",
+        id_col, col,
+    )
+    return _attach_text(
+        a, corpus, "id_b",
+        [("id_a", pa.int64()), ("_text_a", pa.string())], "_text_b",
+        id_col, col,
+    )
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -310,61 +441,62 @@ def simhash_groups(ds, col: str, id_col: str, band_bits: int = 16):
                 out_sig.append(s)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
+                "band": pa.array(out_band, pa.int64()),
                 "key": pa.array(out_key, pa.int64()),
                 id_col: pa.array(out_id, pa.int64()),
                 "simhash": pa.array(out_sig, pa.uint64()),
             }
         )
 
+    # materialized once for the same multi-consumer reason as minhash
     banded = ds.select_columns([id_col, col]).map_batches(
         _sig, batch_format="pyarrow"
     ).materialize()
 
-    # same hot-bucket shape as minhash_lsh_pairs: count buckets with a
-    # C-path aggregate, pair-generate only inside multi-member buckets
-    from ray.data.aggregate import Count
+    # distributed pair generation: self-join on (band, key) — the 8-byte
+    # signature rides the shuffle with the id — then a VECTORIZED hamming
+    # popcount over the joined batch, distinct via tiny-row groupby.
+    # Nothing corpus-sized reaches the driver.
+    from ray.data.aggregate import Min
 
-    sizes = banded.groupby(["band", "key"]).aggregate(Count(alias_name="n"))
-    hot = sizes.filter(expr="n > 1").to_pandas()
-    hot_keys = set(zip(hot["band"], hot["key"]))
+    hot_rows = _hot_bucket_rows(banded, ["band", "key"], 1000)
+    left = _rename_arrow(hot_rows, {id_col: "id_a", "simhash": "_sig_a"})
+    right = _rename_arrow(hot_rows, {id_col: "id_b", "simhash": "_sig_b"})
+    joined = left.join(
+        right, join_type="inner", num_partitions=_join_partitions(),
+        on=("band", "key"),
+    )
 
-    def _only_hot(t: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [
-                (b, k) in hot_keys
-                for b, k in zip(
-                    t.column("band").to_pylist(), t.column("key").to_pylist()
-                )
-            ]
+    def _hamming(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less(t.column("id_a"), t.column("id_b")))
+        if t.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        xor = np.bitwise_xor(
+            t.column("_sig_a").to_numpy().astype(np.uint64),
+            t.column("_sig_b").to_numpy().astype(np.uint64),
         )
-        return t.filter(mask)
-
-    surv = banded.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
-    out = []
-    seen = set()
-    for (_b, _k), g in surv.groupby(["band", "key"], sort=False):
-        g = g.sort_values(id_col)
-        ids = g[id_col].tolist()
-        sigs = g["simhash"].tolist()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j] or (ids[i], ids[j]) in seen:
-                    continue
-                ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
-                if ham <= 3:
-                    seen.add((ids[i], ids[j]))
-                    out.append((ids[i], ids[j], ham))
-    import ray.data
-
-    df = pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
-    if df.empty:
-        df = pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"),
-             "id_b": pd.Series([], dtype="int64"),
-             "hamming": pd.Series([], dtype="int64")}
+        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= 3
+        return pa.table(
+            {
+                "id_a": t.column("id_a").filter(pa.array(keep)),
+                "id_b": t.column("id_b").filter(pa.array(keep)),
+                "hamming": pa.array(ham[keep]),
+            }
         )
-    return ray.data.from_pandas(df.sort_values(["id_a", "id_b"]))
+
+    return (
+        joined.map_batches(_hamming, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -373,54 +505,109 @@ def simhash_groups(ds, col: str, id_col: str, band_bits: int = 16):
 
 def embedding_near_dups(ds, vec_col: str, id_col: str,
                         threshold: float = 0.95,
-                        block: int = 2048):
-    """All pairs with cosine ≥ threshold.
+                        block: int = 8192,
+                        scratch_dir: Optional[str] = None):
+    """All pairs with cosine ≥ threshold — EXACT, block-pair distributed.
 
-    Normalizes per batch, then an O(n²/2) blockwise matmul *within* each
-    batch plus cross-batch via a broadcast of normalized vectors — suitable
-    for ≤~10^5 rows; beyond that use the LSH-bucketed path (functions/ann).
+    Shape: normalize per batch and spill fixed-size normalized blocks to
+    shared storage (one parquet file per block), then fan out one task per
+    block PAIR (i ≤ j): each task reads exactly two blocks, does one
+    matmul, and emits over-threshold pairs.  The driver holds only block
+    file names; no task ever sees more than 2×``block`` vectors — the same
+    plan a 256-node cluster runs against a shared filesystem/object store.
+
+    O(n²/2) FLOPs is inherent to the exact all-pairs semantics; for the
+    approximate sub-quadratic path use the LSH-bucketed candidates of
+    ``functions/ann.lsh_topk`` and verify those pairs instead.
     """
-    import ray
-
-    # small-side materialization: normalized matrix broadcast once
-    tbl = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = tbl[id_col].to_numpy()
-    M = np.asarray(tbl[vec_col].tolist(), dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, M))
+    import uuid as _uuid
 
     import ray.data
 
-    blocks = [
-        {"start": s, "end": min(s + block, len(ids))}
-        for s in range(0, len(ids), block)
-    ]
+    scratch = scratch_dir or os.path.join(
+        "/tmp", f"lsr_neardup_{_uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(scratch, exist_ok=True)
 
-    def _pairs(t: pa.Table) -> pa.Table:
-        ids_, M_ = ray.get(ref)
-        out_a, out_b, out_c = [], [], []
-        for s, e in zip(t.column("start").to_pylist(),
-                        t.column("end").to_pylist()):
-            S = M_[s:e] @ M_.T  # (block, n)
-            for r in range(e - s):
-                i = s + r
-                js = np.nonzero(S[r] >= threshold)[0]
-                for j in js:
-                    if ids_[i] < ids_[j]:
-                        out_a.append(int(ids_[i]))
-                        out_b.append(int(ids_[j]))
-                        out_c.append(float(S[r, j]))
+    # stage 1: normalize + re-block to fixed row counts, one file per block
+    def _normalize(t: pa.Table) -> pa.Table:
+        M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(M):
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "cosine": pa.array(out_c, pa.float64()),
+                id_col: t.column(id_col),
+                "_nvec": pa.array(list(M.astype(np.float32))),
             }
         )
 
-    return ray.data.from_items(blocks).map_batches(
-        _pairs, batch_format="pyarrow"
+    normalized = ds.select_columns([id_col, vec_col]).map_batches(
+        _normalize, batch_format="pyarrow", batch_size=block
     )
+    normalized.write_parquet(scratch, min_rows_per_file=block)
+    files = sorted(
+        os.path.join(scratch, f)
+        for f in os.listdir(scratch)
+        if f.endswith(".parquet")
+    )
+
+    items = [
+        {"fa": files[i], "fb": files[j]}
+        for i in range(len(files))
+        for j in range(i, len(files))
+    ]
+
+    class _BlockPair:
+        """One call = one block pair; caches decoded blocks across calls
+        (each file is re-read by ~#blocks tasks — the cache amortizes the
+        actor's share)."""
+
+        def __init__(self):
+            self._cache: dict = {}
+
+        def _load(self, path: str):
+            hit = self._cache.get(path)
+            if hit is None:
+                import pyarrow.parquet as _pq
+
+                t = _pq.read_table(path)
+                ids = t.column(id_col).to_numpy()
+                M = np.asarray(t.column("_nvec").to_pylist(),
+                               dtype=np.float64)
+                hit = (ids, M)
+                if len(self._cache) > 8:
+                    self._cache.clear()
+                self._cache[path] = hit
+            return hit
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_a, out_b, out_c = [], [], []
+            for fa, fb in zip(t.column("fa").to_pylist(),
+                              t.column("fb").to_pylist()):
+                ids_a, A = self._load(fa)
+                ids_b, B = self._load(fb)
+                if len(A) == 0 or len(B) == 0:
+                    continue
+                S = A @ B.T
+                ii, jj = np.nonzero(S >= threshold)
+                for i, j in zip(ii, jj):
+                    x, y = int(ids_a[i]), int(ids_b[j])
+                    if x < y:
+                        out_a.append(x)
+                        out_b.append(y)
+                        out_c.append(float(S[i, j]))
+            return pa.table(
+                {
+                    "id_a": pa.array(out_a, pa.int64()),
+                    "id_b": pa.array(out_b, pa.int64()),
+                    "cosine": pa.array(out_c, pa.float64()),
+                }
+            )
+
+    return ray.data.from_items(
+        items, override_num_blocks=max(1, len(items))
+    ).map_batches(_BlockPair, batch_size=1, batch_format="pyarrow",
+                  concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------
