@@ -378,21 +378,23 @@ def mlt_doc0(sf_dir: str) -> pa.Table:
 def grouped_topk(sf_dir: str) -> pa.Table:
     """Top-2 hits for "merge" per ``lang`` group (reference
     ``lucene/grouping/`` TopGroups semantics: groups ranked by best hit,
-    docs ranked within group). Columns: lang, rank_in_group, doc_id, score."""
-    from lucene_solr_ray.search.fetch import fetch_from_corpus
+    docs ranked within group). Columns: lang, rank_in_group, doc_id, score.
+
+    Runs the DISTRIBUTED grouped collector (per-segment per-group top-2
+    partials; bounded driver merge) — no full-result-set fetch."""
+    from lucene_solr_ray.search.searcher import search_grouped
 
     idx = documents_index(sf_dir)
-    res = idx.search({0: "merge"}, k=10_000, similarity=BM25SimilarityF64())
-    fetched = fetch_from_corpus(
-        res, os.path.join(sf_dir, "documents.parquet"), "doc_id", ["lang"]
+    t = search_grouped(
+        idx, "merge",
+        os.path.join(sf_dir, "documents.parquet"), "lang",
+        top_groups=1_000_000, docs_per_group=2,
+        similarity=BM25SimilarityF64(),
     ).to_pandas()
-    fetched = fetched.sort_values(
-        ["lang", "score", "doc_id"], ascending=[True, False, True]
+    out = t[["group", "rank_in_group", "doc_id", "score"]].rename(
+        columns={"group": "lang"}
     )
-    fetched["rank_in_group"] = fetched.groupby("lang").cumcount() + 1
-    out = fetched[fetched["rank_in_group"] <= 2][
-        ["lang", "rank_in_group", "doc_id", "score"]
-    ].reset_index(drop=True)
+    out = out.sort_values(["lang", "rank_in_group"]).reset_index(drop=True)
     out["score"] = out["score"].round(4)
     out["rank_in_group"] = out["rank_in_group"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)

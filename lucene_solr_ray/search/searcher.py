@@ -803,6 +803,114 @@ def count_hits(index: "Index", queries,
     )
 
 
+class _GroupedFn:
+    """Per-segment per-group top-n partials — the second-pass collector of
+    the grouping module (reference ``lucene/grouping/src/java/org/apache/
+    lucene/search/grouping/TopGroupsCollector.java``): each segment emits at
+    most ``docs_per_group`` hits PER GROUP, so the driver merge is bounded
+    by segments × groups × docs_per_group, never by the hit count.
+
+    The group value comes from a side parquet keyed by doc id; each task
+    reads only its segment's id range (predicate-pushdown row-group prune —
+    assumes doc ids are clustered per segment, true for built segments and
+    merges of adjacent ones; a scattered segment just reads more rows)."""
+
+    def __init__(self, parsed, stats, sim, group_table: str, group_col: str,
+                 key: str, docs_per_group: int):
+        self.parsed = parsed
+        self.stats = stats
+        self.sim = sim
+        self.group_table = group_table
+        self.group_col = group_col
+        self.key = key
+        self.docs_per_group = docs_per_group
+        self.need_pos = any(_has_phrase(q) for _, q, _ in parsed)
+        self._readers: Dict = {}
+
+    def _group_lookup(self, doc_ids: np.ndarray):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        lo, hi = int(doc_ids.min()), int(doc_ids.max())
+        t = pads.dataset(self.group_table, format="parquet").to_table(
+            columns=[self.key, self.group_col],
+            filter=(pc.field(self.key) >= lo) & (pc.field(self.key) <= hi),
+        )
+        keys = t.column(self.key).to_numpy()
+        vals = t.column(self.group_col).to_pylist()
+        order = np.argsort(keys)
+        return keys[order], [vals[i] for i in order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from lucene_solr_ray.search.scorer import score_segment
+
+        out = []
+        for seg_dir, seg_ord in zip(
+            batch.column("seg_dir").to_pylist(),
+            batch.column("seg_ord").to_pylist(),
+        ):
+            from lucene_solr_ray.search.reader import latest_deletes_file
+
+            rkey = (seg_dir, latest_deletes_file(seg_dir))
+            reader = self._readers.get(rkey)
+            if reader is None:
+                reader = SegmentReader(seg_dir, load_positions=self.need_pos)
+                self._readers[rkey] = reader
+            for qid, q, _k in self.parsed:
+                ords, scores = score_segment(reader, q, self.stats, self.sim)
+                if len(ords) == 0:
+                    continue
+                dids = reader.doc_ids[ords]
+                gkeys, gvals = self._group_lookup(dids)
+                idx = np.searchsorted(gkeys, dids)
+                idx_c = np.minimum(idx, max(len(gkeys) - 1, 0))
+                found = (
+                    (idx < len(gkeys)) & (gkeys[idx_c] == dids)
+                    if len(gkeys) else np.zeros(len(dids), dtype=bool)
+                )
+                groups = [
+                    gvals[i] if ok else None
+                    for i, ok in zip(idx_c, found)
+                ]
+                df = pd.DataFrame(
+                    {"group": groups, "doc_id": dids,
+                     "score": scores.astype(np.float64)}
+                )
+                # per-group top-n partial: (score desc, doc asc), null
+                # group kept as its own bucket (TopGroups keeps docs whose
+                # group value is missing)
+                df = df.sort_values(
+                    ["score", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                )
+                df = df.groupby("group", dropna=False, sort=False).head(
+                    self.docs_per_group
+                )
+                df.insert(0, "qid", qid)
+                out.append(df)
+        if not out:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 "group": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        allp = pd.concat(out, ignore_index=True)
+        return pa.table(
+            {
+                "qid": pa.array(allp["qid"].to_numpy(np.int64)),
+                "group": pa.array(
+                    [None if pd.isna(g) else str(g)
+                     for g in allp["group"]], pa.string()
+                ),
+                "doc_id": pa.array(allp["doc_id"].to_numpy(np.int64)),
+                "score": pa.array(allp["score"].to_numpy(np.float64)),
+            }
+        )
+
+
 def search_grouped(
     index: "Index",
     query: str,
@@ -816,19 +924,38 @@ def search_grouped(
 ) -> pa.Table:
     """Grouped search (the grouping-module contract, reference
     ``lucene/grouping/`` TopGroups/GroupDocs): match the query, attach the
-    group field from a side table (two-phase fetch), rank groups by their
-    best hit's score, keep ``docs_per_group`` hits per group ranked by
-    (score desc, doc asc).  Columns: group, group_rank, rank_in_group,
-    doc_id, score."""
-    from lucene_solr_ray.search.fetch import fetch_from_corpus
+    group field from a side table, rank groups by their best hit's score,
+    keep ``docs_per_group`` hits per group ranked by (score desc, doc asc).
+    Columns: group, group_rank, rank_in_group, doc_id, score.
 
-    hits = index.search(
-        {0: query}, k=1_000_000, analyzer=analyzer, similarity=similarity
+    Distributed: each segment computes per-group top-``docs_per_group``
+    partials (the TopGroupsCollector second pass); the driver merges
+    ≤ segments × groups × docs_per_group tiny rows — a stop-word-scale
+    query no longer dumps its whole result set on the driver."""
+    import pandas as pd
+    import ray.data
+
+    parser = index.make_parser(analyzer)
+    q = parser.parse(query)
+    patterns: List[Query] = []
+    _collect_patterns(q, patterns)
+    stats, exp = index.collect_stats(sorted(set(q.terms())), patterns)
+    if patterns:
+        q = rewrite_query(q, exp)
+    sim = similarity or BM25Similarity()
+    seg_items = [
+        {"seg_dir": d, "seg_ord": i} for i, d in enumerate(index.seg_dirs)
+    ]
+    rows = (
+        ray.data.from_items(seg_items, override_num_blocks=len(seg_items))
+        .map_batches(
+            _GroupedFn([(0, q, 0)], stats, sim, group_table, group_col,
+                       key, docs_per_group),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
     )
-    fetched = fetch_from_corpus(
-        hits, group_table, key, [group_col]
-    ).to_pandas()
-    if fetched.empty:
+    if rows.empty:
         return pa.table(
             {
                 "group": pa.array([], pa.string()),
@@ -838,27 +965,34 @@ def search_grouped(
                 "score": pa.array([], pa.float64()),
             }
         )
-    fetched = fetched.sort_values(
+    # merge partials: global per-group top-n, then rank groups by best hit
+    rows = rows.sort_values(
         ["score", "doc_id"], ascending=[False, True], kind="mergesort"
     )
-    # groups ranked by their best hit (score desc, doc asc), as TopGroups
-    order = (
-        fetched.groupby(group_col, sort=False)
-        .head(1)
-        .reset_index(drop=True)
+    rows = rows.groupby("group", dropna=False, sort=False).head(
+        docs_per_group
     )
-    rows = []
-    for g_rank, (_, top_row) in enumerate(order.head(top_groups).iterrows()):
-        gval = top_row[group_col]
-        grp = fetched[fetched[group_col] == gval].head(docs_per_group)
+    out_rows = []
+    for g_rank, (gval, grp) in enumerate(
+        rows.groupby("group", dropna=False, sort=False)
+    ):
+        if g_rank >= top_groups:
+            break
         for i, (_, r) in enumerate(grp.iterrows()):
-            rows.append(
+            out_rows.append(
                 {
-                    "group": str(gval),
+                    "group": None if pd.isna(gval) else str(gval),
                     "group_rank": g_rank + 1,
                     "rank_in_group": i + 1,
                     "doc_id": int(r["doc_id"]),
                     "score": float(r["score"]),
                 }
             )
-    return pa.Table.from_pylist(rows)
+    return pa.Table.from_pylist(
+        out_rows,
+        schema=pa.schema(
+            [("group", pa.string()), ("group_rank", pa.int32()),
+             ("rank_in_group", pa.int32()), ("doc_id", pa.int64()),
+             ("score", pa.float64())]
+        ),
+    )

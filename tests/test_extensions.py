@@ -664,3 +664,31 @@ def test_search_grouped(docs_index, sf_dir):
         docs_index, "zzznope", f"{sf_dir}/documents.parquet", "lang"
     )
     assert empty.num_rows == 0
+
+
+def test_search_grouped_null_group(docs_index, sf_dir, tmp_path):
+    """Docs missing from the side table form a NULL group instead of
+    silently vanishing (TopGroups keeps them) — round-2 fix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.search.searcher import search_grouped
+
+    full = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    # drop half the docs from the side table
+    half = full.slice(0, full.num_rows // 2)
+    side = str(tmp_path / "side.parquet")
+    pq.write_table(half, side)
+
+    out = search_grouped(
+        docs_index, "merge", side, "lang",
+        top_groups=100, docs_per_group=2,
+    ).to_pandas()
+    cutoff = full.column("doc_id")[full.num_rows // 2].as_py()
+    missing_hits = out[out["doc_id"] >= cutoff]
+    if len(missing_hits):
+        assert missing_hits["group"].isna().all()
+    # total groups = langs present + possibly the null bucket
+    assert out["group"].nunique(dropna=True) >= 1
