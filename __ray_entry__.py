@@ -33,7 +33,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": fulltext.bm25_topk,
         "term_stats": fulltext.term_stats,
         "doc_norms": fulltext.doc_norms,
-        "phrase_topk": fulltext.phrase_topk,  # rows-only (positions path)
+        "phrase_topk": fulltext.phrase_topk,
+        "phrase_sloppy_topk": fulltext.phrase_sloppy_topk,  # rows-only
         "fetch_topk": fulltext.fetch_topk,
         "suggest_prefix_s": fulltext.suggest_prefix_s,
         "mlt_doc0": fulltext.mlt_doc0,  # rows-only (MoreLikeThis)
@@ -72,6 +73,7 @@ def oracle_sql() -> dict[str, str]:
         "field_wildcard_docs": fulltext.field_wildcard_docs_sql(),
         "delete_then_search": fulltext.delete_then_search_sql(),
         "numeric_range_topk": fulltext.numeric_range_topk_sql(),
+        "phrase_topk": fulltext.phrase_topk_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

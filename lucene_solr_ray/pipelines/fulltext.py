@@ -257,19 +257,86 @@ FROM documents ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# phrase_topk — positions path; no portable SQL oracle (rows-only check)
+# phrase_topk — positions path, EXACT phrases, SQL-matched: the oracle
+# recomputes positions via unnest ordinality and adjacency self-joins
 # ---------------------------------------------------------------------------
+
+#: (qid, phrase terms) — exact phrases only; the sloppy matcher keeps its
+#: pytest positional oracle + the rows-only phrase_sloppy_topk gate
+PHRASE_SET: List[Tuple[int, List[str]]] = [
+    (0, ["batch", "batch"]),
+    (1, ["fast", "key"]),
+    (2, ["the", "key", "value"]),
+]
 
 
 def phrase_topk(sf_dir: str) -> pa.Table:
     idx = documents_index(sf_dir)
-    qs = {
-        0: '"batch batch"',
-        1: '"fast key"',
-        2: '"merge sort"~2',
-        3: '"the key value"',
-    }
-    return idx.search(qs, k=10)
+    qs = {qid: '"' + " ".join(terms) + '"' for qid, terms in PHRASE_SET}
+    t = idx.search(qs, k=10, similarity=BM25SimilarityF64())
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def phrase_topk_sql() -> str:
+    """Positional oracle: token positions via aligned unnest +
+    generate_subscripts, exact-phrase matches via adjacency self-joins,
+    phraseFreq = COUNT(start positions), scored as BM25 with the phrase's
+    summed per-occurrence idf (PhraseWeight semantics)."""
+    selects = []
+    for qid, terms in PHRASE_SET:
+        joins = "\n".join(
+            f"  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.p = p0.p + {i} AND p{i}.term = '{t}'"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        idf_sum = " + ".join(
+            f"(SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM dfs d CROSS JOIN stats s WHERE d.term = '{t}')"
+            for t in terms
+        )
+        selects.append(f"""
+  SELECT {qid} AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM (
+      SELECT m.doc_id,
+        (1.2 + 1) * ({idf_sum})
+          * (m.pf / (m.pf + 1.2 * ((1 - 0.75) + 0.75 * dn.dlq / (s.sttf / s.n))))
+        AS score
+      FROM (
+        SELECT p0.doc_id, COUNT(*)::DOUBLE AS pf FROM pos p0
+{joins}
+        WHERE p0.term = '{terms[0]}'
+        GROUP BY p0.doc_id
+      ) m
+      JOIN dln dn ON m.doc_id = dn.doc_id
+      CROSS JOIN stats s
+    )
+  ) WHERE rank <= 10""")
+    return _BM25_CTE + """
+, pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents WHERE text <> ''
+)
+""" + "\nUNION ALL\n".join(selects)
+
+
+def phrase_sloppy_topk(sf_dir: str) -> pa.Table:
+    """Sloppy matcher gate (rows-only: SloppyPhraseScorer's min-heap match
+    enumeration is not expressible in portable SQL; pytest carries the
+    exhaustive positional oracle)."""
+    idx = documents_index(sf_dir)
+    return idx.search({0: '"merge sort"~2', 1: '"fast key"~1'}, k=10)
 
 
 # ---------------------------------------------------------------------------

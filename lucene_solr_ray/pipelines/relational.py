@@ -519,7 +519,7 @@ FROM events GROUP BY 1, 2
 
 
 def sliding_windows(sf_dir: str) -> pd.DataFrame:
-    """Sliding 2h windows, 1h slide — rows-only (explode-to-windows)."""
+    """Sliding 2h windows, 1h slide (explode-to-covering-windows)."""
     from lucene_solr_ray.stages.windows import sliding
 
     ds = _read(sf_dir, "events", ["ts", "value"])
@@ -528,6 +528,15 @@ def sliding_windows(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out.sort_values("window_start").reset_index(drop=True)
+
+
+SLIDING_SQL = """
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT date_trunc('hour', ts) - off * INTERVAL 1 HOUR AS window_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
+)
+GROUP BY window_start ORDER BY window_start
+"""
 
 
 # -- URP chain as a gated pipeline ------------------------------------------
@@ -608,6 +617,7 @@ QUERIES.update({
 ORACLES.update({
     "session_windows": SESSION_SQL,
     "tumbling_hour": TUMBLING_SQL,
+    "sliding_windows": SLIDING_SQL,
     "urp_clean_parts": URP_SQL,
     "distinct_quantiles": DISTINCT_Q_SQL,
 })
