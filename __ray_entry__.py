@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_wildcard_docs": fulltext.field_wildcard_docs,
         "delete_then_search": fulltext.delete_then_search,
         "numeric_range_topk": fulltext.numeric_range_topk,
+        "stemmed_search_topk": fulltext.stemmed_search_topk,  # rows-only
+        "span_near_docs": fulltext.span_near_docs,  # rows-only
+        "random_sample_docs": fulltext.random_sample_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -74,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
         "delete_then_search": fulltext.delete_then_search_sql(),
         "numeric_range_topk": fulltext.numeric_range_topk_sql(),
         "phrase_topk": fulltext.phrase_topk_sql(),
+        "random_sample_docs": fulltext.random_sample_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

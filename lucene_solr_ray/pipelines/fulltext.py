@@ -679,6 +679,104 @@ SELECT 0 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
 """
 
 
+def stemmed_search_topk(sf_dir: str) -> pa.Table:
+    """EnglishAnalyzer (possessive + stop + Porter) index: morphological
+    variants collapse at index AND query time.  Rows-only (stemming is not
+    SQL-expressible); the analyzer itself is fixture-oracled in pytest
+    (reference ``analysis/en/EnglishAnalyzer.java:41``)."""
+    from lucene_solr_ray.analysis.en import EnglishAnalyzer
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"documents_en_v{FORMAT_VERSION}_{key}")
+    if read_latest_manifest(out) is None:
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            text_col="text",
+            id_col="doc_id",
+            analyzer=EnglishAnalyzer(),
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    idx = Index(out)
+    t = idx.search(
+        {0: "merges", 1: "sorting AND windows", 2: "batches OR keyed"},
+        k=10, similarity=BM25SimilarityF64(),
+    )
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def span_near_docs(sf_dir: str) -> pa.Table:
+    """SpanNearQuery gate (rows-only; pytest carries the exhaustive
+    positional oracle): ordered and unordered near-spans over documents."""
+    from lucene_solr_ray.search.query import SpanNearQuery
+
+    idx = documents_index(sf_dir)
+    parsed = [
+        (0, SpanNearQuery(("merge", "sort"), slop=3, in_order=True), 20),
+        (1, SpanNearQuery(("fast", "key"), slop=2, in_order=False), 20),
+    ]
+    t = idx.search_parsed(parsed, similarity=BM25SimilarityF64())
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def random_sample_docs(sf_dir: str) -> pa.Table:
+    """RandomStream (reference ``solr/solrj/src/java/org/apache/solr/
+    client/solrj/io/stream/RandomStream.java``): a seeded pseudo-random
+    sample of the documents table.  Deterministic given the seed (the gate
+    re-runs byte-identically): the sample decision is a pure hash of
+    (seed, doc_id), so it is independent of partitioning and parallelism —
+    stronger than ``Dataset.random_sample``, whose draw depends on block
+    iteration order.  SQL-matched: DuckDB recomputes the same hash."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    seed = 42
+    rate_num, rate_den = 1, 10  # 10% sample
+
+    def _sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        # Knuth multiplicative hash of (doc_id + seed) mod 2^32 — the
+        # products fit int64 exactly, so DuckDB computes the identical
+        # buckets (no wrapping 64-bit arithmetic needed on either side)
+        h = ((ids + seed) * 2654435761) % 4294967296
+        keep = (h % rate_den) < rate_num
+        return t.filter(pa.array(keep))
+
+    out = ds.map_batches(_sample, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def random_sample_docs_sql() -> str:
+    return """
+SELECT doc_id, n_chars FROM documents
+WHERE (((doc_id + 42) * 2654435761) % 4294967296) % 10 < 1
+ORDER BY doc_id
+"""
+
+
 def documents_index_pts(sf_dir: str) -> Index:
     """documents indexed with an INDEXED NUMERIC point field ``n_chars``
     (LongPoint semantics: flat-sorted per-segment points, PointRangeQuery

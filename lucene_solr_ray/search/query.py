@@ -20,6 +20,7 @@ __all__ = [
     "Query",
     "TermQuery",
     "PhraseQuery",
+    "SpanNearQuery",
     "SynonymQuery",
     "DisjunctionMaxQuery",
     "BlendedTermQuery",
@@ -219,6 +220,27 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     field: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Terms within ``slop`` extra positions of each other, ordered or not
+    (reference ``lucene/core/src/java/org/apache/lucene/search/spans/
+    SpanNearQuery.java``; matching via NearSpansOrdered/Unordered minimal
+    spans).  Span frequency = Σ 1/(1 + gaps) over minimal spans, scored
+    like a phrase with the summed idf of its terms (SpanScorer +
+    Similarity.SimScorer sloppyFreq shape) — match semantics are validated
+    against the in-repo exhaustive positional oracle."""
+
+    span_terms: Tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+    field: Optional[str] = None
+
+    def terms(self) -> List[str]:
+        from lucene_solr_ray.index.segment import field_term
+
+        return [field_term(self.field, t) for t in self.span_terms]
 
 
 @dataclass(frozen=True)

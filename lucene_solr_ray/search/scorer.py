@@ -43,6 +43,7 @@ from lucene_solr_ray.search.query import (
     PhraseQuery,
     PointRangeQuery,
     Query,
+    SpanNearQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -111,6 +112,8 @@ class _Eval:
             ords, _ = self.eval(q.query, 1.0)
             dt = self.sim.out_dtype
             return ords, np.full(len(ords), dt(boost), dtype=dt)
+        if isinstance(q, SpanNearQuery):
+            return self._span_near(q, boost)
         if isinstance(q, PointRangeQuery):
             return self._point_range(q, boost)
         if isinstance(q, TermInSetQuery):
@@ -128,6 +131,58 @@ class _Eval:
         raise TypeError(
             f"unrewritten or unsupported query node: {type(q).__name__}"
         )
+
+    def _span_near(self, q: SpanNearQuery, boost: float):
+        """SpanNearQuery over the positions blobs: minimal spans per doc
+        (NearSpansOrdered / NearSpansUnordered), span frequency
+        Σ 1/(1 + gaps), scored with the summed idf of the span's terms
+        (the SpanScorer + sloppyFreq shape).  Matching-doc semantics are
+        pytest-oracled against an exhaustive position-tuple scan."""
+        from lucene_solr_ray.index.segment import field_term
+
+        keys = [field_term(q.field, t) for t in q.span_terms]
+        readers = []
+        cand = None
+        for k in keys:
+            pr = self.reader.positions(k)
+            if pr is None:
+                return _EMPTY_I, _EMPTY_F
+            readers.append(pr)
+            cand = pr[0] if cand is None else np.intersect1d(
+                cand, pr[0], assume_unique=True
+            )
+        if cand is None or len(cand) == 0:
+            return _EMPTY_I, _EMPTY_F
+        out_ords: List[int] = []
+        out_freqs: List[float] = []
+        n = len(keys)
+        for d in cand:
+            pls = []
+            for (ords, posfn) in readers:
+                idx = np.searchsorted(ords, d)
+                pls.append(posfn(int(idx)))
+            f = (
+                _span_freq_ordered(pls, q.slop)
+                if q.in_order else _span_freq_unordered(pls, q.slop)
+            )
+            if f > 0:
+                out_ords.append(int(d))
+                out_freqs.append(f)
+        if not out_ords:
+            return _EMPTY_I, _EMPTY_F
+        ords = np.asarray(out_ords, dtype=np.int32)
+        freqs = np.asarray(out_freqs, dtype=np.float64)
+        dt = self.sim.out_dtype
+        doc_count, sttf = self.stats.collection_for(q.field)
+        idf_acc = 0.0
+        for key in keys:
+            idf_acc += float(
+                dt(self.sim.idf_value(self.stats.df.get(key, 0), doc_count))
+            )
+        idf = dt(idf_acc)
+        sc = self.sim.scorer_from_idf(boost, idf, doc_count, sttf)
+        norms = self.reader.norms_for(q.field) if q.field else self.norms
+        return ords, sc.score(freqs, norms[ords])
 
     def _point_range(self, q: "PointRangeQuery", boost: float):
         """Constant-score numeric range over the segment's flat-sorted
@@ -443,6 +498,64 @@ def topk_segment(
     dids = reader.doc_ids[ords]
     order = np.lexsort((dids, -scores.astype(np.float64)))[:k]
     return ords[order], scores[order]
+
+
+def _span_freq_ordered(pos_lists, slop: int) -> float:
+    """Minimal ORDERED spans: for each start position of the first term,
+    greedily chain each next term to its smallest position strictly after
+    the previous one; the span matches when its gap count
+    (covered length − #terms) ≤ slop.  Each start contributes
+    1/(1 + gaps) — the sloppyFreq weight."""
+    first = pos_lists[0]
+    freq = 0.0
+    for p0 in first.tolist():
+        prev = p0
+        ok = True
+        for pl in pos_lists[1:]:
+            i = np.searchsorted(pl, prev + 1)
+            if i >= len(pl):
+                ok = False
+                break
+            prev = int(pl[i])
+        if not ok:
+            break  # later starts only move prev further right
+        gaps = (prev - p0 + 1) - len(pos_lists)
+        if gaps <= slop:
+            freq += 1.0 / (1.0 + gaps)
+    return freq
+
+
+def _span_freq_unordered(pos_lists, slop: int) -> float:
+    """Minimal UNORDERED spans: sliding window over the merged tagged
+    position stream; every minimal window covering ≥1 position of each
+    term with gap count ≤ slop contributes 1/(1 + gaps)."""
+    tagged = sorted(
+        (int(p), t) for t, pl in enumerate(pos_lists) for p in pl.tolist()
+    )
+    n_terms = len(pos_lists)
+    counts = [0] * n_terms
+    covered = 0
+    freq = 0.0
+    left = 0
+    for right in range(len(tagged)):
+        t = tagged[right][1]
+        counts[t] += 1
+        if counts[t] == 1:
+            covered += 1
+        while covered == n_terms:
+            # shrink to minimal window, then record + advance
+            lt = tagged[left][1]
+            if counts[lt] > 1:
+                counts[lt] -= 1
+                left += 1
+                continue
+            gaps = (tagged[right][0] - tagged[left][0] + 1) - n_terms
+            if gaps <= slop:
+                freq += 1.0 / (1.0 + gaps)
+            counts[lt] -= 1
+            covered -= 1
+            left += 1
+    return freq
 
 
 def _sloppy_freq_exact(adjusted_pos_lists, slop: int) -> float:

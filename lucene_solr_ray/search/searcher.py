@@ -577,7 +577,9 @@ class Index:
 
 
 def _has_phrase(q: Query) -> bool:
-    if isinstance(q, PhraseQuery):
+    from lucene_solr_ray.search.query import SpanNearQuery
+
+    if isinstance(q, (PhraseQuery, SpanNearQuery)):
         return True
     if isinstance(q, BooleanQuery):
         return any(_has_phrase(c.query) for c in q.clauses)
