@@ -35,7 +35,10 @@ import pyarrow as pa
 
 from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
 from lucene_solr_ray.analysis.smallfloat import int_to_byte4_np
-from lucene_solr_ray.index.postings_codec import encode_postings
+from lucene_solr_ray.index.postings_codec import (
+    encode_postings,
+    encode_postings_batch,
+)
 
 __all__ = ["build_segment_tables", "SegmentData", "POSTINGS_SCHEMA",
            "DOCMETA_SCHEMA", "FORMAT_VERSION"]
@@ -108,57 +111,66 @@ def build_segment_tables(
     # flatten every (token, doc, position) occurrence into parallel arrays,
     # stable-sort by (term, doc) once, and derive postings/freqs/positions
     # from group boundaries — no per-token dict work in Python.
+    shas = [
+        hashlib.sha256((t or "").encode("utf-8")).digest() for t in texts
+    ]
     all_terms: List[str] = []
     doc_lens = np.zeros(n, dtype=np.int64)
     all_pos_parts: List[List[int]] = []
     all_off_parts: List[List[int]] = []  # interleaved (start, end) per token
-    shas: List[bytes] = []
-    for ord_, text in enumerate(texts):
-        if text is None:
-            text = ""
-        shas.append(hashlib.sha256(text.encode("utf-8")).digest())
-        if with_offsets:
+    if with_offsets:
+        for ord_, text in enumerate(texts):
+            if text is None:
+                text = ""
             terms, positions, starts, ends, flen = \
                 analyzer.analyze_with_offsets(text)
             all_off_parts.append(
                 [v for se in zip(starts, ends) for v in se]
             )
-        else:
+            all_terms.extend(terms)
+            all_pos_parts.append(positions)
+            doc_lens[ord_] = flen
+    else:
+        for ord_, text in enumerate(texts):
+            if text is None:
+                text = ""
             terms, positions, flen = analyzer.analyze_with_positions(text)
-        all_terms.extend(terms)
-        all_pos_parts.append(positions)
-        doc_lens[ord_] = flen
+            all_terms.extend(terms)
+            all_pos_parts.append(positions)
+            doc_lens[ord_] = flen
+
+    # dict-coded terms: only the ~|vocab| unique strings get sorted,
+    # not every token occurrence (object-dtype np.unique sorts all)
+    code_map: Dict[str, int] = {}
+    inv_list: List[int] = []
+    for t in all_terms:
+        c = code_map.get(t)
+        if c is None:
+            c = len(code_map)
+            code_map[t] = c
+        inv_list.append(c)
+    vocab = list(code_map)
+    vocab_order = sorted(range(len(vocab)), key=vocab.__getitem__)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[vocab_order] = np.arange(len(vocab), dtype=np.int64)
+    uniq_terms = [vocab[i] for i in vocab_order]
+    inv = rank[np.asarray(inv_list, dtype=np.int64)]
+    n_toks_per_doc = np.array(
+        [len(p) for p in all_pos_parts], dtype=np.int64
+    )
+    all_ords = np.repeat(np.arange(n, dtype=np.int64), n_toks_per_doc)
+    all_pos = (
+        np.concatenate([np.asarray(p, dtype=np.int64)
+                        for p in all_pos_parts if p])
+        if with_positions and any(all_pos_parts)
+        else np.zeros(len(all_terms), dtype=np.int64)
+    )
+    n_occurrences = len(all_terms)
 
     field_lens = doc_lens.astype(np.int32)
     norm_bytes = int_to_byte4_np(doc_lens)
 
-    if all_terms:
-        # dict-coded terms: only the ~|vocab| unique strings get sorted,
-        # not every token occurrence (object-dtype np.unique sorts all)
-        code_map: Dict[str, int] = {}
-        inv_list: List[int] = []
-        for t in all_terms:
-            c = code_map.get(t)
-            if c is None:
-                c = len(code_map)
-                code_map[t] = c
-            inv_list.append(c)
-        vocab = list(code_map)
-        vocab_order = sorted(range(len(vocab)), key=vocab.__getitem__)
-        rank = np.empty(len(vocab), dtype=np.int64)
-        rank[vocab_order] = np.arange(len(vocab), dtype=np.int64)
-        uniq_terms = [vocab[i] for i in vocab_order]
-        inv = rank[np.asarray(inv_list, dtype=np.int64)]
-        n_toks_per_doc = np.array(
-            [len(p) for p in all_pos_parts], dtype=np.int64
-        )
-        all_ords = np.repeat(np.arange(n, dtype=np.int64), n_toks_per_doc)
-        all_pos = (
-            np.concatenate([np.asarray(p, dtype=np.int64)
-                            for p in all_pos_parts if p])
-            if with_positions and any(all_pos_parts)
-            else np.zeros(len(all_terms), dtype=np.int64)
-        )
+    if n_occurrences:
         key = inv * n + all_ords
         order = np.argsort(key, kind="stable")
         skey = key[order]
@@ -175,13 +187,11 @@ def build_segment_tables(
         terms_sorted = [uniq_terms[c] for c in t_codes]
         df = t_counts.astype(np.int32)
         ttf_per_group_cum = np.concatenate([[0], np.cumsum(g_freq)])
-        blobs = []
-        ttf = np.empty(len(t_codes), dtype=np.int64)
-        for i in range(len(t_codes)):
-            s, e = t_starts[i], t_starts[i] + t_counts[i]
-            o, f = g_ord[s:e], g_freq[s:e]
-            ttf[i] = ttf_per_group_cum[e] - ttf_per_group_cum[s]
-            blobs.append(encode_postings(o, f, norm_bytes[o]))
+        t_ends = t_starts + t_counts
+        ttf = ttf_per_group_cum[t_ends] - ttf_per_group_cum[t_starts]
+        blobs = encode_postings_batch(
+            g_ord, g_freq, norm_bytes, t_starts, t_counts
+        )
         offsets_arr = pa.array([None] * len(t_codes), type=pa.binary())
         if with_positions:
             # positions sorted by (term, doc): one '<i4' blob per term
