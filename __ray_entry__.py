@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_range_topk": fulltext.numeric_range_topk,
         "stemmed_search_topk": fulltext.stemmed_search_topk,  # rows-only
         "span_near_docs": fulltext.span_near_docs,  # rows-only
+        "block_join_parents": fulltext.block_join_parents,
+        "joinutil_docs": fulltext.joinutil_docs,
         "random_sample_docs": fulltext.random_sample_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
@@ -78,6 +80,8 @@ def oracle_sql() -> dict[str, str]:
         "numeric_range_topk": fulltext.numeric_range_topk_sql(),
         "phrase_topk": fulltext.phrase_topk_sql(),
         "random_sample_docs": fulltext.random_sample_docs_sql(),
+        "block_join_parents": fulltext.block_join_parents_sql(),
+        "joinutil_docs": fulltext.joinutil_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -52,6 +52,7 @@ DEFAULT_DOCS_PER_SEGMENT = 100_000
 def plan_shards(
     paths: Sequence[str],
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    block_align_col: Optional[str] = None,
 ) -> List[Dict]:
     """Metadata-only pass: contiguous row slices with global doc bases.
 
@@ -59,7 +60,13 @@ def plan_shards(
     groups are no larger than ~2x the target — a mid-group split makes
     every build task decompress the whole covering group to keep a slice
     (read amplification measured at ~3x for 1/3-group shards).  Groups much
-    larger than the target are still split (memory cap wins)."""
+    larger than the target are still split (memory cap wins).
+
+    ``block_align_col``: parent/child BLOCK alignment (the
+    ``IndexWriter.addDocuments`` atomicity contract — a block must never
+    straddle segments): shard ends snap FORWARD to just after the next
+    parent row (nonzero flag).  Costs one extra read of that single column
+    per file at planning time."""
     shards: List[Dict] = []
     doc_base = 0
     seg_id = 0
@@ -69,6 +76,12 @@ def plan_shards(
         rg_edges = [0]
         for rg in range(md.num_row_groups):
             rg_edges.append(rg_edges[-1] + md.row_group(rg).num_rows)
+        parent_pos = None
+        if block_align_col is not None:
+            flags = pq.read_table(
+                path, columns=[block_align_col]
+            ).column(block_align_col).to_numpy(zero_copy_only=False)
+            parent_pos = np.nonzero(np.asarray(flags) != 0)[0]
         start = 0
         edge_i = 0
         while start < num_rows:
@@ -86,6 +99,13 @@ def plan_shards(
             if end is None:
                 end = min(want, num_rows)
             end = min(end, num_rows)
+            if parent_pos is not None and end < num_rows:
+                # snap forward to just AFTER the next parent at/after end-1
+                k = np.searchsorted(parent_pos, end - 1)
+                end = (
+                    int(parent_pos[k]) + 1 if k < len(parent_pos)
+                    else num_rows
+                )
             shards.append(
                 {
                     "segment_id": seg_id,
@@ -258,6 +278,7 @@ def build_index(
     with_offsets: bool = False,
     field_analyzers: Optional[Dict[str, StandardAnalyzer]] = None,
     numeric_fields: Optional[Dict[str, str]] = None,
+    block_align_col: Optional[str] = None,
     concurrency: Optional[int] = None,
 ) -> Dict:
     """Build (or resume) an index over corpus Parquet; returns the manifest.
@@ -275,7 +296,7 @@ def build_index(
     analyzer = analyzer or StandardAnalyzer()
     os.makedirs(out_dir, exist_ok=True)
 
-    shards = plan_shards(paths, docs_per_segment)
+    shards = plan_shards(paths, docs_per_segment, block_align_col)
     existing = list_valid_segments(out_dir)
     todo = [s for s in shards if s["segment_id"] not in existing]
 

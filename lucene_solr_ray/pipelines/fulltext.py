@@ -777,6 +777,117 @@ ORDER BY doc_id
 """
 
 
+def block_join_parents(sf_dir: str) -> pa.Table:
+    """ToParentBlockJoinQuery gate (reference ``lucene/join/.../
+    ToParentBlockJoinQuery.java``): orders become parent docs, their
+    lineitems child docs indexed as contiguous blocks (children first,
+    parent last — the addDocuments contract).  Query: parents with a child
+    matching "r" (l_returnflag R), ScoreMode.None.  SQL-matched: the oracle
+    recomputes the block doc-id layout with window functions."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+    from lucene_solr_ray.search.join import ToParentBlockJoinQuery
+    from lucene_solr_ray.search.query import TermQuery
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"blockjoin_v{FORMAT_VERSION}_{key}")
+    if read_latest_manifest(out) is None:
+        li = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_returnflag"],
+        ).to_pandas().sort_values(["l_orderkey", "l_linenumber"])
+        orders = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        ).to_pandas().sort_values("o_orderkey")
+        rows = []
+        li_groups = {k: g for k, g in li.groupby("l_orderkey", sort=True)}
+        for _, o in orders.iterrows():
+            g = li_groups.get(o.o_orderkey)
+            if g is not None:
+                for _, c in g.iterrows():
+                    rows.append((c.l_returnflag, 0))
+            rows.append((o.o_orderpriority, 1))
+        corpus = pd.DataFrame(rows, columns=["text", "parent_flag"])
+        corpus.insert(0, "doc_id", np.arange(len(corpus), dtype=np.int64))
+        cp = os.path.join("/tmp", f"lsr_blockjoin_{key}.parquet")
+        pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
+                       cp)
+        build_index(cp, out, text_col="text", id_col="doc_id",
+                    stored_cols=["parent_flag"],
+                    block_align_col="parent_flag",
+                    docs_per_segment=DOCS_PER_SEGMENT * 20)
+    idx = Index(out)
+    q = ToParentBlockJoinQuery(TermQuery("r"), score_mode="none")
+    t = idx.search_parsed([(0, q, 10_000_000)])
+    outp = t.sort_by("doc_id")
+    return pa.table(
+        {
+            "doc_id": outp.column("doc_id"),
+            "score": pa.array(
+                outp.column("score").to_numpy().astype(np.float64)
+            ),
+        }
+    )
+
+
+def block_join_parents_sql() -> str:
+    # recompute the block layout: parent doc_id(order) = (#docs before its
+    # block) + (#children in its block); blocks ordered by o_orderkey,
+    # children by l_linenumber
+    return """
+WITH lc AS (
+  SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+),
+ordred AS (
+  SELECT o.o_orderkey, COALESCE(lc.c, 0) AS c
+  FROM orders o LEFT JOIN lc ON o.o_orderkey = lc.l_orderkey
+),
+pd AS (
+  SELECT o_orderkey,
+    SUM(c + 1) OVER (ORDER BY o_orderkey) - 1 AS parent_doc_id
+  FROM ordred
+)
+SELECT CAST(parent_doc_id AS BIGINT) AS doc_id, 1.0 AS score
+FROM pd WHERE o_orderkey IN (
+  SELECT DISTINCT l_orderkey FROM lineitem
+  WHERE lower(l_returnflag) = 'r'
+) ORDER BY doc_id
+"""
+
+
+def joinutil_docs(sf_dir: str) -> pa.Table:
+    """JoinUtil.createJoinQuery gate: from docs matching "window" gather
+    their ``lang`` values, match all docs whose lang is in that set
+    (ScoreMode.None constant score)."""
+    from lucene_solr_ray.search.join import join_util_query
+
+    idx = documents_index_mf(sf_dir)
+    q = join_util_query(idx, "window", "lang", "lang")
+    t = idx.search_parsed([(0, q, 10_000_000)])
+    outp = t.sort_by("doc_id")
+    return pa.table(
+        {
+            "doc_id": outp.column("doc_id"),
+            "score": pa.array(
+                outp.column("score").to_numpy().astype(np.float64)
+            ),
+        }
+    )
+
+
+def joinutil_docs_sql() -> str:
+    return """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE lang IN (
+  SELECT DISTINCT lang FROM documents
+  WHERE list_contains(string_split(text, ' '), 'window')
+) ORDER BY doc_id
+"""
+
+
 def documents_index_pts(sf_dir: str) -> Index:
     """documents indexed with an INDEXED NUMERIC point field ``n_chars``
     (LongPoint semantics: flat-sorted per-segment points, PointRangeQuery

@@ -31,6 +31,10 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from lucene_solr_ray.search.join import (
+    ToParentBlockJoinQuery,
+    eval_block_join,
+)
 from lucene_solr_ray.search.query import (
     BlendedTermQuery,
     BooleanQuery,
@@ -114,6 +118,8 @@ class _Eval:
             return ords, np.full(len(ords), dt(boost), dtype=dt)
         if isinstance(q, SpanNearQuery):
             return self._span_near(q, boost)
+        if isinstance(q, ToParentBlockJoinQuery):
+            return eval_block_join(self, q, boost)
         if isinstance(q, PointRangeQuery):
             return self._point_range(q, boost)
         if isinstance(q, TermInSetQuery):

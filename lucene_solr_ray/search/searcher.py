@@ -77,6 +77,11 @@ def _collect_patterns(q: Query, out: List[Query]) -> None:
             _collect_patterns(d, out)
     elif isinstance(q, (BoostQuery, ConstantScoreQuery)):
         _collect_patterns(q.query, out)
+    else:
+        from lucene_solr_ray.search.join import ToParentBlockJoinQuery
+
+        if isinstance(q, ToParentBlockJoinQuery):
+            _collect_patterns(q.child_query, out)
 
 
 def match_terms(pattern: Query, terms: Sequence[str]) -> List[str]:
@@ -577,10 +582,13 @@ class Index:
 
 
 def _has_phrase(q: Query) -> bool:
+    from lucene_solr_ray.search.join import ToParentBlockJoinQuery
     from lucene_solr_ray.search.query import SpanNearQuery
 
     if isinstance(q, (PhraseQuery, SpanNearQuery)):
         return True
+    if isinstance(q, ToParentBlockJoinQuery):
+        return _has_phrase(q.child_query)
     if isinstance(q, BooleanQuery):
         return any(_has_phrase(c.query) for c in q.clauses)
     if isinstance(q, DisjunctionMaxQuery):
