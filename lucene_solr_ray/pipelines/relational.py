@@ -749,3 +749,35 @@ WHERE s.rn <= 2 ORDER BY t.p_brand, s.p_size
 
 QUERIES["json_facet_brands"] = json_facet_brands
 ORACLES["json_facet_brands"] = JSON_FACET_SQL
+
+
+# -- Solr SQL front-end ------------------------------------------------------
+
+def sql_orders(sf_dir: str) -> pd.DataFrame:
+    """SQL-over-streams gate (reference ``solr/core/.../handler/sql/``):
+    the SAME SQL string runs through our parser+streaming algebra and,
+    verbatim, through DuckDB as the oracle."""
+    from lucene_solr_ray.stages.sql import sql_query
+
+    out = sql_query(
+        SQL_ORDERS_TEXT,
+        lambda name: _read(sf_dir, name),
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_ORDERS_TEXT = (
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p "
+    "FROM orders WHERE o_totalprice > 50000 "
+    "GROUP BY o_orderpriority HAVING n > 10 "
+    "ORDER BY o_orderpriority LIMIT 10"
+)
+
+SQL_ORDERS_SQL = SQL_ORDERS_TEXT.replace(
+    "COUNT(*) AS n", "CAST(COUNT(*) AS BIGINT) AS n"
+)
+
+QUERIES["sql_orders"] = sql_orders
+ORACLES["sql_orders"] = SQL_ORDERS_SQL

@@ -121,8 +121,23 @@ def rollup(ds, keys: Sequence[str],
 
 
 def stats(ds, aggs: Sequence[Tuple[str, Optional[str], str]]):
-    """StatsStream: global (ungrouped) metrics; returns a 1-row dict."""
-    return ds.aggregate(*_make_aggs(aggs))
+    """StatsStream: global (ungrouped) metrics; returns a 1-row dict.
+
+    Row counts go through ``Dataset.count()``: the ungrouped ``Count()``
+    aggregate (no ``on``) returns 0 in ray 2.49 when it runs alone over
+    mapped/filtered blocks (grouped Count is unaffected)."""
+    counts = [(op, col, alias) for op, col, alias in aggs if op == "count"]
+    rest = [(op, col, alias) for op, col, alias in aggs if op != "count"]
+    out: dict = {}
+    if rest:
+        if counts:
+            ds = ds.materialize()  # consumed twice (aggregate + count)
+        out.update(ds.aggregate(*_make_aggs(rest)))
+    if counts:
+        n = ds.count()
+        for _, _, alias in counts:
+            out[alias] = n
+    return out
 
 
 def sort_stream(ds, keys: Sequence[str], descending=False):

@@ -236,3 +236,72 @@ def test_json_facet_rejects_unsupported(ray_session, sf_dir):
                             "facet": {"t": {"type": "terms",
                                             "field": "p_brand"}}}},
         })
+
+
+# -- SQL front-end (stages/sql.py) ------------------------------------------
+
+
+def test_sql_query_shapes(ray_session, sf_dir):
+    import ray.data
+
+    from lucene_solr_ray.stages.sql import SqlError, sql_query
+
+    def resolver(name):
+        return ray.data.read_parquet(f"{sf_dir}/{name}.parquet")
+
+    # plain select + where + order + limit
+    out = sql_query(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice >= 100000 AND NOT o_orderpriority = '1-URGENT' "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+        resolver,
+    )
+    assert list(out.columns) == ["o_orderkey", "o_totalprice"]
+    assert len(out) <= 5
+    assert (out.o_totalprice >= 100000).all()
+    assert out.o_totalprice.is_monotonic_decreasing
+
+    # aggregates without GROUP BY
+    out = sql_query(
+        "SELECT COUNT(*) AS n, MIN(o_totalprice) AS lo FROM orders",
+        resolver,
+    )
+    assert len(out) == 1 and out.n[0] > 0 and out.lo[0] > 0
+
+    # OR + string literals with escaped quote path
+    out = sql_query(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'",
+        resolver,
+    )
+    assert out.n[0] > 0
+
+    # errors
+    import pytest as _pytest
+
+    with _pytest.raises(SqlError):
+        sql_query("SELECT o_orderkey, COUNT(*) AS n FROM orders", resolver)
+    with _pytest.raises(SqlError):
+        sql_query("SELECT FROM orders", resolver)
+    with _pytest.raises(SqlError):
+        sql_query("SELECT x FROM orders; DROP TABLE orders", resolver)
+
+
+def test_sql_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from lucene_solr_ray.stages.sql import sql_query
+
+    q = ("SELECT o_orderpriority, COUNT(*) AS n, MAX(o_totalprice) AS mx "
+         "FROM orders WHERE o_totalprice < 200000 "
+         "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    mine = sql_query(q, lambda n: ray.data.read_parquet(
+        f"{sf_dir}/{n}.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    want = con.execute(q).df()
+    assert list(mine.o_orderpriority) == list(want.o_orderpriority)
+    assert list(mine.n.astype("int64")) == list(want.n.astype("int64"))
+    assert (abs(mine.mx - want.mx) < 1e-9).all()
