@@ -37,9 +37,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_sloppy_topk": fulltext.phrase_sloppy_topk,  # rows-only
         "fetch_topk": fulltext.fetch_topk,
         "suggest_prefix_s": fulltext.suggest_prefix_s,
-        "mlt_doc0": fulltext.mlt_doc0,  # rows-only (MoreLikeThis)
+        "mlt_doc0": fulltext.mlt_doc0,
         "grouped_topk": fulltext.grouped_topk,
-        "textprofile_dedup": fulltext.textprofile_dedup,  # rows-only
+        "textprofile_dedup": fulltext.textprofile_dedup,
         "knn_classify_docs": fulltext.knn_classify_docs,  # rows-only
         "sortfield_topk": fulltext.sortfield_topk,
         "hit_counts": fulltext.hit_counts,
@@ -82,6 +82,8 @@ def oracle_sql() -> dict[str, str]:
         "random_sample_docs": fulltext.random_sample_docs_sql(),
         "block_join_parents": fulltext.block_join_parents_sql(),
         "joinutil_docs": fulltext.joinutil_docs_sql(),
+        "mlt_doc0": fulltext.mlt_doc0_sql(),
+        "textprofile_dedup": fulltext.textprofile_dedup_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -424,6 +424,9 @@ GROUP BY term ORDER BY weight DESC, term LIMIT 5
 
 
 def mlt_doc0(sf_dir: str) -> pa.Table:
+    """MoreLikeThis gate, SQL-matched: the oracle recomputes the tf·idf
+    term selection (top-8 by weight desc, term asc) and the BM25
+    SHOULD-disjunction in SQL."""
     import pyarrow.parquet as pq
 
     idx = documents_index(sf_dir)
@@ -434,7 +437,39 @@ def mlt_doc0(sf_dir: str) -> pa.Table:
         .column("text")[0]
         .as_py()
     )
-    return idx.more_like_this(text, k=10, max_query_terms=8)
+    t = idx.more_like_this(
+        text, k=10, max_query_terms=8, similarity=BM25SimilarityF64()
+    )
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def mlt_doc0_sql() -> str:
+    return _BM25_CTE + """
+, mlt_terms AS (
+  SELECT term FROM (
+    SELECT tf.term, tf.f * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS w
+    FROM tf JOIN dfs d USING (term) CROSS JOIN stats s
+    WHERE tf.doc_id = (SELECT MIN(doc_id) FROM documents)
+  ) ORDER BY w DESC, term LIMIT 8
+)
+SELECT 0 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id, SUM(tscore) AS score FROM scores
+    WHERE term IN (SELECT term FROM mlt_terms) GROUP BY doc_id
+  )
+) WHERE rank <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +522,10 @@ SELECT lang, rank_in_group, doc_id, ROUND(score, 4) AS score FROM (
 
 
 def textprofile_dedup(sf_dir: str):
+    """TextProfileSignature dedup, SQL-matched: DuckDB recomputes the
+    quantized token-frequency profile and its md5 (same float path for the
+    QUANT rounding — mx*0.01 is never an exact .5 in doubles, so ROUND
+    agrees with Python's round())."""
     import ray.data
 
     from lucene_solr_ray.functions.dedup import text_profile_dedup
@@ -499,6 +538,47 @@ def textprofile_dedup(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("keep_id").reset_index(drop=True)
+
+
+def textprofile_dedup_sql() -> str:
+    # reference semantics per TextProfileSignature.java:39-117 (quant =
+    # round(maxFreq*0.01) floored at 2 when maxFreq > 1; freqs rounded DOWN
+    # to a quant multiple; profile "token freq" sorted by (freq desc,
+    # token), newline-joined, md5-hexed)
+    return """
+WITH tok AS (
+  SELECT doc_id,
+    regexp_replace(unnest(string_split(lower(text), ' ')),
+                   '[^a-z0-9]', '', 'g') AS tk
+  FROM documents
+),
+tok2 AS (SELECT doc_id, tk FROM tok WHERE length(tk) >= 2),
+cnts AS (SELECT doc_id, tk, COUNT(*) AS f FROM tok2 GROUP BY doc_id, tk),
+mx AS (SELECT doc_id, MAX(f) AS m FROM cnts GROUP BY doc_id),
+qt AS (
+  SELECT doc_id,
+    CASE WHEN m <= 1 THEN 1
+         ELSE GREATEST(CAST(ROUND(m * 0.01) AS BIGINT), 2) END AS quant
+  FROM mx
+),
+kept AS (
+  SELECT c.doc_id, c.tk, (c.f // q.quant) * q.quant AS qf
+  FROM cnts c JOIN qt q USING (doc_id)
+  WHERE c.f >= q.quant
+),
+prof AS (
+  SELECT doc_id,
+    string_agg(tk || ' ' || qf, chr(10) ORDER BY qf DESC, tk) AS profile
+  FROM kept GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id, md5(COALESCE(p.profile, '')) AS signature
+  FROM documents d LEFT JOIN prof p USING (doc_id)
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM sigs GROUP BY signature ORDER BY keep_id
+"""
 
 
 def knn_classify_docs(sf_dir: str):
