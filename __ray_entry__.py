@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near_docs": fulltext.span_near_docs,  # rows-only
         "block_join_parents": fulltext.block_join_parents,
         "joinutil_docs": fulltext.joinutil_docs,
+        "image_decode_stats": fulltext.image_decode_stats,  # rows-only
         "random_sample_docs": fulltext.random_sample_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------

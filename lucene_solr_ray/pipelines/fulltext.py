@@ -968,6 +968,60 @@ WHERE lang IN (
 """
 
 
+def image_decode_stats(sf_dir: str) -> pa.Table:
+    """Real multimodal decode gate (rows-only: BMP decoding is not
+    SQL-expressible): a deterministic synthetic BMP corpus decodes through
+    the actor-pool image stage; returns per-image (height, width, mean
+    embedding cell) — values are pixel-exact functions of the seeded
+    generator, so the gate is rerun-stable."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.multimodal import decode_images, encode_bmp
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    corpus = os.path.join("/tmp", f"lsr_images_{key}.parquet")
+    if not os.path.exists(corpus):
+        rng = np.random.default_rng(12345)
+        rows = []
+        for i in range(200):
+            h = int(rng.integers(4, 40))
+            w = int(rng.integers(4, 40))
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            rows.append({"img_id": i, "image": encode_bmp(img)})
+        pq.write_table(
+            pa.table(
+                {
+                    "img_id": pa.array(
+                        [r["img_id"] for r in rows], pa.int64()
+                    ),
+                    "image": pa.array(
+                        [r["image"] for r in rows], pa.binary()
+                    ),
+                }
+            ),
+            corpus,
+        )
+    import ray.data
+
+    ds = ray.data.read_parquet(corpus)
+    out = decode_images(
+        ds, concurrency=(1, 4), target_size=(16, 16), embed_dim=16
+    ).to_pandas().sort_values("img_id")
+    return pa.table(
+        {
+            "img_id": pa.array(out["img_id"].to_numpy(np.int64)),
+            "height": pa.array(out["height"].to_numpy(np.int64)),
+            "width": pa.array(out["width"].to_numpy(np.int64)),
+            "emb0": pa.array(
+                np.round(
+                    np.asarray([e[0] for e in out["embedding"]],
+                               dtype=np.float64), 6
+                )
+            ),
+        }
+    )
+
+
 def documents_index_pts(sf_dir: str) -> Index:
     """documents indexed with an INDEXED NUMERIC point field ``n_chars``
     (LongPoint semantics: flat-sorted per-segment points, PointRangeQuery

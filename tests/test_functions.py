@@ -145,12 +145,12 @@ def test_multimodal_stub_plumbing(ray_session):
 
     rows = [{"img_id": i, "image": bytes([i] * 64)} for i in range(10)]
     ds = ray.data.from_items(rows)
-    out = decode_images(ds, concurrency=(1, 2)).to_pandas()
+    out = decode_images(ds, concurrency=(1, 2), fake=True).to_pandas()
     assert len(out) == 10
     assert {"height", "width", "embedding"} <= set(out.columns)
     assert len(out["embedding"][0]) == 16
     # deterministic fake: same bytes → same features
-    out2 = decode_images(ds, concurrency=(1, 2)).to_pandas()
+    out2 = decode_images(ds, concurrency=(1, 2), fake=True).to_pandas()
     a = np.asarray([np.asarray(x) for x in out["embedding"]])
     b = np.asarray([np.asarray(x) for x in out2["embedding"]])
     assert (a == b).all()
@@ -305,3 +305,119 @@ def test_sql_matches_duckdb(ray_session, sf_dir):
     assert list(mine.o_orderpriority) == list(want.o_orderpriority)
     assert list(mine.n.astype("int64")) == list(want.n.astype("int64"))
     assert (abs(mine.mx - want.mx) < 1e-9).all()
+
+
+# -- multimodal REAL decoders (BMP/PPM, WAV, RVID) --------------------------
+
+
+def test_image_decode_real(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.functions.multimodal import (
+        decode_bmp,
+        decode_images,
+        decode_ppm,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            for h, w in ((13, 17), (32, 8), (5, 5))]
+    # BMP roundtrip is pixel-exact
+    for img in imgs:
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+    # PPM decode
+    img = imgs[0]
+    ppm = b"P6\n# comment\n17 13\n255\n" + img.tobytes()
+    assert (decode_ppm(ppm) == img).all()
+
+    rows = [{"img_id": i, "image": encode_bmp(im)}
+            for i, im in enumerate(imgs)]
+    out = decode_images(
+        ray.data.from_items(rows), concurrency=(1, 2),
+        target_size=(16, 16), embed_dim=16,
+    ).to_pandas().sort_values("img_id")
+    assert list(out.height) == [13, 32, 5]
+    assert list(out.width) == [17, 8, 5]
+    emb = np.asarray(out.embedding.iloc[0])
+    assert emb.shape == (16,) and 0.0 <= emb.min() and emb.max() <= 1.0
+    # embedding tracks brightness: an all-white image maxes the cells
+    white = np.full((10, 10, 3), 255, np.uint8)
+    o2 = decode_images(
+        ray.data.from_items([{"image": encode_bmp(white)}]),
+        target_size=(16, 16), embed_dim=16,
+    ).to_pandas()
+    assert np.allclose(np.asarray(o2.embedding.iloc[0]), 1.0)
+
+
+def test_audio_features_real():
+    import io as _io
+    import wave
+
+    from lucene_solr_ray.functions.multimodal import (
+        AudioFeatureStage,
+        decode_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    for freq_lo, freq_hi in ((60, None), (None, 3500)):
+        f = freq_lo or freq_hi
+        sig = (0.5 * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(sig.tobytes())
+        data = buf.getvalue()
+        dec, r = decode_wav(data)
+        assert r == rate and abs(len(dec) - rate) < 2
+        st = AudioFeatureStage(n_mels=8)
+        feats = st._features(data)
+        assert feats.shape == (8,)
+        # low tone concentrates energy in low filters, high tone in high
+        if freq_lo:
+            low_feats = feats
+        else:
+            high_feats = feats
+    # tone position in the filterbank tracks frequency
+    assert int(np.argmax(low_feats)) < int(np.argmax(high_feats))
+    assert int(np.argmax(high_feats)) >= 6
+
+
+def test_frame_sampling_real():
+    from lucene_solr_ray.functions.multimodal import (
+        FrameSampleStage,
+        encode_rvid,
+    )
+    import pyarrow as pa
+
+    frames = np.stack([
+        np.full((4, 6, 3), i * 10, np.uint8) for i in range(10)
+    ])
+    blob = encode_rvid(frames)
+    st = FrameSampleStage(every_n=3)
+    t = pa.table({"video": pa.array([blob], pa.binary())})
+    out = st(t)
+    offs = out.column("frame_offsets")[0].as_py()
+    means = out.column("frame_mean_rgb")[0].as_py()
+    assert len(offs) == 4  # frames 0,3,6,9
+    assert [m[0] for m in means] == [0.0, 30.0, 60.0, 90.0]
+    frame_bytes = 4 * 6 * 3
+    assert offs == [12 + i * frame_bytes for i in (0, 3, 6, 9)]
+
+
+def test_unsupported_media_errors():
+    import pytest as _pytest
+
+    from lucene_solr_ray.functions.multimodal import (
+        FrameSampleStage,
+        ImageDecodeStage,
+        UnsupportedMediaError,
+    )
+
+    with _pytest.raises(UnsupportedMediaError):
+        ImageDecodeStage(embed_dim=16)._decode_one(b"\x89PNG fake")
+    with _pytest.raises(UnsupportedMediaError):
+        FrameSampleStage()._sample(b"not a video")
