@@ -23,7 +23,7 @@ Semantics mirror the reference:
 
 from __future__ import annotations
 
-from typing import Dict, FrozenSet, Iterable, List, Sequence, Tuple
+from typing import Dict, FrozenSet, Iterable, List, Optional, Sequence, Tuple
 
 from lucene_solr_ray.analysis.tokenizer import (
     DEFAULT_MAX_TOKEN_LENGTH,
@@ -244,9 +244,14 @@ class KeywordAnalyzer(StandardAnalyzer):
         return {"kind": "keyword", "lowercase": self.lowercase_value}
 
 
-def analyzer_from_spec(spec: Dict) -> StandardAnalyzer:
-    """Reconstruct an analyzer from its manifest ``spec()`` dict."""
+def analyzer_from_spec(spec: Dict) -> "Optional[StandardAnalyzer]":
+    """Reconstruct an analyzer from its manifest ``spec()`` dict.
+
+    ``custom`` chains (filters.CustomAnalyzer) are session objects and
+    return None — pass the same chain explicitly at query time."""
     kind = spec.get("kind", "standard")
+    if kind == "custom":
+        return None
     if kind == "keyword":
         return KeywordAnalyzer(lowercase_value=bool(spec.get("lowercase")))
     if kind == "english":

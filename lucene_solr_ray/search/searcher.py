@@ -402,10 +402,12 @@ class Index:
         (PerFieldAnalyzerWrapper at query time)."""
         from lucene_solr_ray.analysis.analyzer import analyzer_from_spec
 
-        return {
-            f: analyzer_from_spec(s)
-            for f, s in self.manifest.get("field_analyzers", {}).items()
-        }
+        out = {}
+        for f, s in self.manifest.get("field_analyzers", {}).items():
+            a = analyzer_from_spec(s)
+            if a is not None:  # custom chains must be passed explicitly
+                out[f] = a
+        return out
 
     @property
     def default_analyzer(self) -> Optional[StandardAnalyzer]:

@@ -1,0 +1,113 @@
+"""CustomAnalyzer filter chain — factory semantics vs the reference's
+analysis-common counterparts."""
+
+import pytest
+
+from lucene_solr_ray.analysis.filters import (
+    ASCIIFoldingFilter,
+    CustomAnalyzer,
+    EdgeNGramFilter,
+    LengthFilter,
+    LowerCaseFilter,
+    NGramFilter,
+    PatternReplaceFilter,
+    PorterStemFilter,
+    ReverseStringFilter,
+    ShingleFilter,
+    StemmerOverrideFilter,
+    StopFilter,
+    SynonymFilter,
+    TrimFilter,
+    TruncateFilter,
+)
+
+
+def chain(*filters):
+    return CustomAnalyzer(filters=list(filters))
+
+
+def test_lowercase_stop_positions():
+    a = chain(LowerCaseFilter(), StopFilter({"the"}))
+    terms, pos, flen = a.analyze_with_positions("The Quick the Fox")
+    assert terms == ["quick", "fox"]
+    assert pos == [1, 3]  # stopword gaps preserved
+    assert flen == 2
+
+
+def test_synonym_expansion_same_position():
+    a = chain(LowerCaseFilter(), SynonymFilter({"fast": ["quick", "speedy"]}))
+    terms, pos, _ = a.analyze_with_positions("fast car")
+    assert terms == ["fast", "quick", "speedy", "car"]
+    assert pos == [0, 0, 0, 1]  # synonyms stack at the original position
+
+
+def test_shingles():
+    a = chain(LowerCaseFilter(), ShingleFilter(2, 3))
+    terms = a.analyze("a b c d")
+    assert "a b" in terms and "b c d" in terms and "a" in terms
+    b = chain(LowerCaseFilter(), ShingleFilter(2, 2, output_unigrams=False))
+    assert b.analyze("a b c") == ["a b", "b c"]
+
+
+def test_ngrams_and_edge():
+    a = chain(LowerCaseFilter(), NGramFilter(2, 2))
+    assert a.analyze("abc") == ["ab", "bc"]
+    e = chain(LowerCaseFilter(), EdgeNGramFilter(1, 3))
+    assert e.analyze("abcd") == ["a", "ab", "abc"]
+
+
+def test_folding_trim_length_truncate_reverse_pattern():
+    assert chain(ASCIIFoldingFilter()).analyze("Café résumé") \
+        == ["Cafe", "resume"]
+    assert chain(LengthFilter(2, 3)).analyze("a ab abc abcd") == ["ab", "abc"]
+    assert chain(TruncateFilter(3)).analyze("abcdef ab") == ["abc", "ab"]
+    assert chain(ReverseStringFilter()).analyze("abc") == ["cba"]
+    assert chain(PatternReplaceFilter(r"\d+", "")).analyze("ab1 23 c4d") \
+        == ["ab", "cd"]
+    assert chain(TrimFilter()).analyze("ab") == ["ab"]
+
+
+def test_stemmer_override_then_porter():
+    a = chain(
+        LowerCaseFilter(),
+        StemmerOverrideFilter({"running": "sprint"}),
+        PorterStemFilter(protected={"meetings"}),
+    )
+    # override wins, protection holds, everything else stems
+    assert a.analyze("Running meetings jumps") == ["sprint", "meetings", "jump"]
+
+
+def test_custom_analyzer_in_index(ray_session, tmp_path):
+    """A synonym+shingle chain indexed end-to-end: synonym-only queries
+    match, shingle terms exist in the dictionary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.reader import SegmentReader
+    from lucene_solr_ray.search.searcher import Index
+
+    a = chain(
+        LowerCaseFilter(),
+        SynonymFilter({"fast": ["quick"]}),
+        ShingleFilter(2, 2),
+    )
+    texts = ["fast merge path", "slow scan route"]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(texts)}), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id", analyzer=a)
+    idx = Index(out)
+    hits = idx.search({0: "quick"}, k=10, analyzer=a).to_pandas()
+    assert list(hits.doc_id) == [0]
+    import os
+
+    r = SegmentReader(os.path.join(out, "seg_000000"))
+    assert "fast merge" in r.terms  # shingle in the dictionary
+
+
+def test_normalize_uses_char_filters_only():
+    a = chain(LowerCaseFilter(), ASCIIFoldingFilter(), PorterStemFilter())
+    assert a.normalize("Cafés") == "cafes"  # folded+lowered, NOT stemmed
