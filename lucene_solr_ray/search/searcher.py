@@ -106,6 +106,86 @@ def match_terms(pattern: Query, terms: Sequence[str]) -> List[str]:
     return _match_bare(pattern, terms)
 
 
+def match_terms_arrow(pattern: Query, terms: "pa.ChunkedArray") -> List[str]:
+    """Vectorized :func:`match_terms` over the term column as an Arrow
+    array — C kernels instead of a Python loop over the whole dictionary
+    (the round-1 review's term-scan hotspot).  Field scoping first slices
+    to the field's contiguous dictionary range; fuzzy prunes by prefix +
+    length window before the exact edit-distance check; regex falls back
+    to the Python path if RE2 rejects the pattern syntax."""
+    import pyarrow.compute as pc
+
+    from lucene_solr_ray.index.segment import FIELD_SEP, field_term
+
+    fld = getattr(pattern, "field", None)
+    if fld:
+        pre = fld + FIELD_SEP
+        mask = pc.starts_with(terms, pattern=pre)
+        sub = pc.filter(terms, mask)
+        suffixes = pc.utf8_slice_codeunits(sub, start=len(pre))
+        return [
+            field_term(fld, t)
+            for t in _match_bare_arrow(pattern, suffixes)
+        ]
+    mask = pc.invert(pc.match_substring(terms, pattern=FIELD_SEP))
+    return _match_bare_arrow(pattern, pc.filter(terms, mask))
+
+
+def _match_bare_arrow(pattern: Query, terms) -> List[str]:
+    import pyarrow.compute as pc
+
+    if isinstance(pattern, PrefixQuery):
+        m = pc.starts_with(terms, pattern=pattern.prefix)
+        return pc.filter(terms, m).to_pylist()
+    if isinstance(pattern, WildcardQuery):
+        rx = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in pattern.pattern
+        )
+        m = pc.match_substring_regex(terms, pattern=f"^(?:{rx})$")
+        return pc.filter(terms, m).to_pylist()
+    if isinstance(pattern, RegexpQuery):
+        try:
+            m = pc.match_substring_regex(
+                terms, pattern=f"^(?:{pattern.pattern})$"
+            )
+            return pc.filter(terms, m).to_pylist()
+        except Exception:
+            # RE2 rejected the syntax — exact Python-re semantics fallback
+            return _match_bare(pattern, terms.to_pylist())
+    if isinstance(pattern, TermRangeQuery):
+        m = None
+        if pattern.lower is not None:
+            cmp = pc.greater_equal if pattern.include_lower else pc.greater
+            m = cmp(terms, pattern.lower)
+        if pattern.upper is not None:
+            cmp = pc.less_equal if pattern.include_upper else pc.less
+            m2 = cmp(terms, pattern.upper)
+            m = m2 if m is None else pc.and_(m, m2)
+        return (
+            pc.filter(terms, m).to_pylist() if m is not None
+            else terms.to_pylist()
+        )
+    if isinstance(pattern, FuzzyQuery):
+        base = pattern.term
+        k = pattern.max_edits
+        lens = pc.utf8_length(terms)
+        m = pc.and_(
+            pc.greater_equal(lens, len(base) - k),
+            pc.less_equal(lens, len(base) + k),
+        )
+        if pattern.prefix_length:
+            m = pc.and_(
+                m,
+                pc.starts_with(
+                    terms, pattern=base[: pattern.prefix_length]
+                ),
+            )
+        cand = pc.filter(terms, m).to_pylist()
+        return [t for t in cand if _edit_distance_le(base, t, k)]
+    raise TypeError(type(pattern))
+
+
 def _match_bare(pattern: Query, terms: Sequence[str]) -> List[str]:
     if isinstance(pattern, PrefixQuery):
         return [t for t in terms if t.startswith(pattern.prefix)]
@@ -263,22 +343,31 @@ class _StatsFn:
                     )
             if self.patterns:
                 t = pq.read_table(path, columns=["term", "df", "ttf"])
-                term_list = t.column("term").to_pylist()
-                row_of = {tm: i for i, tm in enumerate(term_list)}
+                term_col = t.column("term").combine_chunks()
                 dfs = t.column("df").to_numpy()
                 ttfs = t.column("ttf").to_numpy()
+                # vectorized dictionary scans (Arrow kernels) per pattern,
+                # then ONE binary-search lookup for the matched terms'
+                # stats (terms are byte-sorted on disk)
+                matched = [
+                    match_terms_arrow(pat, term_col)
+                    for pat in self.patterns
+                ]
+                term_np = term_col.to_numpy(zero_copy_only=False)
                 # expansion rows carry the segment's df/ttf so the blended
                 # fuzzy rewrite needs no second stats pass — but each key's
                 # stats must be counted ONCE per segment (a term can be an
                 # explicit query term and match several patterns)
                 counted = set(self.terms)
-                for pi, pat in enumerate(self.patterns):
-                    for tm in match_terms(pat, term_list):
+                for pi, ms in enumerate(matched):
+                    if not ms:
+                        continue
+                    idx = np.searchsorted(term_np, np.asarray(ms, object))
+                    for tm, i in zip(ms, idx.tolist()):
                         if tm in counted:
                             df_v = ttf_v = 0
                         else:
                             counted.add(tm)
-                            i = row_of[tm]
                             df_v, ttf_v = int(dfs[i]), int(ttfs[i])
                         rows.append(
                             {"kind": f"pat{pi}", "key": tm,
