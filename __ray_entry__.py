@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_doc0": fulltext.mlt_doc0,
         "grouped_topk": fulltext.grouped_topk,
         "textprofile_dedup": fulltext.textprofile_dedup,
-        "knn_classify_docs": fulltext.knn_classify_docs,  # rows-only
+        "knn_classify_docs": fulltext.knn_classify_docs,
         "sortfield_topk": fulltext.sortfield_topk,
         "hit_counts": fulltext.hit_counts,
         "multifield_topk": fulltext.multifield_topk,
@@ -85,6 +85,7 @@ def oracle_sql() -> dict[str, str]:
         "joinutil_docs": fulltext.joinutil_docs_sql(),
         "mlt_doc0": fulltext.mlt_doc0_sql(),
         "textprofile_dedup": fulltext.textprofile_dedup_sql(),
+        "knn_classify_docs": fulltext.knn_classify_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

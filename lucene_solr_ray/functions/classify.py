@@ -23,11 +23,14 @@ def knn_classify(
     k: int = 10,
     max_query_terms: int = 15,
     weighted: bool = True,
+    similarity=None,
 ) -> Tuple[Optional[str], float]:
     """(predicted label, confidence = winning weight share)."""
     from lucene_solr_ray.search.fetch import fetch_from_corpus
 
-    hits = index.more_like_this(text, k=k, max_query_terms=max_query_terms)
+    hits = index.more_like_this(
+        text, k=k, max_query_terms=max_query_terms, similarity=similarity
+    )
     if hits.num_rows == 0:
         return None, 0.0
     fetched = fetch_from_corpus(hits, label_table, id_col, [label_col])

@@ -599,12 +599,67 @@ def knn_classify_docs(sf_dir: str):
         label, conf = knn_classify(
             idx, t.column("text")[i].as_py(),
             os.path.join(sf_dir, "documents.parquet"), "lang",
+            similarity=BM25SimilarityF64(),
         )
         rows.append(
             {"doc_id": t.column("doc_id")[i].as_py(),
              "pred_lang": label, "confidence": round(conf, 4)}
         )
     return pd.DataFrame(rows)
+
+
+def knn_classify_docs_sql() -> str:
+    """Oracle for KNearestNeighborClassifier: per query doc, MLT term
+    selection (top-15 by tf·idf desc, term asc) → BM25 top-10 neighbors →
+    lang votes weighted by score → winner (weight desc, lang desc),
+    confidence = share ROUND(·, 4)."""
+    parts = []
+    for d in range(5):
+        parts.append(f"""
+  SELECT {d} AS doc_id, v.lang AS pred_lang,
+         ROUND(v.w / t.total, 4) AS confidence
+  FROM (
+    SELECT d.lang, SUM(n.score) AS w
+    FROM (
+      SELECT doc_id, score FROM (
+        SELECT doc_id, score,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM (
+          SELECT doc_id, SUM(tscore) AS score FROM scores
+          WHERE term IN (
+            SELECT term FROM (
+              SELECT tf.term,
+                tf.f * ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) AS wgt
+              FROM tf JOIN dfs d2 USING (term) CROSS JOIN stats s
+              WHERE tf.doc_id = {d}
+            ) ORDER BY wgt DESC, term LIMIT 15
+          )
+          GROUP BY doc_id
+        )
+      ) WHERE rank <= 10
+    ) n JOIN documents d ON n.doc_id = d.doc_id
+    GROUP BY d.lang ORDER BY w DESC, d.lang DESC LIMIT 1
+  ) v CROSS JOIN (
+    SELECT SUM(score) AS total FROM (
+      SELECT doc_id, score FROM (
+        SELECT doc_id, score,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM (
+          SELECT doc_id, SUM(tscore) AS score FROM scores
+          WHERE term IN (
+            SELECT term FROM (
+              SELECT tf.term,
+                tf.f * ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) AS wgt
+              FROM tf JOIN dfs d2 USING (term) CROSS JOIN stats s
+              WHERE tf.doc_id = {d}
+            ) ORDER BY wgt DESC, term LIMIT 15
+          )
+          GROUP BY doc_id
+        )
+      ) WHERE rank <= 10
+    )
+  ) t""")
+    return _BM25_CTE + "\nUNION ALL\n".join(parts) + "\nORDER BY doc_id"
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,41 @@ ORACLES = {
     "fingerprint_docs": FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_SQL,
 }
+
+
+def _langid_sql() -> str:
+    """DuckDB oracle for the trigram language-ID heuristic: hits per
+    language = number of profile trigrams PRESENT in the lowered text
+    (set membership == strpos > 0), winner = max hits with ties to the
+    earlier profile, 'und' at zero hits, conf = hits/10."""
+    from lucene_solr_ray.functions.textstats import _LANG_PROFILES
+
+    per_lang = []
+    for ordi, (lang, tris) in enumerate(_LANG_PROFILES.items()):
+        hits = " + ".join(
+            "CASE WHEN strpos(lower(text), '{}') > 0 THEN 1 ELSE 0 END"
+            .format(t.replace("'", "''")) for t in tris
+        )
+        per_lang.append(
+            f"SELECT doc_id, '{lang}' AS lang, {ordi} AS ord, "
+            f"({hits}) AS hits FROM documents"
+        )
+    union = "\nUNION ALL\n".join(per_lang)
+    return f"""
+WITH scores AS (
+{union}
+),
+best AS (
+  SELECT doc_id, lang, hits,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY hits DESC, ord ASC) AS rn
+  FROM scores
+)
+SELECT doc_id,
+  CASE WHEN hits = 0 THEN 'und' ELSE lang END AS lang_pred,
+  ROUND(hits / 10.0, 6) AS lang_conf
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+ORACLES["langid_docs"] = _langid_sql()
