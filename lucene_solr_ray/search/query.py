@@ -21,6 +21,10 @@ __all__ = [
     "TermQuery",
     "PhraseQuery",
     "SpanNearQuery",
+    "SpanTermQuery",
+    "SpanFirstQuery",
+    "SpanNotQuery",
+    "SpanOrQuery",
     "SynonymQuery",
     "DisjunctionMaxQuery",
     "BlendedTermQuery",
@@ -220,6 +224,59 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     field: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(Query):
+    """A single term as a span source (reference
+    ``search/spans/SpanTermQuery.java``) — each occurrence is a width-1
+    span; composes under SpanFirst/Not/Or."""
+
+    span_term: str
+    field: Optional[str] = None
+
+    def terms(self) -> List[str]:
+        from lucene_solr_ray.index.segment import field_term
+
+        return [field_term(self.field, self.span_term)]
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """Spans of ``match`` that END within the first ``end`` positions
+    (reference ``search/spans/SpanFirstQuery.java``)."""
+
+    match: "Query"
+    end: int
+
+    def terms(self) -> List[str]:
+        return self.match.terms()
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """Spans of ``include`` that do not OVERLAP any span of ``exclude``
+    (reference ``search/spans/SpanNotQuery.java``)."""
+
+    include: "Query"
+    exclude: "Query"
+
+    def terms(self) -> List[str]:
+        return self.include.terms() + self.exclude.terms()
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """Union of the clause spans (reference
+    ``search/spans/SpanOrQuery.java``)."""
+
+    clauses: Tuple["Query", ...]
+
+    def terms(self) -> List[str]:
+        out: List[str] = []
+        for c in self.clauses:
+            out.extend(c.terms())
+        return out
 
 
 @dataclass(frozen=True)

@@ -47,7 +47,11 @@ from lucene_solr_ray.search.query import (
     PhraseQuery,
     PointRangeQuery,
     Query,
+    SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -118,6 +122,9 @@ class _Eval:
             return ords, np.full(len(ords), dt(boost), dtype=dt)
         if isinstance(q, SpanNearQuery):
             return self._span_near(q, boost)
+        if isinstance(q, (SpanTermQuery, SpanFirstQuery, SpanNotQuery,
+                          SpanOrQuery)):
+            return self._span_query(q, boost)
         if isinstance(q, ToParentBlockJoinQuery):
             return eval_block_join(self, q, boost)
         if isinstance(q, PointRangeQuery):
@@ -188,6 +195,121 @@ class _Eval:
         idf = dt(idf_acc)
         sc = self.sim.scorer_from_idf(boost, idf, doc_count, sttf)
         norms = self.reader.norms_for(q.field) if q.field else self.norms
+        return ords, sc.score(freqs, norms[ords])
+
+    # -- composable span family (SpanTerm/First/Not/Or over SpanNear) ------
+
+    def _span_candidates(self, q) -> Optional[np.ndarray]:
+        """Docs that COULD carry spans of q (sorted ords), None = none."""
+        from lucene_solr_ray.index.segment import field_term
+
+        if isinstance(q, SpanTermQuery):
+            pr = self.reader.positions(field_term(q.field, q.span_term))
+            return pr[0] if pr is not None else None
+        if isinstance(q, SpanNearQuery):
+            cand = None
+            for k in [field_term(q.field, t) for t in q.span_terms]:
+                pr = self.reader.positions(k)
+                if pr is None:
+                    return None
+                cand = pr[0] if cand is None else np.intersect1d(
+                    cand, pr[0], assume_unique=True
+                )
+            return cand
+        if isinstance(q, SpanFirstQuery):
+            return self._span_candidates(q.match)
+        if isinstance(q, SpanNotQuery):
+            return self._span_candidates(q.include)
+        if isinstance(q, SpanOrQuery):
+            cands = [self._span_candidates(c) for c in q.clauses]
+            cands = [c for c in cands if c is not None and len(c)]
+            if not cands:
+                return None
+            return np.unique(np.concatenate(cands))
+        raise TypeError(type(q))
+
+    def _doc_spans(self, q, d: int):
+        """Spans of q in doc d: list of (start, end, gaps)."""
+        from lucene_solr_ray.index.segment import field_term
+
+        if isinstance(q, SpanTermQuery):
+            pr = self.reader.positions(field_term(q.field, q.span_term))
+            if pr is None:
+                return []
+            ords, posfn = pr
+            i = np.searchsorted(ords, d)
+            if i >= len(ords) or ords[i] != d:
+                return []
+            return [(int(p), int(p) + 1, 0) for p in posfn(int(i))]
+        if isinstance(q, SpanNearQuery):
+            pls = []
+            for k in [field_term(q.field, t) for t in q.span_terms]:
+                pr = self.reader.positions(k)
+                if pr is None:
+                    return []
+                ords, posfn = pr
+                i = np.searchsorted(ords, d)
+                if i >= len(ords) or ords[i] != d:
+                    return []
+                pls.append(posfn(int(i)))
+            return (
+                _span_list_ordered(pls, q.slop)
+                if q.in_order else _span_list_unordered(pls, q.slop)
+            )
+        if isinstance(q, SpanFirstQuery):
+            return [
+                s for s in self._doc_spans(q.match, d) if s[1] <= q.end
+            ]
+        if isinstance(q, SpanNotQuery):
+            inc = self._doc_spans(q.include, d)
+            if not inc:
+                return []
+            exc = self._doc_spans(q.exclude, d)
+            if not exc:
+                return inc
+            return [
+                s for s in inc
+                if not any(s[0] < e_e and e_s < s[1] for e_s, e_e, _ in exc)
+            ]
+        if isinstance(q, SpanOrQuery):
+            out = []
+            for c in q.clauses:
+                out.extend(self._doc_spans(c, d))
+            return sorted(out)
+        raise TypeError(type(q))
+
+    def _span_query(self, q, boost: float):
+        """Generic span scorer: freq(doc) = Σ 1/(1 + gaps) over the doc's
+        spans, scored with the summed idf of the leaf terms (SpanWeight +
+        SpanScorer shape)."""
+        cand = self._span_candidates(q)
+        if cand is None or len(cand) == 0:
+            return _EMPTY_I, _EMPTY_F
+        out_ords: List[int] = []
+        out_freqs: List[float] = []
+        for d in cand:
+            spans = self._doc_spans(q, int(d))
+            if not spans:
+                continue
+            out_ords.append(int(d))
+            out_freqs.append(sum(1.0 / (1.0 + g) for _, _, g in spans))
+        if not out_ords:
+            return _EMPTY_I, _EMPTY_F
+        ords = np.asarray(out_ords, dtype=np.int32)
+        freqs = np.asarray(out_freqs, dtype=np.float64)
+        keys = q.terms()
+        fld = _span_field(q)
+        dt = self.sim.out_dtype
+        doc_count, sttf = self.stats.collection_for(fld)
+        idf_acc = 0.0
+        for key in keys:
+            idf_acc += float(
+                dt(self.sim.idf_value(self.stats.df.get(key, 0), doc_count))
+            )
+        sc = self.sim.scorer_from_idf(
+            boost, dt(idf_acc), doc_count, sttf
+        )
+        norms = self.reader.norms_for(fld) if fld else self.norms
         return ords, sc.score(freqs, norms[ords])
 
     def _point_range(self, q: "PointRangeQuery", boost: float):
@@ -506,14 +628,30 @@ def topk_segment(
     return ords[order], scores[order]
 
 
-def _span_freq_ordered(pos_lists, slop: int) -> float:
-    """Minimal ORDERED spans: for each start position of the first term,
-    greedily chain each next term to its smallest position strictly after
-    the previous one; the span matches when its gap count
-    (covered length − #terms) ≤ slop.  Each start contributes
-    1/(1 + gaps) — the sloppyFreq weight."""
+def _span_field(q) -> Optional[str]:
+    """Common field of a span tree's leaves (span queries are single-field,
+    as the reference's SpanQuery.getField contract requires)."""
+    if isinstance(q, (SpanTermQuery, SpanNearQuery)):
+        return q.field
+    if isinstance(q, SpanFirstQuery):
+        return _span_field(q.match)
+    if isinstance(q, SpanNotQuery):
+        return _span_field(q.include)
+    if isinstance(q, SpanOrQuery):
+        flds = {_span_field(c) for c in q.clauses}
+        if len(flds) > 1:
+            raise ValueError("SpanOrQuery clauses must share one field")
+        return next(iter(flds))
+    raise TypeError(type(q))
+
+
+def _span_list_ordered(pos_lists, slop: int):
+    """Minimal ORDERED spans (start, end, gaps): for each start position of
+    the first term, greedily chain each next term to its smallest position
+    strictly after the previous one; the span matches when its gap count
+    (covered length − #terms) ≤ slop."""
     first = pos_lists[0]
-    freq = 0.0
+    out = []
     for p0 in first.tolist():
         prev = p0
         ok = True
@@ -527,21 +665,21 @@ def _span_freq_ordered(pos_lists, slop: int) -> float:
             break  # later starts only move prev further right
         gaps = (prev - p0 + 1) - len(pos_lists)
         if gaps <= slop:
-            freq += 1.0 / (1.0 + gaps)
-    return freq
+            out.append((int(p0), prev + 1, gaps))
+    return out
 
 
-def _span_freq_unordered(pos_lists, slop: int) -> float:
-    """Minimal UNORDERED spans: sliding window over the merged tagged
-    position stream; every minimal window covering ≥1 position of each
-    term with gap count ≤ slop contributes 1/(1 + gaps)."""
+def _span_list_unordered(pos_lists, slop: int):
+    """Minimal UNORDERED spans (start, end, gaps): sliding window over the
+    merged tagged position stream; every minimal window covering ≥1
+    position of each term with gap count ≤ slop is emitted."""
     tagged = sorted(
         (int(p), t) for t, pl in enumerate(pos_lists) for p in pl.tolist()
     )
     n_terms = len(pos_lists)
     counts = [0] * n_terms
     covered = 0
-    freq = 0.0
+    out = []
     left = 0
     for right in range(len(tagged)):
         t = tagged[right][1]
@@ -557,11 +695,26 @@ def _span_freq_unordered(pos_lists, slop: int) -> float:
                 continue
             gaps = (tagged[right][0] - tagged[left][0] + 1) - n_terms
             if gaps <= slop:
-                freq += 1.0 / (1.0 + gaps)
+                out.append(
+                    (tagged[left][0], tagged[right][0] + 1, gaps)
+                )
             counts[lt] -= 1
             covered -= 1
             left += 1
-    return freq
+    return out
+
+
+def _span_freq_ordered(pos_lists, slop: int) -> float:
+    return sum(
+        1.0 / (1.0 + g) for _, _, g in _span_list_ordered(pos_lists, slop)
+    )
+
+
+def _span_freq_unordered(pos_lists, slop: int) -> float:
+    return sum(
+        1.0 / (1.0 + g)
+        for _, _, g in _span_list_unordered(pos_lists, slop)
+    )
 
 
 def _sloppy_freq_exact(adjusted_pos_lists, slop: int) -> float:

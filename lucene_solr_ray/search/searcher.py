@@ -674,9 +674,16 @@ class Index:
 
 def _has_phrase(q: Query) -> bool:
     from lucene_solr_ray.search.join import ToParentBlockJoinQuery
-    from lucene_solr_ray.search.query import SpanNearQuery
+    from lucene_solr_ray.search.query import (
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
 
-    if isinstance(q, (PhraseQuery, SpanNearQuery)):
+    if isinstance(q, (PhraseQuery, SpanNearQuery, SpanTermQuery,
+                      SpanFirstQuery, SpanNotQuery, SpanOrQuery)):
         return True
     if isinstance(q, ToParentBlockJoinQuery):
         return _has_phrase(q.child_query)

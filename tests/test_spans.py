@@ -114,3 +114,102 @@ def test_span_freq_weights_tighter_spans_higher(ray_session, tmp_path):
     hits = idx.search_parsed([(0, q, 10)]).to_pandas()
     assert list(hits.doc_id) == [0, 1]
     assert hits.score.iloc[0] > hits.score.iloc[1]
+
+
+# -- composable span family: SpanTerm / SpanFirst / SpanNot / SpanOr --------
+
+
+def _brute_docs(texts, pred):
+    return sorted(i for i, t in enumerate(texts) if pred(t.split()))
+
+
+@pytest.fixture(scope="module")
+def span_family_index(ray_session, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    texts = [
+        "alpha beta gamma alpha",
+        "gamma beta x alpha",
+        "x x alpha beta",
+        "beta x x x alpha gamma",
+        "delta only here",
+        "alpha x beta gamma",
+    ]
+    d = tmp_path_factory.mktemp("spf")
+    p = str(d / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)}), p)
+    out = str(d / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                docs_per_segment=3)
+    return Index(out), texts
+
+
+def test_span_first(span_family_index):
+    from lucene_solr_ray.search.query import SpanFirstQuery, SpanTermQuery
+
+    idx, texts = span_family_index
+    # "alpha" within the first 2 positions (span end <= 2 → position <= 1)
+    q = SpanFirstQuery(SpanTermQuery("alpha"), end=2)
+    hits = idx.search_parsed([(0, q, 100)]).to_pandas()
+    want = _brute_docs(
+        texts, lambda toks: "alpha" in toks[:2]
+    )
+    assert sorted(hits.doc_id) == want
+
+
+def test_span_not(span_family_index):
+    from lucene_solr_ray.search.query import (
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanTermQuery,
+    )
+
+    idx, texts = span_family_index
+    # alpha not inside an "alpha beta" adjacency
+    q = SpanNotQuery(
+        SpanTermQuery("alpha"),
+        SpanNearQuery(("alpha", "beta"), slop=0, in_order=True),
+    )
+    hits = idx.search_parsed([(0, q, 100)]).to_pandas()
+
+    def pred(toks):
+        pos = [i for i, t in enumerate(toks) if t == "alpha"]
+        covered = {
+            i for i in pos
+            if i + 1 < len(toks) and toks[i + 1] == "beta"
+        }
+        return bool(set(pos) - covered)
+
+    assert sorted(hits.doc_id) == _brute_docs(texts, pred)
+
+
+def test_span_or(span_family_index):
+    from lucene_solr_ray.search.query import SpanOrQuery, SpanTermQuery
+
+    idx, texts = span_family_index
+    q = SpanOrQuery((SpanTermQuery("gamma"), SpanTermQuery("delta")))
+    hits = idx.search_parsed([(0, q, 100)]).to_pandas()
+    want = _brute_docs(
+        texts, lambda toks: "gamma" in toks or "delta" in toks
+    )
+    assert sorted(hits.doc_id) == want
+    # freq = total occurrences (all width-1 spans, gap 0): a doc with both
+    # terms outranks equal-length docs with one
+    assert hits.score.min() > 0
+
+
+def test_span_nested_first_of_near(span_family_index):
+    from lucene_solr_ray.search.query import SpanFirstQuery, SpanNearQuery
+
+    idx, texts = span_family_index
+    # "alpha beta" adjacency fully inside the first 2 positions
+    q = SpanFirstQuery(SpanNearQuery(("alpha", "beta"), 0, True), end=2)
+    hits = idx.search_parsed([(0, q, 100)]).to_pandas()
+    want = _brute_docs(
+        texts,
+        lambda toks: len(toks) >= 2 and toks[0] == "alpha"
+        and toks[1] == "beta",
+    )
+    assert sorted(hits.doc_id) == want
