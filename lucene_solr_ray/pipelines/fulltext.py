@@ -1077,6 +1077,44 @@ def image_decode_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def topic_pull_docs(sf_dir: str) -> pa.Table:
+    """TopicStream gate: a fresh subscription pulls the "merge" topic in
+    two checkpointed micro-batches of 120 (reference
+    ``io/stream/TopicStream.java`` checkpoint semantics).  SQL-matched:
+    the oracle reproduces both batches with row_number windows."""
+    from lucene_solr_ray.stages.streaming import TopicStream
+
+    idx_dir = documents_index(sf_dir).index_dir
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    ckpt = os.path.join("/tmp", f"lsr_topic_gate_{key}.json")
+    if os.path.exists(ckpt):
+        os.remove(ckpt)  # deterministic: every gate run starts fresh
+    t = TopicStream(idx_dir, "merge", checkpoint_path=ckpt)
+    parts = []
+    for b in (1, 2):
+        pulled = t.pull(batch_size=120)
+        df = pulled.to_pandas()
+        df.insert(0, "batch", b)
+        parts.append(df[["batch", "doc_id"]])
+    import pandas as pd
+
+    out = pd.concat(parts, ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def topic_pull_docs_sql() -> str:
+    return """
+SELECT CAST(CASE WHEN rn <= 120 THEN 1 ELSE 2 END AS BIGINT) AS batch,
+       doc_id
+FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE list_contains(string_split(text, ' '), 'merge')
+)
+WHERE rn <= 240 ORDER BY batch, doc_id
+"""
+
+
 def documents_index_pts(sf_dir: str) -> Index:
     """documents indexed with an INDEXED NUMERIC point field ``n_chars``
     (LongPoint semantics: flat-sorted per-segment points, PointRangeQuery
