@@ -316,3 +316,158 @@ class BooleanSimilarity(BM25Similarity):
 
     def scorer_from_idf(self, boost, idf, doc_count, sum_total_term_freq):
         return self.scorer(boost, doc_count, sum_total_term_freq, 1)
+
+
+class LMJelinekMercerSimilarity(BM25Similarity):
+    """Jelinek-Mercer-smoothed language model (reference
+    ``search/similarities/LMJelinekMercerSimilarity.java``, λ=0.1):
+    score = boost · max(0, log(1 + ((1−λ)·tf/dl) / (λ·P(t|C))))."""
+
+    out_dtype = np.float32
+
+    def __init__(self, lam: float = 0.1) -> None:
+        super().__init__(1.2, 0.75)
+        self.lam = float(lam)
+
+    def scorer(self, boost, doc_count, sum_total_term_freq, doc_freq,
+               total_term_freq=-1):
+        ttf = max(int(total_term_freq), 1) if total_term_freq and \
+            total_term_freq > 0 else max(int(doc_freq), 1)
+        p_c = ttf / max(float(sum_total_term_freq), 1.0)
+        lam = self.lam
+        b = float(boost)
+
+        def fn(f, dl):
+            s = np.log(
+                1.0 + ((1.0 - lam) * f / np.maximum(dl, 1.0))
+                / (lam * p_c)
+            )
+            return b * np.maximum(s, 0.0)
+
+        return _SimpleScorer(fn, b * math.log(1 + (1 - lam) / (lam * p_c)))
+
+    def scorer_from_idf(self, boost, idf, doc_count, sum_total_term_freq):
+        return self.scorer(boost, doc_count, sum_total_term_freq, 1, 1)
+
+
+class DFISimilarity(BM25Similarity):
+    """Divergence-from-independence, chi-squared measure (reference
+    ``search/similarities/DFISimilarity.java`` +
+    ``IndependenceChiSquared.java``): expected = ttf·dl / sttf; freq at or
+    below expectation scores 0; else score = boost·log2((f−e)²/e + 1)."""
+
+    out_dtype = np.float32
+
+    def scorer(self, boost, doc_count, sum_total_term_freq, doc_freq,
+               total_term_freq=-1):
+        ttf = max(int(total_term_freq), 1) if total_term_freq and \
+            total_term_freq > 0 else max(int(doc_freq), 1)
+        sttf = max(float(sum_total_term_freq), 1.0)
+        b = float(boost)
+
+        def fn(f, dl):
+            e = ttf * np.maximum(dl, 1.0) / sttf
+            m = (f - e) ** 2 / np.maximum(e, 1e-12)
+            out = b * np.log2(m + 1.0)
+            return np.where(f <= e, 0.0, out)
+
+        return _SimpleScorer(fn, b * 64.0)
+
+    def scorer_from_idf(self, boost, idf, doc_count, sum_total_term_freq):
+        return self.scorer(boost, doc_count, sum_total_term_freq, 1, 1)
+
+
+class AxiomaticF2EXPSimilarity(BM25Similarity):
+    """Axiomatic F2EXP (reference ``search/similarities/AxiomaticF2EXP.java``,
+    s=0.5, k=0.35): score = boost · ((N+1)/df)^k · f/(f + s + s·dl/avgdl)."""
+
+    out_dtype = np.float32
+
+    def __init__(self, s: float = 0.5, k: float = 0.35) -> None:
+        super().__init__(1.2, 0.75)
+        self.s = float(s)
+        self.k = float(k)
+
+    def scorer(self, boost, doc_count, sum_total_term_freq, doc_freq,
+               total_term_freq=-1):
+        avgdl = max(float(sum_total_term_freq), 1.0) / max(doc_count, 1)
+        idf_pow = ((doc_count + 1.0) / max(doc_freq, 1)) ** self.k
+        s = self.s
+        b = float(boost) * idf_pow
+
+        def fn(f, dl):
+            return b * f / (f + s + s * np.maximum(dl, 1.0) / avgdl)
+
+        return _SimpleScorer(fn, b)
+
+    def scorer_from_idf(self, boost, idf, doc_count, sum_total_term_freq):
+        return self.scorer(boost, doc_count, sum_total_term_freq, 1, 1)
+
+
+class DFRSimilarity(BM25Similarity):
+    """DFR with BasicModelG + AfterEffectL + NormalizationH2 (reference
+    ``search/similarities/DFRSimilarity.java``, ``BasicModelG.java``,
+    ``AfterEffectL.java``, ``NormalizationH2.java``, c=1):
+    tfn = f·log2(1 + c·avgdl/dl); λ = (F=ttf+1)/(N+F) (geometric model,
+    always < 1 — BasicModelG.java:46-52);
+    score = boost · (log2(1+λ) + tfn·log2((1+λ)/λ)) / (tfn + 1)."""
+
+    out_dtype = np.float32
+
+    def __init__(self, c: float = 1.0) -> None:
+        super().__init__(1.2, 0.75)
+        self.c = float(c)
+
+    def scorer(self, boost, doc_count, sum_total_term_freq, doc_freq,
+               total_term_freq=-1):
+        ttf = max(int(total_term_freq), 1) if total_term_freq and \
+            total_term_freq > 0 else max(int(doc_freq), 1)
+        n = max(doc_count, 1)
+        avgdl = max(float(sum_total_term_freq), 1.0) / n
+        F = ttf + 1.0
+        lam = F / (n + F)
+        c = self.c
+        b = float(boost)
+
+        def fn(f, dl):
+            tfn = f * np.log2(1.0 + c * avgdl / np.maximum(dl, 1.0))
+            gain = math.log2(1.0 + lam) + tfn * math.log2(
+                (1.0 + lam) / lam
+            )
+            return b * gain / (tfn + 1.0)
+
+        return _SimpleScorer(fn, b * 64.0)
+
+    def scorer_from_idf(self, boost, idf, doc_count, sum_total_term_freq):
+        return self.scorer(boost, doc_count, sum_total_term_freq, 1, 1)
+
+
+class IBSimilarityLL(BM25Similarity):
+    """Information-based model: DistributionLL + LambdaDF + NormalizationH2
+    (reference ``search/similarities/IBSimilarity.java``,
+    ``DistributionLL.java``, ``LambdaDF.java``):
+    λ = (df+1)/(N+1); tfn = f·log2(1 + c·avgdl/dl);
+    score = boost · −log(λ / (tfn + λ))."""
+
+    out_dtype = np.float32
+
+    def __init__(self, c: float = 1.0) -> None:
+        super().__init__(1.2, 0.75)
+        self.c = float(c)
+
+    def scorer(self, boost, doc_count, sum_total_term_freq, doc_freq,
+               total_term_freq=-1):
+        n = max(doc_count, 1)
+        avgdl = max(float(sum_total_term_freq), 1.0) / n
+        lam = (max(doc_freq, 0) + 1.0) / (n + 1.0)
+        c = self.c
+        b = float(boost)
+
+        def fn(f, dl):
+            tfn = f * np.log2(1.0 + c * avgdl / np.maximum(dl, 1.0))
+            return b * -np.log(lam / (tfn + lam))
+
+        return _SimpleScorer(fn, b * 64.0)
+
+    def scorer_from_idf(self, boost, idf, doc_count, sum_total_term_freq):
+        return self.scorer(boost, doc_count, sum_total_term_freq, 1, 1)

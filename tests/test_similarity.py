@@ -83,3 +83,48 @@ def test_max_score_bound_over_impacts():
     norms = np.array([int_to_byte4(x) for x in [30, 10, 4]], dtype=np.uint8)
     mx = sc.max_score_for(freqs, norms)
     assert mx == sc.score(freqs, norms).max()
+
+
+def test_round2_similarity_families(ray_session, tmp_path):
+    """LMJelinekMercer / DFI / AxiomaticF2EXP / DFR / IB-LL: sane ranking
+    behavior end-to-end (higher tf ranks higher at equal length; all
+    scores finite and non-negative)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Index
+    from lucene_solr_ray.search.similarity import (
+        AxiomaticF2EXPSimilarity,
+        DFISimilarity,
+        DFRSimilarity,
+        IBSimilarityLL,
+        LMJelinekMercerSimilarity,
+    )
+
+    texts = [
+        "apple apple apple pad pad",
+        "apple pad pad pad pad",
+        "pad pad pad pad pad",
+        "apple apple pad pad pad",
+    ]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)}), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id")
+    idx = Index(out)
+    for sim in (LMJelinekMercerSimilarity(), DFISimilarity(),
+                AxiomaticF2EXPSimilarity(), DFRSimilarity(),
+                IBSimilarityLL()):
+        hits = idx.search({0: "apple"}, k=10, similarity=sim).to_pandas()
+        name = type(sim).__name__
+        assert set(hits.doc_id) <= {0, 1, 3}, name
+        assert list(hits.doc_id)[0] == 0, name  # tf=3 ranks first
+        # DFI legitimately scores 0 for freq at/below expectation
+        assert (hits.score >= 0).all() and np.isfinite(hits.score).all(), \
+            name
+        # tf monotonicity at equal dl
+        sc = hits.set_index("doc_id").score
+        assert sc[0] > sc[3] >= sc[1], name
