@@ -39,6 +39,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "select",
@@ -163,34 +164,64 @@ def merge_stream(a, b):
     return a.union(b)
 
 
-def intersect_stream(a, b, on: str):
-    """IntersectStream: rows of ``a`` whose key appears in ``b``
-    (broadcast semi-join: the key set ships once)."""
+#: above this many DISTINCT b-side keys the semi/anti join switches from a
+#: broadcast key set to a hash-partitioned shuffle join — a dimension-table
+#: key set broadcasts fine, a fact-scale one must not ride ray.put
+BROADCAST_KEY_LIMIT = 1_000_000
+
+
+def _semi_anti(a, b, on: str, keep_matches: bool, broadcast_limit: int):
     import ray
+    from ray.data.aggregate import Count
 
-    keys_ref = ray.put(set(b.unique(on) or ()))
+    # distinct b-side keys, computed IN the cluster; only the count comes
+    # back to decide broadcast vs shuffle
+    distinct_ds = b.select_columns([on]).groupby(on).aggregate(
+        Count(alias_name="__b_marker")
+    ).materialize()
+    if distinct_ds.count() <= broadcast_limit:
+        # broadcast path: the key set ships once via the object store and
+        # membership tests run as the C-level is_in kernel per batch
+        keys = [r[on] for r in distinct_ds.select_columns([on]).take_all()]
+        keys_ref = ray.put(pa.array(sorted(keys)))
 
-    def _filter(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pa.array([v in keys for v in t.column(on).to_pylist()])
-        return t.filter(mask)
+        def _filter(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t.column(on), value_set=ray.get(keys_ref))
+            if not keep_matches:
+                mask = pc.invert(mask)
+            return t.filter(mask)
 
-    return a.map_batches(_filter, batch_format="pyarrow")
+        return a.map_batches(_filter, batch_format="pyarrow")
+    # shuffle path: hash-partitioned join against the (still-distributed)
+    # distinct key set — nothing fact-scale touches the driver
+    how = "inner" if keep_matches else "left_outer"
+    joined = a.join(distinct_ds, join_type=how, num_partitions=16,
+                    on=(on,))
+    if keep_matches:
+        return joined.drop_columns(["__b_marker"])
+
+    def _only_unmatched(t: pa.Table) -> pa.Table:
+        m = pc.is_null(t.column("__b_marker"))
+        return t.filter(m).drop(["__b_marker"])
+
+    return joined.map_batches(_only_unmatched, batch_format="pyarrow")
 
 
-def complement_stream(a, b, on: str):
+def intersect_stream(a, b, on: str,
+                     broadcast_limit: int = BROADCAST_KEY_LIMIT):
+    """IntersectStream: rows of ``a`` whose key appears in ``b`` —
+    broadcast semi-join for dimension-sized key sets, hash-partitioned
+    shuffle join past ``broadcast_limit`` distinct keys."""
+    return _semi_anti(a, b, on, keep_matches=True,
+                      broadcast_limit=broadcast_limit)
+
+
+def complement_stream(a, b, on: str,
+                      broadcast_limit: int = BROADCAST_KEY_LIMIT):
     """ComplementStream: rows of ``a`` whose key does NOT appear in ``b``
-    (broadcast anti-join). ``unique`` of an empty stream is None → empty set."""
-    import ray
-
-    keys_ref = ray.put(set(b.unique(on) or ()))
-
-    def _filter(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pa.array([v not in keys for v in t.column(on).to_pylist()])
-        return t.filter(mask)
-
-    return a.map_batches(_filter, batch_format="pyarrow")
+    (anti-join; same broadcast/shuffle split as intersect_stream)."""
+    return _semi_anti(a, b, on, keep_matches=False,
+                      broadcast_limit=broadcast_limit)
 
 
 def hash_join(

@@ -67,16 +67,12 @@ def test_span_near_matches_exhaustive(span_index, slop, in_order):
             i for i, t in enumerate(texts)
             if _exhaustive_match(t, terms, slop, in_order)
         }
-        if in_order:
-            # the greedy ordered matcher is exact for 2 terms; for 3+ it
-            # chains minimal next-positions (NearSpansOrdered shape) and
-            # may skip a wider valid tuple — assert no false positives +
-            # exactness for the pair case
-            assert got <= want
-            if len(terms) == 2:
-                assert got == want
-        else:
-            assert got == want
+        # the greedy ordered chain is COMPLETE: picking the smallest next
+        # position minimizes the span end for each start, so if any valid
+        # ordered tuple exists from a start, the minimal-end chain also
+        # fits the slop — matching-doc sets equal the exhaustive scan for
+        # both modes
+        assert got == want
 
 
 def test_span_near_ordered_respects_order(ray_session, tmp_path):
