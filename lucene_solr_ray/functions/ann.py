@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "lsh_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "build_ivf_index", "ivf_topk"]
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -146,5 +146,142 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
     out = []
     for qid, g in df.groupby("qid", sort=True):
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else df
+
+
+# ---------------------------------------------------------------------------
+# IVF: inverted-file index — the bucket-PARTITIONED scale path
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(ds, vec_col: str, id_col: str, out_dir: str,
+                    n_clusters: int = 64, kmeans_iters: int = 8,
+                    sample_size: int = 20_000, seed: int = 42) -> str:
+    """Build an IVF index: k-means centroids from a bounded sample, then
+    every vector assigned to its nearest centroid DISTRIBUTED and written
+    as cluster-partitioned parquet (one directory per cluster).
+
+    The scale story vs :func:`lsh_topk`: LSH recomputes codes for every
+    row on every query batch; IVF pays the assignment once at build time,
+    and a query then READS only its ``n_probe`` cluster partitions —
+    storage-level pruning, not in-memory filtering.  Centroids are
+    (n_clusters × dim) floats — driver-sized by construction; the k-means
+    sample is capped at ``sample_size`` rows.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    rng = np.random.RandomState(seed)
+    sample = ds.select_columns([vec_col]).random_sample(
+        1.0, seed=seed  # bounded below by take(sample_size)
+    ).take(sample_size)
+    S = _normalize(
+        np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    )
+    n_clusters = min(n_clusters, len(S))
+    cents = S[rng.choice(len(S), n_clusters, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(S @ cents.T, axis=1)
+        for c in range(n_clusters):
+            members = S[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    c_ref = ray.put(cents)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(M) == 0:
+            return t.append_column("cluster", pa.array([], pa.int64()))
+        a = np.argmax(_normalize(M) @ C.T, axis=1)
+        # "cluster" drives the hive partition dirs (dropped from the file
+        # payload by write_parquet); "cl" stays as a data column so readers
+        # need no partition parsing
+        t = t.append_column("cluster", pa.array(a.astype(np.int64)))
+        return t.append_column("cl", pa.array(a.astype(np.int64)))
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        _assign, batch_format="pyarrow"
+    )
+    assigned.write_parquet(
+        os.path.join(out_dir, "vectors"), partition_cols=["cluster"]
+    )
+    return out_dir
+
+
+def ivf_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
+             vec_col: str, id_col: str, k: int = 10, n_probe: int = 4):
+    """Query the IVF index: each query scans only its ``n_probe`` nearest
+    centroids' partitions (a partition-filtered parquet read — unselected
+    clusters never leave storage), brute-force within them, tiny merge."""
+    import os
+
+    import ray
+    import ray.data
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    sims = Q @ cents.T
+    n_probe = min(n_probe, cents.shape[0])
+    probe = np.argsort(-sims, axis=1)[:, :n_probe]
+    needed = sorted({int(c) for row in probe for c in row})
+    #: query → allowed clusters (queries only score rows of probed ones)
+    allowed = {
+        int(query_ids[i]): set(int(c) for c in probe[i])
+        for i in range(len(query_ids))
+    }
+    import glob
+
+    # directory-level pruning: only the probed clusters' partition dirs
+    # are listed and read — unselected clusters never leave storage
+    files = []
+    for c in needed:
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, "vectors", f"cluster={c}", "*.parquet")
+        )))
+    ds = ray.data.read_parquet(files)
+    ref = ray.put((Q, np.asarray(query_ids), allowed))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        Qm, qids, allow = ray.get(ref)
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        cl = np.asarray(t.column("cl").to_pylist(), dtype=np.int64)
+        out_q, out_v, out_c = [], [], []
+        if len(ids):
+            M = _normalize(M)
+            for r in range(Qm.shape[0]):
+                qid = int(qids[r])
+                mask = np.isin(cl, list(allow[qid]))
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                s = Qm[r] @ M[cand].T
+                kk = min(k, len(cand))
+                part = np.argpartition(-s, kk - 1)[:kk]
+                order = np.lexsort((ids[cand[part]], -s[part]))
+                sel = part[order]
+                out_q.extend([qid] * len(sel))
+                out_v.extend(ids[cand[sel]].tolist())
+                out_c.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    df = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in df.groupby("qid", sort=True):
+        g = g.sort_values(["cosine", "vec_id"],
+                          ascending=[False, True]).head(k)
         out.append(g)
     return pd.concat(out, ignore_index=True) if out else df

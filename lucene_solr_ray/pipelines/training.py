@@ -268,3 +268,36 @@ FROM best WHERE rn = 1 ORDER BY doc_id
 
 
 ORACLES["langid_docs"] = _langid_sql()
+
+
+def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF (cluster-partitioned) ANN gate — rows-only (approximate by
+    design; pytest asserts recall vs the exact oracle)."""
+    import hashlib as _h
+
+    import ray.data
+
+    from lucene_solr_ray.functions.ann import build_ivf_index, ivf_topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["embedding"])
+    Q = np.asarray(t.column("embedding").to_pylist()[:5], dtype=np.float64)
+    qids = np.arange(5)
+    key = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", f"lsr_ivf_{key}")
+    if not os.path.exists(os.path.join(out_dir, "centroids.npy")):
+        build_ivf_index(ds, "embedding", "vec_id", out_dir,
+                        n_clusters=16, sample_size=2000)
+    out = ivf_topk(out_dir, Q, qids, "embedding", "vec_id", k=10,
+                   n_probe=8)
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["qid", "cosine", "vec_id"],
+                           ascending=[True, False, True]
+                           ).reset_index(drop=True)
+
+
+QUERIES["ann_ivf_topk"] = ann_ivf_topk

@@ -421,3 +421,50 @@ def test_unsupported_media_errors():
         ImageDecodeStage(embed_dim=16)._decode_one(b"\x89PNG fake")
     with _pytest.raises(UnsupportedMediaError):
         FrameSampleStage()._sample(b"not a video")
+
+
+# -- IVF ANN: bucket-partitioned index ---------------------------------------
+
+
+def test_ivf_index_recall(ray_session, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_solr_ray.functions.ann import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    Q = np.asarray(t.column("embedding").to_pylist()[:5], dtype=np.float64)
+    qids = np.arange(5)
+
+    out_dir = str(tmp_path / "ivf")
+    build_ivf_index(ds, "embedding", "vec_id", out_dir, n_clusters=16,
+                    sample_size=2000)
+    import os
+
+    assert os.path.exists(os.path.join(out_dir, "centroids.npy"))
+    # cluster partitions on disk
+    parts = os.listdir(os.path.join(out_dir, "vectors"))
+    assert any(p.startswith("cluster=") for p in parts)
+
+    exact = brute_force_topk(ds, Q, qids, "embedding", "vec_id", k=10)
+    approx = ivf_topk(out_dir, Q, qids, "embedding", "vec_id", k=10,
+                      n_probe=8)
+    # recall@10 against the exact oracle
+    rec = []
+    for q in qids:
+        e = set(exact[exact.qid == q].vec_id)
+        a = set(approx[approx.qid == q].vec_id)
+        rec.append(len(e & a) / max(len(e), 1))
+    assert sum(rec) / len(rec) >= 0.6, rec
+    # each query's own vector is its top hit (cosine 1.0)
+    for q in qids:
+        top = approx[approx.qid == q].iloc[0]
+        assert abs(top.cosine - 1.0) < 1e-9
