@@ -80,6 +80,22 @@ def main(argv=None) -> int:
     sv.add_argument("--actors", type=int, default=4)
     sv.add_argument("-k", type=int, default=10)
 
+    dl = sub.add_parser("delete", help="delete docs matching a query "
+                        "(live-docs tombstones; reclaimed at merge)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--query", required=True)
+
+    sq = sub.add_parser("sql", help="run a SQL subset over parquet tables")
+    sq.add_argument("--tables", required=True,
+                    help="directory containing <name>.parquet tables")
+    sq.add_argument("--query", required=True)
+
+    tp = sub.add_parser("topic", help="pull one checkpointed micro-batch")
+    tp.add_argument("--index", required=True)
+    tp.add_argument("--query", required=True)
+    tp.add_argument("--batch-size", type=int, default=1000)
+    tp.add_argument("--checkpoint", default=None)
+
     args = ap.parse_args(argv)
     _ray_init(args.num_cpus)
 
@@ -98,6 +114,40 @@ def main(argv=None) -> int:
             "generation": manifest["generation"],
             "doc_count": manifest["doc_count"],
             "segments": len(manifest["segments"]),
+        }))
+    elif args.cmd == "delete":
+        from lucene_solr_ray.index.deletes import delete_by_query
+
+        manifest = delete_by_query(args.index, args.query)
+        print(json.dumps({
+            "generation": manifest["generation"],
+            "doc_count": manifest["doc_count"],
+            "live_doc_count": manifest["live_doc_count"],
+        }))
+    elif args.cmd == "sql":
+        import os as _os
+
+        import ray.data
+
+        from lucene_solr_ray.stages.sql import sql_query
+
+        out = sql_query(
+            args.query,
+            lambda name: ray.data.read_parquet(
+                _os.path.join(args.tables, f"{name}.parquet")
+            ),
+        )
+        print(out.to_string(index=False))
+    elif args.cmd == "topic":
+        from lucene_solr_ray.stages.streaming import TopicStream
+
+        t = TopicStream(args.index, args.query,
+                        checkpoint_path=args.checkpoint)
+        got = t.pull(batch_size=args.batch_size)
+        print(json.dumps({
+            "rows": got.num_rows,
+            "doc_ids": got.column("doc_id").to_pylist()[:50],
+            "checkpoint": t.checkpoint,
         }))
     elif args.cmd == "merge":
         from lucene_solr_ray.index.merge import merge_until_done

@@ -103,6 +103,42 @@ def check_segment(seg_dir: str) -> Dict:
         errors.append(
             f"sum_total_term_freq {stats['sum_total_term_freq']} != {sum_ttf}"
         )
+
+    # live-docs sidecar (round 2): sorted, unique, in-range tombstones
+    from lucene_solr_ray.search.reader import latest_deletes_file
+
+    del_file = latest_deletes_file(seg_dir)
+    if del_file is not None:
+        dords = pq.read_table(
+            os.path.join(seg_dir, del_file)
+        ).column("ord").to_numpy()
+        if len(dords):
+            if (np.diff(dords) <= 0).any():
+                errors.append("deletes: ords not strictly ascending")
+            if dords[0] < 0 or dords[-1] >= n_docs:
+                errors.append("deletes: ord out of range")
+
+    # numeric points (round 2): per-field values ascending, ords in range
+    pts_path = os.path.join(seg_dir, "points.parquet")
+    if os.path.exists(pts_path):
+        pt = pq.read_table(pts_path)
+        fields = pt.column("field").to_pylist()
+        vals = pt.column("value").to_numpy()
+        pords = pt.column("ord").to_numpy()
+        if len(pords) and (
+            (pords < 0).any() or (pords >= n_docs).any()
+        ):
+            errors.append("points: ord out of range")
+        start = 0
+        for i in range(1, len(fields) + 1):
+            if i == len(fields) or fields[i] != fields[start]:
+                seg_vals = vals[start:i]
+                if len(seg_vals) > 1 and (np.diff(seg_vals) < 0).any():
+                    errors.append(
+                        f"points: {fields[start]!r} values not sorted"
+                    )
+                start = i
+
     return {"segment_id": meta["segment_id"], "ok": not errors,
             "errors": errors[:20], "terms": t.num_rows, "docs": n_docs}
 
