@@ -24,6 +24,7 @@ __all__ = [
     "token_counts",
     "quality_scores",
     "fingerprint_md5",
+    "winnow_fingerprints",
     "LangIdStage",
     "langid",
 ]
@@ -146,4 +147,53 @@ def langid(ds, concurrency: int = 4):
     """Attach (lang_pred, lang_conf) columns via the actor-pool stage."""
     return ds.map_batches(
         LangIdStage, batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+def winnow_fingerprints(ds, col: str, id_col: str,
+                        k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every character k-gram, slide a window of ``w`` hashes,
+    select the RIGHTMOST minimal hash per window, dedupe by position.
+
+    Guarantees the paper's coverage property (any match of length
+    ≥ w+k−1 shares a fingerprint).  Hashes are md5 hex strings so the
+    DuckDB oracle reproduces the selection byte-for-byte.  Returns rows
+    (id, pos, fp)."""
+    import hashlib as _h
+
+    def _winnow(t: pa.Table) -> pa.Table:
+        out_id, out_pos, out_fp = [], [], []
+        for d, text in zip(t.column(id_col).to_pylist(),
+                           t.column(col).to_pylist()):
+            s = text or ""
+            n = len(s) - k + 1
+            if n <= 0:
+                continue
+            hashes = [
+                _h.md5(s[i: i + k].encode("utf-8")).hexdigest()
+                for i in range(n)
+            ]
+            chosen = set()
+            for j in range(max(n - w + 1, 1)):
+                win = hashes[j: j + w]
+                m = min(win)
+                # rightmost minimum in the window
+                p = j + max(i for i, h in enumerate(win) if h == m)
+                chosen.add(p)
+            for p in sorted(chosen):
+                out_id.append(d)
+                out_pos.append(p)
+                out_fp.append(hashes[p])
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "fp": pa.array(out_fp, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(
+        _winnow, batch_format="pyarrow"
     )

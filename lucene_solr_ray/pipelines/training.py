@@ -301,3 +301,54 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+
+def winnow_docs(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprints gate (k=8 char-grams, window 4) over the
+    first 50 documents — SQL-matched: DuckDB reproduces the rightmost-min
+    selection with the same md5-hex ordering."""
+    from lucene_solr_ray.functions.textstats import winnow_fingerprints
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).filter(expr="doc_id < 50")
+    out = winnow_fingerprints(ds, "text", "doc_id").to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+WINNOW_SQL = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 50
+),
+grams AS (
+  SELECT d.doc_id, g.i AS pos, md5(substr(d.text, g.i + 1, 8)) AS h
+  FROM docs d
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(0, GREATEST(length(d.text) - 8 + 1, 0))) AS i
+  ) g
+),
+nk AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+wins AS (
+  -- window j covers positions [j, j+3]; rightmost minimal hash per window
+  SELECT g.doc_id, w.j,
+    (SELECT p.pos FROM grams p
+     WHERE p.doc_id = g.doc_id AND p.pos BETWEEN w.j AND w.j + 3
+     ORDER BY p.h ASC, p.pos DESC LIMIT 1) AS sel
+  FROM (SELECT DISTINCT doc_id FROM grams) g
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(0, GREATEST(
+      (SELECT n FROM nk WHERE nk.doc_id = g.doc_id) - 4 + 1, 1
+    ))) AS j
+  ) w
+)
+SELECT DISTINCT g.doc_id, g.pos, g.h AS fp
+FROM wins w JOIN grams g
+  ON g.doc_id = w.doc_id AND g.pos = w.sel
+ORDER BY g.doc_id, g.pos
+"""
+
+QUERIES["winnow_docs"] = winnow_docs
+ORACLES["winnow_docs"] = WINNOW_SQL

@@ -468,3 +468,31 @@ def test_ivf_index_recall(ray_session, sf_dir, tmp_path):
     for q in qids:
         top = approx[approx.qid == q].iloc[0]
         assert abs(top.cosine - 1.0) < 1e-9
+
+
+def test_winnowing_coverage_guarantee(ray_session):
+    """The winnowing paper's guarantee: two docs sharing a substring of
+    length >= w + k - 1 (= 11 here) share at least one fingerprint."""
+    import ray.data
+
+    from lucene_solr_ray.functions.textstats import winnow_fingerprints
+
+    shared = "commonblockxyz"  # 14 chars >= 11
+    rows = [
+        {"doc_id": 0, "text": "aaaa " + shared + " bbbb"},
+        {"doc_id": 1, "text": "cccc dddd " + shared},
+        {"doc_id": 2, "text": "totally unrelated content here"},
+    ]
+    out = winnow_fingerprints(
+        ray.data.from_items(rows), "text", "doc_id", k=8, w=4
+    ).to_pandas()
+    fps = {d: set(g.fp) for d, g in out.groupby("doc_id")}
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert not (fps[0] & fps[1] & fps[2])
+    # selection is deterministic
+    out2 = winnow_fingerprints(
+        ray.data.from_items(rows), "text", "doc_id", k=8, w=4
+    ).to_pandas()
+    assert out.sort_values(["doc_id", "pos"]).reset_index(drop=True).equals(
+        out2.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    )
