@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_sloppy_topk": fulltext.phrase_sloppy_topk,  # rows-only
         "fetch_topk": fulltext.fetch_topk,
         "suggest_prefix_s": fulltext.suggest_prefix_s,
+        "suggest_infix_er": fulltext.suggest_infix_er,
         "mlt_doc0": fulltext.mlt_doc0,
         "grouped_topk": fulltext.grouped_topk,
         "textprofile_dedup": fulltext.textprofile_dedup,
@@ -73,6 +74,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_norms": fulltext.doc_norms_sql(),
         "fetch_topk": fulltext.fetch_topk_sql(),
         "suggest_prefix_s": fulltext.suggest_prefix_s_sql(),
+        "suggest_infix_er": fulltext.suggest_infix_er_sql(),
         "grouped_topk": fulltext.grouped_topk_sql(),
         "sortfield_topk": fulltext.sortfield_topk_sql(),
         "hit_counts": fulltext.hit_counts_sql(),

@@ -17,7 +17,7 @@ from typing import List, Optional, Tuple
 
 import pyarrow as pa
 
-__all__ = ["suggest_terms"]
+__all__ = ["suggest_terms", "suggest_infix"]
 
 
 def suggest_terms(index, prefix: str, n: int = 10,
@@ -57,3 +57,30 @@ def suggest_terms(index, prefix: str, n: int = 10,
     )
     rows = out.sort(["weight", "term"], descending=[True, False]).take(n)
     return [(r["term"], int(r["weight"])) for r in rows]
+
+
+def suggest_infix(index, fragment: str, n: int = 10) -> List[Tuple[str, int]]:
+    """Infix completions: terms CONTAINING the fragment anywhere, weighted
+    by collection ttf (the ``AnalyzingInfixSuggester`` role, reference
+    ``lucene/suggest/.../analyzing/AnalyzingInfixSuggester.java`` — it
+    indexes term n-grams; over a columnar dictionary a vectorized
+    substring scan of the metadata columns does the same job)."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    paths = [os.path.join(d, "postings.parquet") for d in index.seg_dirs]
+    ds = ray.data.read_parquet(paths, columns=["term", "ttf"])
+
+    def _filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.match_substring(t.column("term"), fragment))
+
+    rows = (
+        ds.map_batches(_filter, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("ttf", alias_name="weight"))
+        .to_pandas()
+    )
+    rows = rows.sort_values(["weight", "term"],
+                            ascending=[False, True]).head(n)
+    return [(r.term, int(r.weight)) for r in rows.itertuples()]

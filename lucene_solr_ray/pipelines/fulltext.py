@@ -1285,3 +1285,29 @@ def field_wildcard_docs_sql() -> str:
 SELECT doc_id, 1.0 AS score FROM documents
 WHERE lang LIKE 'e%' ORDER BY doc_id
 """
+
+
+def suggest_infix_er(sf_dir: str) -> pa.Table:
+    """Infix suggester gate: terms containing "er", ttf-weighted."""
+    from lucene_solr_ray.functions.suggest import suggest_infix
+
+    idx = documents_index(sf_dir)
+    rows = suggest_infix(idx, "er", n=8)
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "weight": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def suggest_infix_er_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS weight
+FROM tok WHERE term LIKE '%er%'
+GROUP BY term ORDER BY weight DESC, term LIMIT 8
+"""
