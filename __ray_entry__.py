@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": fulltext.image_decode_stats,  # rows-only
         "random_sample_docs": fulltext.random_sample_docs,
         "topic_pull_docs": fulltext.topic_pull_docs,
+        "percolate_docs": fulltext.percolate_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "textprofile_dedup": fulltext.textprofile_dedup_sql(),
         "knn_classify_docs": fulltext.knn_classify_docs_sql(),
         "topic_pull_docs": fulltext.topic_pull_docs_sql(),
+        "percolate_docs": fulltext.percolate_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -1115,6 +1115,79 @@ WHERE rn <= 240 ORDER BY batch, doc_id
 """
 
 
+class _PercolateFn:
+    """Actor-pool percolator: queries parse ONCE per actor (__init__),
+    every batch builds a MemoryIndex per doc and reports matches — the
+    reference's percolation pattern (``MemoryIndex`` javadoc use case)."""
+
+    def __init__(self, query_strings: List[Tuple[int, str]]):
+        from lucene_solr_ray.search.parser import QueryParser
+
+        parser = QueryParser()
+        self.queries = [(qid, parser.parse(qs)) for qid, qs in query_strings]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from lucene_solr_ray.search.memory import MemoryIndex
+
+        out_doc, out_qid = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            mi = MemoryIndex(text or "")
+            for qid, q in self.queries:
+                if mi.matches(q):
+                    out_doc.append(doc_id)
+                    out_qid.append(qid)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "qid": pa.array(out_qid, pa.int64()),
+            }
+        )
+
+
+def percolate_docs(sf_dir: str) -> pa.Table:
+    """Percolation gate: the reference query set registered as standing
+    queries; the first 100 docs stream through per-doc MemoryIndexes in an
+    actor pool.  SQL-matched (boolean structure is token-set logic)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).filter(expr="doc_id < 100")
+    qs = [(qid, s) for qid, s, _, _ in QUERY_SET]
+    out = ds.map_batches(
+        _PercolateFn,
+        fn_constructor_kwargs={"query_strings": qs},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_id", "qid"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def percolate_docs_sql() -> str:
+    parts = []
+    for qid, _, _, groups in QUERY_SET:
+        conds = " AND ".join(
+            "({})".format(" OR ".join(
+                f"list_contains(toks, '{t}')" for t in g
+            ))
+            for g in groups
+        )
+        parts.append(
+            f"SELECT doc_id, {qid} AS qid FROM tok WHERE {conds}"
+        )
+    return (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents WHERE doc_id < 100)\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY doc_id, qid"
+    )
+
+
 def documents_index_pts(sf_dir: str) -> Index:
     """documents indexed with an INDEXED NUMERIC point field ``n_chars``
     (LongPoint semantics: flat-sorted per-segment points, PointRangeQuery
