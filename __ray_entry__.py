@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_sample_docs": fulltext.random_sample_docs,
         "topic_pull_docs": fulltext.topic_pull_docs,
         "percolate_docs": fulltext.percolate_docs,
+        "highlight_merge": fulltext.highlight_merge,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_classify_docs": fulltext.knn_classify_docs_sql(),
         "topic_pull_docs": fulltext.topic_pull_docs_sql(),
         "percolate_docs": fulltext.percolate_docs_sql(),
+        "highlight_merge": fulltext.highlight_merge_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -1188,6 +1188,71 @@ def percolate_docs_sql() -> str:
     )
 
 
+def highlight_merge(sf_dir: str) -> pa.Table:
+    """Highlighter gate: best-passage snippets (30-token window,
+    <em>-wrapped matches) for docs containing "merge" among doc_id < 200.
+    SQL-matched — the space-separated corpus makes the passage window and
+    tag insertion reproducible with list functions."""
+    import ray.data
+
+    from lucene_solr_ray.functions.highlight import highlight_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).filter(expr="doc_id < 200")
+
+    def _has_merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(t.column("text"), " ")
+        # vectorized membership: any list element == 'merge'
+        mask = pa.array(
+            ["merge" in row for row in toks.to_pylist()]
+        )
+        return t.filter(mask)
+
+    out = highlight_batch(
+        ds.map_batches(_has_merge, batch_format="pyarrow"),
+        "text", {"merge": 1.0},
+    ).to_pandas()[["doc_id", "snippet"]]
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def highlight_merge_sql() -> str:
+    # engine semantics for a single-term weight set: the best window is the
+    # earliest candidate start covering the FIRST match —
+    # start0 = max(0, first_pos - 29), 30 tokens, every matched token
+    # wrapped (ties all score equal; best_passage breaks ties by start)
+    return """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 200
+),
+m AS (
+  SELECT doc_id, toks, list_position(toks, 'merge') AS p,
+         len(toks) AS n
+  FROM d WHERE list_contains(toks, 'merge')
+),
+win AS (
+  SELECT doc_id,
+    list_slice(toks, GREATEST(p - 29, 1),
+               LEAST(GREATEST(p - 29, 1) + 29, n)) AS sl
+  FROM m
+)
+SELECT doc_id,
+  array_to_string(
+    list_transform(
+      sl, x -> CASE WHEN x = 'merge' THEN '<em>merge</em>' ELSE x END
+    ), ' '
+  ) AS snippet
+FROM win ORDER BY doc_id
+"""
+
+
 def documents_index_pts(sf_dir: str) -> Index:
     """documents indexed with an INDEXED NUMERIC point field ``n_chars``
     (LongPoint semantics: flat-sorted per-segment points, PointRangeQuery
