@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topic_pull_docs": fulltext.topic_pull_docs,
         "percolate_docs": fulltext.percolate_docs,
         "highlight_merge": fulltext.highlight_merge,
+        "spell_corrections": fulltext.spell_corrections,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -94,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "topic_pull_docs": fulltext.topic_pull_docs_sql(),
         "percolate_docs": fulltext.percolate_docs_sql(),
         "highlight_merge": fulltext.highlight_merge_sql(),
+        "spell_corrections": fulltext.spell_corrections_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

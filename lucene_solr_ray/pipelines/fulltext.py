@@ -1253,6 +1253,54 @@ FROM win ORDER BY doc_id
 """
 
 
+def spell_corrections(sf_dir: str) -> pa.Table:
+    """DirectSpellChecker gate: corrections for misspelled query terms,
+    ranked (edit distance asc, df desc, term asc).  SQL-matched via
+    DuckDB's levenshtein over the recomputed term dictionary."""
+    from lucene_solr_ray.functions.spell import suggest_corrections
+
+    idx = documents_index(sf_dir)
+    rows = []
+    for qid, bad in enumerate(("mergw", "windoq", "batsh")):
+        for rank, (t, dist, df) in enumerate(
+            suggest_corrections(idx, bad, n=5, max_edits=2)
+        ):
+            rows.append(
+                {"qid": qid, "rank": rank + 1, "term": t,
+                 "dist": dist, "df": df}
+            )
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["qid", "rank", "term", "dist", "df"])
+        .astype({"qid": "int64", "rank": "int64", "dist": "int64",
+                 "df": "int64"}),
+        preserve_index=False,
+    )
+
+
+def spell_corrections_sql() -> str:
+    parts = []
+    for qid, bad in enumerate(("mergw", "windoq", "batsh")):
+        parts.append(f"""
+  SELECT {qid} AS qid,
+    CAST(ROW_NUMBER() OVER (ORDER BY dist, df DESC, term) AS BIGINT)
+      AS rank,
+    term, dist, df
+  FROM (
+    SELECT term, CAST(levenshtein(term, '{bad}') AS BIGINT) AS dist,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok GROUP BY term
+    HAVING levenshtein(term, '{bad}') <= 2 AND term <> '{bad}'
+  ) QUALIFY rank <= 5""")
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "
+        "term FROM documents WHERE text <> '')\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY qid, rank"
+    )
+
+
 def documents_index_pts(sf_dir: str) -> Index:
     """documents indexed with an INDEXED NUMERIC point field ``n_chars``
     (LongPoint semantics: flat-sorted per-segment points, PointRangeQuery
