@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_docs": fulltext.percolate_docs,
         "highlight_merge": fulltext.highlight_merge,
         "spell_corrections": fulltext.spell_corrections,
+        "term_vectors_docs": fulltext.term_vectors_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate_docs": fulltext.percolate_docs_sql(),
         "highlight_merge": fulltext.highlight_merge_sql(),
         "spell_corrections": fulltext.spell_corrections_sql(),
+        "term_vectors_docs": fulltext.term_vectors_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -1497,3 +1497,44 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS weight
 FROM tok WHERE term LIKE '%er%'
 GROUP BY term ORDER BY weight DESC, term LIMIT 8
 """
+
+
+def term_vectors_docs(sf_dir: str) -> pa.Table:
+    """Term-vector gate: (doc_id, term, freq, first_pos) for docs 0-2."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.search.memory import term_vector
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    rows = []
+    for i in range(3):
+        d = t.column("doc_id")[i].as_py()
+        for term, freq, positions in term_vector(
+            t.column("text")[i].as_py()
+        ):
+            rows.append({"doc_id": d, "term": term, "freq": freq,
+                         "first_pos": positions[0]})
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows).astype(
+            {"doc_id": "int64", "freq": "int64", "first_pos": "int64"}
+        ),
+        preserve_index=False,
+    )
+
+
+def term_vectors_docs_sql() -> str:
+    return """
+WITH pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents WHERE doc_id < 3 AND text <> ''
+)
+SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(MIN(p) AS BIGINT) AS first_pos
+FROM pos GROUP BY doc_id, term ORDER BY doc_id, term
+"""

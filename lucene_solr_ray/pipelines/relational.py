@@ -781,3 +781,92 @@ SQL_ORDERS_SQL = SQL_ORDERS_TEXT.replace(
 
 QUERIES["sql_orders"] = sql_orders
 ORACLES["sql_orders"] = SQL_ORDERS_SQL
+
+
+# -- pivot facets + field collapsing ----------------------------------------
+
+def pivot_priority_segment(sf_dir: str) -> pd.DataFrame:
+    """Two-level pivot facet (orderpriority → mktsegment via a customer
+    join), flattened for the gate: level-1 value/count + top-3 level-2
+    buckets (count desc, value asc)."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.stages.relational import hash_join, pivot_facet
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+    joined = hash_join(orders, customer, on="o_custkey",
+                       right_on="c_custkey")
+    tree = pivot_facet(joined, ["o_orderpriority", "c_mktsegment"],
+                       limit=3)
+    rows = []
+    for n1 in tree:
+        for n2 in n1.get("pivot", []):
+            rows.append({
+                "o_orderpriority": n1["value"], "n1": n1["count"],
+                "c_mktsegment": n2["value"], "n2": n2["count"],
+            })
+    out = pd.DataFrame(rows).astype({"n1": "int64", "n2": "int64"})
+    return out.sort_values(
+        ["o_orderpriority", "c_mktsegment"]).reset_index(drop=True)
+
+
+PIVOT_SQL = """
+WITH j AS (
+  SELECT o_orderpriority, c_mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+l1 AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n1
+  FROM j GROUP BY o_orderpriority
+  ORDER BY n1 DESC, o_orderpriority LIMIT 3
+),
+l2 AS (
+  SELECT j.o_orderpriority, j.c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n2,
+         ROW_NUMBER() OVER (
+           PARTITION BY j.o_orderpriority
+           ORDER BY COUNT(*) DESC, j.c_mktsegment
+         ) AS rn
+  FROM j WHERE j.o_orderpriority IN (SELECT o_orderpriority FROM l1)
+  GROUP BY j.o_orderpriority, j.c_mktsegment
+)
+SELECT l1.o_orderpriority, l1.n1, l2.c_mktsegment, l2.n2
+FROM l1 JOIN l2 USING (o_orderpriority)
+WHERE l2.rn <= 3
+ORDER BY l1.o_orderpriority, l2.c_mktsegment
+"""
+
+QUERIES["pivot_priority_segment"] = pivot_priority_segment
+ORACLES["pivot_priority_segment"] = PIVOT_SQL
+
+
+def collapse_orders(sf_dir: str) -> pd.DataFrame:
+    """Field collapsing: the single highest-value order per priority
+    (CollapsingQParserPlugin semantics, best by o_totalprice)."""
+    from lucene_solr_ray.stages.relational import collapse_stream
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = collapse_stream(ds, "o_orderpriority", "o_totalprice").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out[["o_orderpriority", "o_orderkey", "o_totalprice"]] \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+
+
+COLLAPSE_SQL = """
+SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_orderpriority
+"""
+
+QUERIES["collapse_orders"] = collapse_orders
+ORACLES["collapse_orders"] = COLLAPSE_SQL

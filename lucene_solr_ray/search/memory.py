@@ -27,7 +27,8 @@ from lucene_solr_ray.search.searcher import (
 )
 from lucene_solr_ray.search.similarity import BM25Similarity
 
-__all__ = ["MemoryIndex"]
+__all__ = ["MemoryIndex" "term_vector",
+]
 
 
 class _OneDocReader:
@@ -136,3 +137,23 @@ class MemoryIndex:
             if s > 0.0:
                 out[name] = s
         return out
+
+
+def term_vector(text: str, analyzer=None):
+    """Per-document term vector: sorted (term, freq, positions) — the
+    ``TermVectorsComponent`` / ``Fields.getTermVector`` view (reference
+    ``lucene/core/src/java/org/apache/lucene/codecs/
+    TermVectorsReader.java``; ours recomputes from the stored text, the
+    MemoryIndex route, instead of persisting a third file family)."""
+    from collections import defaultdict
+
+    from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+
+    analyzer = analyzer or StandardAnalyzer()
+    terms, positions, _ = analyzer.analyze_with_positions(text or "")
+    acc = defaultdict(list)
+    for t, p in zip(terms, positions):
+        acc[t].append(p)
+    return [
+        (t, len(ps), tuple(ps)) for t, ps in sorted(acc.items())
+    ]

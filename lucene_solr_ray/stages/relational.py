@@ -58,6 +58,8 @@ __all__ = [
     "facet_stream",
     "time_series",
     "significant_terms",
+    "pivot_facet",
+    "collapse_stream",
 ]
 
 
@@ -403,4 +405,54 @@ def facet_range(ds, col: str, edges: "List[float]",
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .aggregate(Count(alias_name="count"))
+    )
+
+
+def pivot_facet(ds, fields: Sequence[str], limit: int = 5):
+    """Solr pivot facets (``facet.pivot=f1,f2,...`` — reference
+    ``solr/core/src/java/org/apache/solr/handler/component/
+    PivotFacetProcessor.java``): nested value/count trees, each level's
+    buckets ordered (count desc, value asc) and capped at ``limit``.
+
+    ONE grouped count over the full field tuple feeds every level (no
+    per-bucket re-queries — the distributed-merge shape); the driver folds
+    the tiny aggregate into the nested structure."""
+    from ray.data.aggregate import Count
+
+    flat = ds.groupby(list(fields)).aggregate(
+        Count(alias_name="count")
+    ).to_pandas()
+
+    def _level(df, depth: int):
+        f = fields[depth]
+        agg = df.groupby(f, sort=False)["count"].sum().reset_index()
+        agg = agg.sort_values(
+            ["count", f], ascending=[False, True], kind="mergesort"
+        ).head(limit)
+        out = []
+        for _, row in agg.iterrows():
+            node = {"field": f, "value": row[f], "count": int(row["count"])}
+            if depth + 1 < len(fields):
+                node["pivot"] = _level(
+                    df[df[f] == row[f]], depth + 1
+                )
+            out.append(node)
+        return out
+
+    return _level(flat, 0)
+
+
+def collapse_stream(ds, collapse_field: str, sort_col: str,
+                    descending: bool = True):
+    """Field collapsing (``CollapsingQParserPlugin``): keep only the BEST
+    row per collapse-field value, best = max/min of ``sort_col`` with ties
+    to the first row — one groupby, no driver materialization."""
+
+    def _best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_col, ascending=not descending,
+                          kind="mergesort")
+        return g.head(1)
+
+    return ds.groupby(collapse_field).map_groups(
+        _best, batch_format="pandas"
     )
