@@ -352,3 +352,111 @@ ORDER BY g.doc_id, g.pos
 
 QUERIES["winnow_docs"] = winnow_docs
 ORACLES["winnow_docs"] = WINNOW_SQL
+
+
+def features_selection_docs(sf_dir: str) -> pd.DataFrame:
+    """FeaturesSelectionStream gate: top-10 Information-Gain terms for the
+    label lang=='en' over documents; SQL-matched (IG recomputed in DuckDB
+    with the same clipped entropy)."""
+    import ray.data
+
+    from lucene_solr_ray.stages.ml import features_selection
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    out = features_selection(ds, "text", "lang", "doc_id", "en", top_n=10)
+    out["ig"] = out["ig"].round(6)
+    return out.reset_index(drop=True)
+
+
+FEATURES_SEL_SQL = """
+WITH lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos, text
+  FROM documents
+),
+s AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(pos)::DOUBLE AS n_pos FROM lab
+),
+tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM lab WHERE text <> ''
+  )
+),
+cnt AS (
+  SELECT t.term,
+    SUM(l.pos)::DOUBLE AS tp,
+    COUNT(*)::DOUBLE AS tt
+  FROM tok t JOIN lab l USING (doc_id)
+  GROUP BY t.term
+),
+ig AS (
+  SELECT term,
+    (
+      -- H(C)
+      -( GREATEST(LEAST(s.n_pos / s.n, 1 - 1e-12), 1e-12)
+           * log2(GREATEST(LEAST(s.n_pos / s.n, 1 - 1e-12), 1e-12))
+         + (1 - GREATEST(LEAST(s.n_pos / s.n, 1 - 1e-12), 1e-12))
+           * log2(1 - GREATEST(LEAST(s.n_pos / s.n, 1 - 1e-12), 1e-12)) )
+      -- P(t) * H(C|t)
+      - (tt / s.n) * (
+        -( GREATEST(LEAST(tp / tt, 1 - 1e-12), 1e-12)
+             * log2(GREATEST(LEAST(tp / tt, 1 - 1e-12), 1e-12))
+           + (1 - GREATEST(LEAST(tp / tt, 1 - 1e-12), 1e-12))
+             * log2(1 - GREATEST(LEAST(tp / tt, 1 - 1e-12), 1e-12)) ))
+      -- P(~t) * H(C|~t)
+      - ((s.n - tt) / s.n) * (
+        -( GREATEST(LEAST(
+              CASE WHEN s.n - tt > 0
+                   THEN (s.n_pos - tp) / GREATEST(s.n - tt, 1)
+                   ELSE 0 END, 1 - 1e-12), 1e-12)
+             * log2(GREATEST(LEAST(
+                 CASE WHEN s.n - tt > 0
+                      THEN (s.n_pos - tp) / GREATEST(s.n - tt, 1)
+                      ELSE 0 END, 1 - 1e-12), 1e-12))
+           + (1 - GREATEST(LEAST(
+                 CASE WHEN s.n - tt > 0
+                      THEN (s.n_pos - tp) / GREATEST(s.n - tt, 1)
+                      ELSE 0 END, 1 - 1e-12), 1e-12))
+             * log2(1 - GREATEST(LEAST(
+                 CASE WHEN s.n - tt > 0
+                      THEN (s.n_pos - tp) / GREATEST(s.n - tt, 1)
+                      ELSE 0 END, 1 - 1e-12), 1e-12)) ))
+    ) AS ig
+  FROM cnt CROSS JOIN s
+)
+SELECT term, ROUND(ig, 6) AS ig FROM ig
+ORDER BY ig DESC, term LIMIT 10
+"""
+
+QUERIES["features_selection_docs"] = features_selection_docs
+ORACLES["features_selection_docs"] = FEATURES_SEL_SQL
+
+
+def text_logit_docs(sf_dir: str) -> pd.DataFrame:
+    """TextLogitStream gate (rows-only: iterative float accumulation):
+    train lang=='en' classifier on documents over the IG-selected
+    features; returns (feature, weight round-3)."""
+    import ray.data
+
+    from lucene_solr_ray.stages.ml import TextLogit, features_selection
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    feats = list(
+        features_selection(ds, "text", "lang", "doc_id", "en",
+                           top_n=5).term
+    )
+    model = TextLogit(feats, lr=1.0, iterations=10)
+    model.fit(ds, "text", "lang", "en")
+    return pd.DataFrame(
+        {"feature": feats + ["__bias__"],
+         "weight": np.round(model.weights, 3)}
+    )
+
+
+QUERIES["text_logit_docs"] = text_logit_docs

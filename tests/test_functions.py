@@ -496,3 +496,50 @@ def test_winnowing_coverage_guarantee(ray_session):
     assert out.sort_values(["doc_id", "pos"]).reset_index(drop=True).equals(
         out2.sort_values(["doc_id", "pos"]).reset_index(drop=True)
     )
+
+
+# -- ML streams: FeaturesSelection + TextLogit ------------------------------
+
+
+def test_features_selection_and_text_logit(ray_session):
+    import random
+
+    import ray.data
+
+    from lucene_solr_ray.stages.ml import TextLogit, features_selection
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(400):
+        pos = i % 2 == 0
+        toks = ["filler%d" % rng.randint(0, 30) for _ in range(6)]
+        # informative terms: 'good' for positive, 'bad' for negative (with
+        # noise), 'meh' uninformative
+        if pos and rng.random() < 0.9:
+            toks.append("good")
+        if not pos and rng.random() < 0.9:
+            toks.append("bad")
+        if rng.random() < 0.5:
+            toks.append("meh")
+        rows.append({"doc_id": i, "text": " ".join(toks),
+                     "label": "pos" if pos else "neg"})
+    ds = ray.data.from_items(rows)
+
+    feats = features_selection(ds, "text", "label", "doc_id", "pos",
+                               top_n=5)
+    top2 = set(feats.head(2).term)
+    assert top2 == {"good", "bad"}, feats
+    assert "meh" not in set(feats.term[:3])
+
+    model = TextLogit(["good", "bad", "meh"], lr=1.0, iterations=30)
+    model.fit(ds, "text", "label", "pos")
+    # training loss decreases
+    assert model.history[-1] < model.history[0]
+    # learned signs: 'good' positive weight, 'bad' negative
+    w = dict(zip(model.features, model.weights[:-1]))
+    assert w["good"] > 0.5 and w["bad"] < -0.5
+    # accuracy on the training distribution is far above chance
+    texts = [r["text"] for r in rows]
+    y = np.asarray([1 if r["label"] == "pos" else 0 for r in rows])
+    acc = (model.predict(texts) == y).mean()
+    assert acc >= 0.85, acc
