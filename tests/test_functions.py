@@ -531,7 +531,7 @@ def test_features_selection_and_text_logit(ray_session):
     assert top2 == {"good", "bad"}, feats
     assert "meh" not in set(feats.term[:3])
 
-    model = TextLogit(["good", "bad", "meh"], lr=1.0, iterations=30)
+    model = TextLogit(["good", "bad", "meh"], lr=2.0, iterations=8)
     model.fit(ds, "text", "label", "pos")
     # training loss decreases
     assert model.history[-1] < model.history[0]
