@@ -870,3 +870,34 @@ FROM (
 
 QUERIES["collapse_orders"] = collapse_orders
 ORACLES["collapse_orders"] = COLLAPSE_SQL
+
+
+# -- graph streams (gatherNodes / shortestPath) ------------------------------
+
+def gather_nodes_orders(sf_dir: str) -> pd.DataFrame:
+    """gatherNodes gate: 1-hop expansion over the order→part bipartite
+    edge relation (lineitem) from the first 20 orderkeys — per gathered
+    part, the number of distinct ancestor orders."""
+    from lucene_solr_ray.stages.graph import gather_nodes
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    roots = list(range(1, 21))
+    out = gather_nodes(edges, "l_orderkey", "l_partkey", roots, hops=1)
+    out = out[out["level"] == 1]
+    out = out.rename(columns={"node": "l_partkey"})
+    return out[["l_partkey", "ancestors"]].astype(
+        {"l_partkey": "int64", "ancestors": "int64"}
+    ).sort_values("l_partkey").reset_index(drop=True)
+
+
+GATHER_SQL = """
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ancestors
+FROM lineitem
+WHERE l_orderkey BETWEEN 1 AND 20
+  AND l_partkey NOT BETWEEN 1 AND 20  -- roots stay at level 0
+GROUP BY l_partkey ORDER BY l_partkey
+"""
+
+QUERIES["gather_nodes_orders"] = gather_nodes_orders
+ORACLES["gather_nodes_orders"] = GATHER_SQL

@@ -543,3 +543,26 @@ def test_features_selection_and_text_logit(ray_session):
     y = np.asarray([1 if r["label"] == "pos" else 0 for r in rows])
     acc = (model.predict(texts) == y).mean()
     assert acc >= 0.85, acc
+
+
+def test_shortest_path_and_gather(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.stages.graph import gather_nodes, shortest_path
+
+    edges = ray.data.from_items([
+        {"src": a, "dst": b} for a, b in
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (4, 6), (9, 1)]
+    ])
+    # two 3-hop routes 1→4→6; BFS depth = 3; deterministic tie-break picks
+    # the smallest predecessor of 4 (which is 3 via 1-2-3? no: level-2
+    # nodes are {3, 4}: 4 is reached at level 2 via 5 ... check)
+    p = shortest_path(edges, "src", "dst", 1, 6)
+    assert p is not None and p[0] == 1 and p[-1] == 6 and len(p) == 4
+    assert shortest_path(edges, "src", "dst", 6, 1, max_hops=3) is None
+
+    g = gather_nodes(edges, "src", "dst", [1], hops=2)
+    lv = dict(zip(g.node, g.level))
+    assert lv[1] == 0 and lv[2] == 1 and lv[5] == 1
+    assert lv[3] == 2 and lv[4] == 2
+    assert 6 not in lv  # 3 hops away
