@@ -3,7 +3,8 @@
 The Solr URP factories re-expressed as composable vectorized
 ``map_batches`` stages (reference
 ``solr/core/src/java/org/apache/solr/update/processor/`` — ~60 factories;
-implemented here: the text/value mutators a corpus-prep pipeline uses):
+implemented here: 20 of the text/value mutators a corpus-prep pipeline
+uses):
 
 =============================  ==========================================
 reference factory               here
@@ -50,6 +51,15 @@ __all__ = [
     "field_length",
     "clone_field",
     "truncate_field",
+    "ignore_field",
+    "remove_blank",
+    "lowercase_field",
+    "uppercase_field",
+    "timestamp_field",
+    "count_values",
+    "min_value",
+    "max_value",
+    "dedupe_values",
 ]
 
 Stage = Callable[[pa.Table], pa.Table]
@@ -175,4 +185,106 @@ def truncate_field(col: str, max_len: int) -> Stage:
     def s(t: pa.Table) -> pa.Table:
         return _set(t, col, pc.utf8_slice_codeunits(t.column(col), 0, max_len))
 
+    return s
+
+
+def ignore_field(col: str) -> Stage:
+    """``IgnoreFieldUpdateProcessorFactory`` — drop the column."""
+    def s(t: pa.Table) -> pa.Table:
+        if col in t.column_names:
+            return t.drop([col])
+        return t
+    return s
+
+
+def remove_blank(col: str) -> Stage:
+    """``RemoveBlankFieldUpdateProcessorFactory`` — empty string → null."""
+    def s(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = t.column(col)
+        blank = pc.equal(c, "")
+        return _set(t, col, pc.if_else(blank, pa.nulls(len(t), c.type), c))
+    return s
+
+
+def lowercase_field(col: str) -> Stage:
+    """``FieldMutating`` lowercase (Solr lowercase processor)."""
+    def s(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return _set(t, col, pc.utf8_lower(t.column(col)))
+    return s
+
+
+def uppercase_field(col: str) -> Stage:
+    def s(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return _set(t, col, pc.utf8_upper(t.column(col)))
+    return s
+
+
+def timestamp_field(out: str, value: str) -> Stage:
+    """``TimestampUpdateProcessorFactory`` — a fixed ingest timestamp
+    column (the caller supplies the commit time so reruns stay
+    deterministic/resumable)."""
+    import numpy as np
+
+    ts = np.datetime64(value, "us")
+
+    def s(t: pa.Table) -> pa.Table:
+        return _set(
+            t, out,
+            pa.array([ts] * t.num_rows, pa.timestamp("us")),
+        )
+    return s
+
+
+def count_values(col: str, out: str, sep: str = " ") -> Stage:
+    """``CountFieldValuesUpdateProcessorFactory`` over a delimited field."""
+    def s(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(t.column(col), sep)
+        return _set(t, out, pc.list_value_length(parts))
+    return s
+
+
+def min_value(cols: List[str], out: str) -> Stage:
+    """``MinFieldValueUpdateProcessorFactory`` across columns."""
+    def s(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        acc = t.column(cols[0])
+        for c in cols[1:]:
+            acc = pc.min_element_wise(acc, t.column(c))
+        return _set(t, out, acc)
+    return s
+
+
+def max_value(cols: List[str], out: str) -> Stage:
+    """``MaxFieldValueUpdateProcessorFactory`` across columns."""
+    def s(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        acc = t.column(cols[0])
+        for c in cols[1:]:
+            acc = pc.max_element_wise(acc, t.column(c))
+        return _set(t, out, acc)
+    return s
+
+
+def dedupe_values(col: str, sep: str = " ") -> Stage:
+    """``UniqFieldsUpdateProcessorFactory`` — first-occurrence dedupe of a
+    delimited field's values."""
+    def s(t: pa.Table) -> pa.Table:
+        vals = []
+        for v in t.column(col).to_pylist():
+            if v is None:
+                vals.append(None)
+                continue
+            seen = dict.fromkeys(v.split(sep))
+            vals.append(sep.join(seen))
+        return _set(t, col, pa.array(vals, pa.string()))
     return s

@@ -566,3 +566,33 @@ def test_shortest_path_and_gather(ray_session):
     assert lv[1] == 0 and lv[2] == 1 and lv[5] == 1
     assert lv[3] == 2 and lv[4] == 2
     assert 6 not in lv  # 3 hops away
+
+
+def test_round2_urp_factories(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.stages import urp
+
+    rows = [
+        {"a": "Hello World", "b": "", "x": 3, "y": 7,
+         "tags": "red blue red green blue"},
+        {"a": "bye", "b": "keep", "x": 9, "y": 2,
+         "tags": "one one"},
+    ]
+    out = urp.chain(ray.data.from_items(rows), [
+        urp.lowercase_field("a"),
+        urp.remove_blank("b"),
+        urp.min_value(["x", "y"], "lo"),
+        urp.max_value(["x", "y"], "hi"),
+        urp.count_values("tags", "n_tags"),
+        urp.dedupe_values("tags"),
+        urp.timestamp_field("ingested", "2026-01-02T03:04:05"),
+        urp.ignore_field("y"),
+    ]).to_pandas()
+    assert list(out.a) == ["hello world", "bye"]
+    assert out.b.isna().tolist() == [True, False]
+    assert list(out.lo) == [3, 2] and list(out.hi) == [7, 9]
+    assert list(out.n_tags) == [5, 2]
+    assert list(out.tags) == ["red blue green", "one"]
+    assert "y" not in out.columns
+    assert str(out.ingested.iloc[0]).startswith("2026-01-02 03:04:05")
