@@ -901,3 +901,38 @@ GROUP BY l_partkey ORDER BY l_partkey
 
 QUERIES["gather_nodes_orders"] = gather_nodes_orders
 ORACLES["gather_nodes_orders"] = GATHER_SQL
+
+
+# -- evaluator expressions (SelectStream + 201-evaluator family) -------------
+
+def evaluator_exprs(sf_dir: str) -> pd.DataFrame:
+    """Evaluator-expression gate: nested math/conditional/string
+    evaluators compiled once and applied vectorized; SQL-matched."""
+    from lucene_solr_ray.stages.evaluators import evaluate
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    out = evaluate(ds, {
+        "price_sq": "round(mult(o_totalprice, o_totalprice))",
+        "bucket": "if(gt(o_totalprice, 100000), 1, 0)",
+        "scaled": "round(mult(div(add(o_totalprice, 50), 2), 10))",
+        "prio_up": "upper(o_orderpriority)",
+    }).to_pandas()
+    out = out[["o_orderkey", "price_sq", "bucket", "scaled", "prio_up"]]
+    for c in ("o_orderkey", "price_sq", "bucket", "scaled"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True).head(2000)
+
+
+EVAL_EXPR_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  CAST(ROUND(o_totalprice * o_totalprice) AS BIGINT) AS price_sq,
+  CAST(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS BIGINT)
+    AS bucket,
+  CAST(ROUND(((o_totalprice + 50) / 2) * 10) AS BIGINT) AS scaled,
+  upper(o_orderpriority) AS prio_up
+FROM orders ORDER BY o_orderkey LIMIT 2000
+"""
+
+QUERIES["evaluator_exprs"] = evaluator_exprs
+ORACLES["evaluator_exprs"] = EVAL_EXPR_SQL

@@ -596,3 +596,33 @@ def test_round2_urp_factories(ray_session):
     assert list(out.tags) == ["red blue green", "one"]
     assert "y" not in out.columns
     assert str(out.ingested.iloc[0]).startswith("2026-01-02 03:04:05")
+
+
+def test_evaluator_expressions(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.stages.evaluators import EvalError, compile_expr, evaluate
+
+    ds = ray.data.from_items([
+        {"a": 3.0, "b": 4.0, "s": "Hi"},
+        {"a": -1.5, "b": 2.0, "s": "yo"},
+    ])
+    out = evaluate(ds, {
+        "hyp": "sqrt(add(mult(a, a), mult(b, b)))",
+        "cls": "if(and(gt(a, 0), lt(b, 10)), 1, 0)",
+        "r": "round(a)",
+        "cat": "concat(lower(s), '-', b)",
+        "m": "max(a, b, 2.5)",
+    }).to_pandas().sort_values("a", ascending=False).reset_index(drop=True)
+    assert out.hyp[0] == 5.0
+    assert list(out.cls) == [1, 0]
+    assert list(out.r) == [3.0, -2.0]  # half AWAY from zero (-1.5 -> -2)
+    assert out.cat[0] == "hi-4.0"
+    assert list(out.m) == [4.0, 2.5]
+
+    import pytest as _pytest
+
+    with _pytest.raises(EvalError):
+        compile_expr("nope(a)")
+    with _pytest.raises(EvalError):
+        compile_expr("add(a")
