@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_merge": fulltext.highlight_merge,
         "spell_corrections": fulltext.spell_corrections,
         "term_vectors_docs": fulltext.term_vectors_docs,
+        "export_sorted_docs": fulltext.export_sorted_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "highlight_merge": fulltext.highlight_merge_sql(),
         "spell_corrections": fulltext.spell_corrections_sql(),
         "term_vectors_docs": fulltext.term_vectors_docs_sql(),
+        "export_sorted_docs": fulltext.export_sorted_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -1538,3 +1538,44 @@ SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS freq,
        CAST(MIN(p) AS BIGINT) AS first_pos
 FROM pos GROUP BY doc_id, term ORDER BY doc_id, term
 """
+
+
+def export_sorted_docs(sf_dir: str) -> pa.Table:
+    """ExportStream gate: every doc matching "merge OR sort" exported to
+    partitioned parquet globally sorted by (field_len, doc_id); the gate
+    reads the export back.  SQL-matched."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.search.searcher import export_sorted
+
+    idx = documents_index(sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", f"lsr_export_{key}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    export_sorted(idx, "merge OR sort", "field_len", out_dir)
+    import glob
+
+    t = pa.concat_tables([
+        pq.read_table(f)
+        for f in sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    ])
+    df = t.to_pandas().sort_values(["field_len", "doc_id"]).reset_index(
+        drop=True
+    )
+    df["field_len"] = df["field_len"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def export_sorted_docs_sql() -> str:
+    return """
+SELECT doc_id,
+  CAST(CASE WHEN text = '' THEN 0
+       ELSE array_length(string_split(text, ' ')) END AS BIGINT)
+    AS field_len
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'merge')
+   OR list_contains(string_split(text, ' '), 'sort')
+ORDER BY field_len, doc_id
+"""

@@ -1104,3 +1104,92 @@ def search_grouped(
              ("score", pa.float64())]
         ),
     )
+
+
+class _MatchExportFn:
+    """Per-segment full match export: (doc_id, sort value) for EVERY hit —
+    the /export handler's per-shard pass (no top-k truncation)."""
+
+    def __init__(self, parsed, stats, field: str):
+        self.parsed = parsed
+        self.stats = stats
+        self.field = field
+        self.need_pos = any(_has_phrase(q) for _, q, _ in parsed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from lucene_solr_ray.search.scorer import score_segment
+
+        out = []
+        for seg_dir in batch.column("seg_dir").to_pylist():
+            reader = SegmentReader(seg_dir, load_positions=self.need_pos)
+            vals = pq.read_table(
+                os.path.join(seg_dir, "docmeta.parquet"),
+                columns=[self.field],
+            ).column(self.field).to_numpy()
+            for _, q, _ in self.parsed:
+                ords, _s = score_segment(reader, q, self.stats)
+                if len(ords) == 0:
+                    continue
+                out.append(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(
+                                reader.doc_ids[ords].astype(np.int64)
+                            ),
+                            self.field: pa.array(vals[ords]),
+                        }
+                    )
+                )
+        if not out:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 self.field: pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(out)
+
+
+def export_sorted(
+    index: "Index",
+    query: str,
+    sort_field: str,
+    out_dir: str,
+    descending: bool = False,
+    analyzer: Optional[StandardAnalyzer] = None,
+) -> int:
+    """ExportStream (the /export handler, reference ``solr/core/src/java/
+    org/apache/solr/handler/export/ExportWriter.java``): stream EVERY
+    matching doc, globally sorted by a docmeta field, into partitioned
+    parquet under ``out_dir`` — the full-result-set path that top-k
+    collectors refuse.  Distributed end to end: per-segment match export →
+    Ray's distributed sort → ``write_parquet`` (one file per output
+    block, resumable by rerunning into a fresh dir).  Returns row count."""
+    import ray.data
+
+    parser = index.make_parser(analyzer)
+    q = parser.parse(query)
+    patterns: List[Query] = []
+    _collect_patterns(q, patterns)
+    stats, exp = index.collect_stats(sorted(set(q.terms())), patterns)
+    if patterns:
+        q = rewrite_query(q, exp)
+    seg_items = [
+        {"seg_dir": d, "seg_ord": i} for i, d in enumerate(index.seg_dirs)
+    ]
+    ds = (
+        ray.data.from_items(seg_items, override_num_blocks=len(seg_items))
+        .map_batches(
+            _MatchExportFn([(0, q, 0)], stats, sort_field),
+            batch_format="pyarrow",
+        )
+        .sort([sort_field, "doc_id"], descending=[descending, False])
+    )
+    ds.write_parquet(out_dir)
+    import glob
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(out_dir, "*.parquet"))
+    )
