@@ -33,6 +33,10 @@ __all__ = [
     "list_valid_segments",
     "commit_manifest",
     "read_latest_manifest",
+    "list_generations",
+    "read_manifest",
+    "rollback",
+    "vacuum",
 ]
 
 SEGMENT_PREFIX = "seg_"
@@ -179,3 +183,77 @@ def read_latest_manifest(out_dir: str) -> Optional[Dict]:
         return None
     with open(os.path.join(out_dir, best)) as f:
         return json.load(f)
+
+
+def list_generations(out_dir: str) -> List[int]:
+    """All committed manifest generations, ascending."""
+    gens = []
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            m = _MANIFEST_RE.match(name)
+            if m:
+                gens.append(int(m.group(1)))
+    return sorted(gens)
+
+
+def read_manifest(out_dir: str, generation: int) -> Optional[Dict]:
+    p = os.path.join(out_dir, f"manifest-{generation}.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except OSError:
+        return None
+
+
+def rollback(out_dir: str, generation: int) -> Dict:
+    """Roll back to an earlier commit point: re-commit generation G's
+    segment list as the NEXT generation (``IndexWriter.rollback`` /
+    ``IndexDeletionPolicy`` commit points, reference
+    ``index/IndexDeletionPolicy.java``).  Fails if any of G's segment dirs
+    has been vacuumed away."""
+    m = read_manifest(out_dir, generation)
+    if m is None:
+        raise FileNotFoundError(
+            f"no manifest generation {generation} in {out_dir}"
+        )
+    for s in m["segments"]:
+        d = os.path.join(out_dir, segment_dir_name(s["segment_id"]))
+        if read_segment_meta(d) is None:
+            raise FileNotFoundError(
+                f"segment {s['segment_id']} of generation {generation} "
+                "has been vacuumed; rollback impossible"
+            )
+    return commit_manifest(out_dir, m["segments"])
+
+
+def vacuum(out_dir: str, keep_generations: int = 2) -> List[int]:
+    """Delete segment dirs referenced ONLY by manifests older than the
+    newest ``keep_generations`` (the ``IndexFileDeleter`` role with a
+    KeepLastN deletion policy: point-in-time readers of recent commits
+    stay valid; merge itself never deletes when run with
+    ``drop_merged=False``).  Returns the dropped segment ids."""
+    import shutil
+
+    gens = list_generations(out_dir)
+    keep = set(gens[-keep_generations:]) if keep_generations else set()
+    live: set = set()
+    for g in keep:
+        m = read_manifest(out_dir, g)
+        if m:
+            live.update(s["segment_id"] for s in m["segments"])
+    dropped = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith(SEGMENT_PREFIX) or ".tmp-" in name:
+            continue
+        sid = int(name[len(SEGMENT_PREFIX):])
+        if sid not in live:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            dropped.append(sid)
+    # old manifests go too (their commit points are no longer honored)
+    for g in gens:
+        if g not in keep:
+            try:
+                os.remove(os.path.join(out_dir, f"manifest-{g}.json"))
+            except OSError:
+                pass
+    return dropped

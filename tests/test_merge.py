@@ -129,3 +129,52 @@ def test_sharded_merge_byte_identical(sf_dir, tmp_path):
     assert a.column("df").to_pylist() == b.column("df").to_pylist()
     assert a.column("blocks").to_pylist() == b.column("blocks").to_pylist()
     assert a.column("positions").to_pylist() == b.column("positions").to_pylist()
+
+
+def test_commit_points_rollback_and_vacuum(ray_session, tmp_path):
+    """IndexDeletionPolicy parity: generations are commit points; rollback
+    re-commits an old one; vacuum drops segments only the old points
+    reference (KeepLastN)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.deletes import add_documents
+    from lucene_solr_ray.index.manifest import (
+        list_generations,
+        read_latest_manifest,
+        rollback,
+        vacuum,
+    )
+    from lucene_solr_ray.search.searcher import Index
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                  "text": pa.array(["alpha beta"] * 20)}), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                docs_per_segment=10)
+    add_documents(out, [100], ["gamma delta"])
+    assert list_generations(out) == [0, 1]
+
+    # rollback to gen 0: the added doc disappears from the live view
+    m = rollback(out, 0)
+    assert m["generation"] == 2
+    assert Index(out).search({0: "gamma"}, k=5).num_rows == 0
+
+    # vacuum keeping 2 newest generations (1, 2): gen-1's extra segment is
+    # still referenced by gen 1 → survives; drop to 1 kept gen → it goes
+    dropped = vacuum(out, keep_generations=2)
+    assert dropped == []
+    dropped = vacuum(out, keep_generations=1)
+    assert dropped  # the add_documents segment is now unreferenced
+    assert list_generations(out) == [2]
+    assert read_latest_manifest(out)["doc_count"] == 20
+    # rollback to a vacuumed generation is refused
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        rollback(out, 1)
