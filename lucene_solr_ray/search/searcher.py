@@ -1193,3 +1193,106 @@ def export_sorted(
         pq.ParquetFile(f).metadata.num_rows
         for f in glob.glob(os.path.join(out_dir, "*.parquet"))
     )
+
+
+def explain(
+    index: "Index",
+    query: str,
+    doc_id: int,
+    analyzer: Optional[StandardAnalyzer] = None,
+    similarity: Optional[BM25Similarity] = None,
+) -> Dict:
+    """``IndexSearcher.explain(query, doc)`` (reference
+    ``search/IndexSearcher.java:716-745`` + ``Weight.explain``): a nested
+    breakdown of the document's score — per clause, down to the term
+    leaves with their (df, ttf, freq, norm-decoded length) inputs.
+
+    Runs entirely on the driver against the ONE segment holding the doc
+    (manifest doc-id range lookup): explain is a debugging call, not a
+    throughput path."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis.smallfloat import BYTE4_DECODE_TABLE
+    from lucene_solr_ray.index.segment import field_term
+    from lucene_solr_ray.search.query import (
+        BooleanQuery as BQ,
+        BoostQuery as BoQ,
+        ConstantScoreQuery as CSQ,
+        PhraseQuery as PQ2,
+        TermQuery as TQ,
+    )
+    from lucene_solr_ray.search.scorer import score_segment
+
+    parser = index.make_parser(analyzer)
+    q = parser.parse(query)
+    patterns: List[Query] = []
+    _collect_patterns(q, patterns)
+    stats, exp = index.collect_stats(sorted(set(q.terms())), patterns)
+    if patterns:
+        q = rewrite_query(q, exp)
+    sim = similarity or BM25Similarity()
+
+    # locate the segment containing doc_id
+    reader = None
+    ord_ = None
+    for d in index.seg_dirs:
+        ids = pq.read_table(
+            os.path.join(d, "docmeta.parquet"), columns=["doc_id"]
+        ).column("doc_id").to_numpy()
+        hit = np.nonzero(ids == doc_id)[0]
+        if len(hit):
+            reader = SegmentReader(d, load_positions=True)
+            ord_ = int(hit[0])
+            break
+    if reader is None:
+        return {"match": False, "value": 0.0,
+                "description": f"doc {doc_id} not in index"}
+
+    def _score_of(node: Query) -> float:
+        ords, scores = score_segment(reader, node, stats, sim)
+        i = np.searchsorted(ords, ord_)
+        if i < len(ords) and ords[i] == ord_:
+            return float(scores[i])
+        return 0.0
+
+    def _tree(node: Query) -> Dict:
+        v = _score_of(node)
+        out: Dict = {"value": round(v, 6), "match": v != 0.0,
+                     "type": type(node).__name__}
+        if isinstance(node, TQ):
+            key = field_term(node.field, node.term)
+            p = reader.postings(key)
+            freq = 0
+            if p is not None:
+                i = np.searchsorted(p[0], ord_)
+                if i < len(p[0]) and p[0][i] == ord_:
+                    freq = int(p[1][i])
+            norms = (
+                reader.norms_for(node.field) if node.field
+                else reader.norms
+            )
+            out["description"] = (
+                f"weight({key}) [BM25-family] freq={freq} "
+                f"df={stats.df.get(key, 0)} ttf={stats.ttf.get(key, 0)} "
+                f"dl≈{int(BYTE4_DECODE_TABLE[norms[ord_]])}"
+            )
+        elif isinstance(node, PQ2):
+            out["description"] = (
+                f"phrase {' '.join(node.phrase_terms)!r} slop={node.slop}"
+            )
+        elif isinstance(node, BQ):
+            out["description"] = "sum of clauses"
+            out["details"] = [
+                {**_tree(c.query), "occur": c.occur.value}
+                for c in node.clauses
+            ]
+        elif isinstance(node, BoQ):
+            out["description"] = f"boost {node.boost} ×"
+            out["details"] = [_tree(node.query)]
+        elif isinstance(node, CSQ):
+            out["description"] = "constant score"
+        else:
+            out["description"] = type(node).__name__
+        return out
+
+    return _tree(q)

@@ -692,3 +692,24 @@ def test_search_grouped_null_group(docs_index, sf_dir, tmp_path):
         assert missing_hits["group"].isna().all()
     # total groups = langs present + possibly the null bucket
     assert out["group"].nunique(dropna=True) >= 1
+
+
+def test_explain(docs_index, sf_dir):
+    from lucene_solr_ray.search.searcher import explain
+
+    hits = docs_index.search({0: "merge AND sort"}, k=1).to_pandas()
+    d = int(hits.doc_id[0])
+    ex = explain(docs_index, "merge AND sort", d)
+    assert ex["match"] and ex["value"] > 0
+    # clause values sum to the boolean total (both MUST clauses score)
+    vals = [c["value"] for c in ex["details"]]
+    assert abs(sum(vals) - ex["value"]) < 1e-4
+    assert all(c["occur"] == "MUST" for c in ex["details"])
+    assert "df=" in ex["details"][0]["description"]
+    # non-matching doc
+    miss = docs_index.search({0: "-merge zzz"}, k=1)
+    ex2 = explain(docs_index, "zzzmissing", d)
+    assert not ex2["match"] and ex2["value"] == 0.0
+    # absent doc id
+    ex3 = explain(docs_index, "merge", 10**9)
+    assert not ex3["match"]
