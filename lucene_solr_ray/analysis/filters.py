@@ -347,12 +347,39 @@ class CustomAnalyzer(StandardAnalyzer):
         positions = [p for _, p in stream]
         return terms, positions, len(terms)
 
+    #: filters that keep a 1:1 (or dropping) mapping from input tokens to
+    #: output tokens — offsets into the ORIGINAL text stay valid through
+    #: them (case/fold/stem rewrite the term, not the source span; stop/
+    #: length/trim only drop).  Graph filters (synonym/shingle/ngram)
+    #: create tokens with no single source span and cannot carry offsets.
+    _OFFSET_SAFE = None  # set after class definitions below
+
     def analyze_with_offsets(self, text: str):
-        raise NotImplementedError(
-            "CustomAnalyzer does not track offsets through graph filters "
-            "(shingles/synonyms change token boundaries); build offset "
-            "indexes with StandardAnalyzer or EnglishAnalyzer"
-        )
+        from lucene_solr_ray.analysis.tokenizer import tokenize_with_offsets
+
+        unsafe = [
+            f for f in self.filters
+            if not isinstance(f, CustomAnalyzer._OFFSET_SAFE)
+        ]
+        if unsafe:
+            raise NotImplementedError(
+                "offsets cannot pass through graph filters "
+                f"({', '.join(type(f).__name__ for f in unsafe)}): "
+                "their tokens have no single source span"
+            )
+        triples = tokenize_with_offsets(text, self.max_token_length)
+        # run the chain over (term, position) while carrying spans by
+        # POSITION: every offset-safe filter maps position→position
+        stream: Stream = [(t, p) for p, (t, _, _) in enumerate(triples)]
+        for f in self.filters:
+            stream = f.apply(stream)
+        terms, positions, starts, ends = [], [], [], []
+        for t, p in stream:
+            terms.append(t)
+            positions.append(p)
+            starts.append(triples[p][1])
+            ends.append(triples[p][2])
+        return terms, positions, starts, ends, len(terms)
 
     def normalize(self, text: str) -> str:
         # apply only the char-level normalizing filters, as
@@ -369,3 +396,12 @@ class CustomAnalyzer(StandardAnalyzer):
         # chains are session objects: the manifest records the kind only;
         # pass the same CustomAnalyzer explicitly at query time
         return {"kind": "custom"}
+
+
+#: see CustomAnalyzer.analyze_with_offsets
+CustomAnalyzer._OFFSET_SAFE = (
+    LowerCaseFilter, UpperCaseFilter, StopFilter, LengthFilter,
+    TrimFilter, ASCIIFoldingFilter, PorterStemFilter,
+    StemmerOverrideFilter, KeywordMarkerFilter, TruncateFilter,
+    PatternReplaceFilter, ReverseStringFilter,
+)

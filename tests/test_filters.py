@@ -111,3 +111,20 @@ def test_custom_analyzer_in_index(ray_session, tmp_path):
 def test_normalize_uses_char_filters_only():
     a = chain(LowerCaseFilter(), ASCIIFoldingFilter(), PorterStemFilter())
     assert a.normalize("Cafés") == "cafes"  # folded+lowered, NOT stemmed
+
+
+def test_custom_analyzer_offsets_through_safe_filters():
+    a = chain(LowerCaseFilter(), StopFilter({"the"}), PorterStemFilter())
+    text = "The Running Dogs"
+    terms, pos, starts, ends, flen = a.analyze_with_offsets(text)
+    assert terms == ["run", "dog"]
+    assert pos == [1, 2]
+    # offsets point at the ORIGINAL surface forms
+    assert [text[s:e] for s, e in zip(starts, ends)] == ["Running", "Dogs"]
+    assert flen == 2
+
+
+def test_custom_analyzer_offsets_reject_graph_filters():
+    a = chain(LowerCaseFilter(), ShingleFilter(2, 2))
+    with pytest.raises(NotImplementedError, match="ShingleFilter"):
+        a.analyze_with_offsets("a b c")
