@@ -28,7 +28,11 @@ import numpy as np
 
 from lucene_solr_ray.search.query import Query
 
-__all__ = ["ToParentBlockJoinQuery", "join_util_query"]
+__all__ = [
+    "ToParentBlockJoinQuery",
+    "ToChildBlockJoinQuery",
+    "join_util_query",
+]
 
 
 @dataclass(frozen=True)
@@ -212,3 +216,47 @@ def join_util_query(
     return ConstantScoreQuery(
         TermInSetQuery(tuple(field_term(to_field, v) for v in values))
     )
+
+
+@dataclass(frozen=True)
+class ToChildBlockJoinQuery(Query):
+    """The inverse join (reference ``search/join/
+    ToChildBlockJoinQuery.java``): parents matching ``parent_query``
+    select ALL their block children; each child scores its parent's score
+    (the reference propagates the parent score to children)."""
+
+    parent_query: Query
+    parent_col: str = "parent_flag"
+
+    def terms(self) -> List[str]:
+        return self.parent_query.terms()
+
+
+def eval_child_join(ev, q: ToChildBlockJoinQuery, boost: float):
+    reader = ev.reader
+    parents = _parent_ords(reader, q.parent_col)
+    from lucene_solr_ray.search.scorer import _EMPTY_F, _EMPTY_I
+
+    if len(parents) == 0:
+        return _EMPTY_I, _EMPTY_F
+    ords, scores = ev.eval(q.parent_query, boost)
+    if len(ords) == 0:
+        return _EMPTY_I, _EMPTY_F
+    # only PARENT hits participate
+    keep = np.isin(ords, parents)
+    p_ords, p_scores = ords[keep], scores[keep]
+    if len(p_ords) == 0:
+        return _EMPTY_I, _EMPTY_F
+    out_o: List[int] = []
+    out_s: List[float] = []
+    for po, sc in zip(p_ords.tolist(), p_scores.tolist()):
+        i = int(np.searchsorted(parents, po))
+        start = int(parents[i - 1]) + 1 if i > 0 else 0
+        for c in range(start, po):  # children precede their parent
+            out_o.append(c)
+            out_s.append(sc)
+    if not out_o:
+        return _EMPTY_I, _EMPTY_F
+    dt = ev.sim.out_dtype
+    return (np.asarray(out_o, dtype=np.int32),
+            np.asarray(out_s, dtype=dt))

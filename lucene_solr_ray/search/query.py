@@ -41,6 +41,7 @@ __all__ = [
     "TermRangeQuery",
     "TermInSetQuery",
     "PointRangeQuery",
+    "FunctionScoreQuery",
     "ConstantScoreQuery",
 ]
 
@@ -313,6 +314,22 @@ class PointRangeQuery(Query):
     upper: Optional[float]
     include_lower: bool = True
     include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """Score of the inner query combined with a per-doc value source
+    (reference ``lucene/queries/src/java/org/apache/lucene/queries/
+    function/FunctionScoreQuery.java`` with a field DoubleValuesSource):
+    ``mode`` ∈ multiply | sum | replace over a numeric docmeta column
+    (stored_cols at build time)."""
+
+    query: "Query"
+    value_field: str
+    mode: str = "multiply"
+
+    def terms(self) -> List[str]:
+        return self.query.terms()
 
 
 @dataclass(frozen=True)

@@ -32,8 +32,10 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from lucene_solr_ray.search.join import (
+    ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
     eval_block_join,
+    eval_child_join,
 )
 from lucene_solr_ray.search.query import (
     BlendedTermQuery,
@@ -44,6 +46,7 @@ from lucene_solr_ray.search.query import (
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     Occur,
+    FunctionScoreQuery,
     PhraseQuery,
     PointRangeQuery,
     Query,
@@ -127,8 +130,12 @@ class _Eval:
             return self._span_query(q, boost)
         if isinstance(q, ToParentBlockJoinQuery):
             return eval_block_join(self, q, boost)
+        if isinstance(q, ToChildBlockJoinQuery):
+            return eval_child_join(self, q, boost)
         if isinstance(q, PointRangeQuery):
             return self._point_range(q, boost)
+        if isinstance(q, FunctionScoreQuery):
+            return self._function_score(q, boost)
         if isinstance(q, TermInSetQuery):
             # constant-score union (CONSTANT_SCORE_REWRITE semantics)
             all_ords: List[np.ndarray] = []
@@ -311,6 +318,38 @@ class _Eval:
         )
         norms = self.reader.norms_for(fld) if fld else self.norms
         return ords, sc.score(freqs, norms[ords])
+
+    def _function_score(self, q: FunctionScoreQuery, boost: float):
+        """FunctionScoreQuery: combine inner scores with a per-doc value
+        column (docmeta stored col) — multiply/sum/replace."""
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        ords, scores = self.eval(q.query, boost)
+        if len(ords) == 0:
+            return ords, scores
+        cache = getattr(self.reader, "_value_cols", None)
+        if cache is None:
+            cache = self.reader._value_cols = {}
+        vals = cache.get(q.value_field)
+        if vals is None:
+            vals = _pq.read_table(
+                _os.path.join(self.reader.seg_dir, "docmeta.parquet"),
+                columns=[q.value_field],
+            ).column(q.value_field).to_numpy().astype(np.float64)
+            cache[q.value_field] = vals
+        v = vals[ords]
+        s64 = scores.astype(np.float64)
+        if q.mode == "multiply":
+            out = s64 * v
+        elif q.mode == "sum":
+            out = s64 + v
+        elif q.mode == "replace":
+            out = v
+        else:
+            raise ValueError(f"unknown FunctionScore mode {q.mode!r}")
+        return ords, out.astype(self.sim.out_dtype)
 
     def _point_range(self, q: "PointRangeQuery", boost: float):
         """Constant-score numeric range over the segment's flat-sorted

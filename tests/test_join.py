@@ -105,3 +105,63 @@ def test_join_util(ray_session, tmp_path):
     q = join_util_query(idx, "blue", "lang", "lang")
     hits = idx.search_parsed([(0, q, 100)]).to_pandas()
     assert sorted(hits.doc_id) == [0, 2, 3]  # en, de, en
+
+
+def test_to_child_block_join(family_index):
+    from lucene_solr_ray.search.join import ToChildBlockJoinQuery
+    from lucene_solr_ray.search.query import TermQuery
+
+    idx = family_index
+    # parents matching "two" (parent doc 6) select their children 3,4,5
+    q = ToChildBlockJoinQuery(TermQuery("two"))
+    hits = idx.search_parsed([(0, q, 100)]).to_pandas()
+    assert sorted(hits.doc_id) == [3, 4, 5]
+    # children inherit the parent's score
+    pscore = idx.search_parsed(
+        [(0, TermQuery("two"), 10)]
+    ).to_pandas().score.iloc[0]
+    assert (abs(hits.score - pscore) < 1e-6).all()
+    # a child-term query matches no parents → no children
+    q2 = ToChildBlockJoinQuery(TermQuery("alpha"))
+    assert idx.search_parsed([(0, q2, 100)]).num_rows == 0
+
+
+def test_function_score_query(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.query import FunctionScoreQuery, TermQuery
+    from lucene_solr_ray.search.similarity import BM25SimilarityF64
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["apple pie", "apple tart cake", "banana"]),
+            "pop": pa.array([2.0, 10.0, 100.0]),
+        }), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                stored_cols=["pop"])
+    from lucene_solr_ray.search.searcher import Index
+
+    idx = Index(out)
+    base = idx.search_parsed(
+        [(0, TermQuery("apple"), 10)], similarity=BM25SimilarityF64()
+    ).to_pandas().set_index("doc_id").score
+    for mode, expect in (
+        ("multiply", {0: base[0] * 2.0, 1: base[1] * 10.0}),
+        ("sum", {0: base[0] + 2.0, 1: base[1] + 10.0}),
+        ("replace", {0: 2.0, 1: 10.0}),
+    ):
+        q = FunctionScoreQuery(TermQuery("apple"), "pop", mode)
+        hits = idx.search_parsed(
+            [(0, q, 10)], similarity=BM25SimilarityF64()
+        ).to_pandas().set_index("doc_id").score
+        for d, want in expect.items():
+            assert abs(hits[d] - want) < 1e-9, (mode, d)
+    # the boost function reorders: doc 1 outranks doc 0 under multiply
+    q = FunctionScoreQuery(TermQuery("apple"), "pop", "multiply")
+    ordered = idx.search_parsed([(0, q, 10)]).to_pandas().doc_id.tolist()
+    assert ordered[0] == 1
