@@ -44,7 +44,7 @@ from lucene_solr_ray.search.query import (
     WildcardQuery,
 )
 
-__all__ = ["QueryParser", "parse"]
+__all__ = ["QueryParser", "parse", "dismax_parse"]
 
 _TOKEN_RE = re.compile(
     r"""
@@ -307,3 +307,73 @@ class QueryParser:
 
 def parse(s: str, analyzer: Optional[StandardAnalyzer] = None) -> Query:
     return QueryParser(analyzer).parse(s)
+
+
+def dismax_parse(
+    query_text: str,
+    qf: "dict[str, float]",
+    analyzer: Optional[StandardAnalyzer] = None,
+    field_analyzers: Optional[dict] = None,
+    tie: float = 0.0,
+    mm: int = 0,
+) -> Query:
+    """(e)DisMax parsing (reference ``solr/core/src/java/org/apache/solr/
+    search/DisMaxQParser.java`` / ``ExtendedDismaxQParser.java``): each
+    whitespace clause of the user query becomes a DisjunctionMaxQuery over
+    the ``qf`` fields (per-field boosts, ``tie`` breaker), combined as
+    SHOULD clauses with ``mm`` minimum-should-match.  ``+``/``-`` clause
+    prefixes keep their classic meaning.
+
+    Each field analyzes the clause with its OWN analyzer; a clause that
+    analyzes to multiple tokens in a field becomes that field's phrase-
+    like AND group (eDisMax's per-field subquery)."""
+    from lucene_solr_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        BoostQuery,
+        DisjunctionMaxQuery,
+        MatchNoDocsQuery,
+        Occur,
+        TermQuery,
+    )
+
+    analyzer = analyzer or StandardAnalyzer()
+    field_analyzers = field_analyzers or {}
+    clauses = []
+    for raw in query_text.split():
+        occur = Occur.SHOULD
+        if raw.startswith("+"):
+            occur, raw = Occur.MUST, raw[1:]
+        elif raw.startswith("-"):
+            occur, raw = Occur.MUST_NOT, raw[1:]
+        if not raw:
+            continue
+        per_field = []
+        for fld, boost in qf.items():
+            a = field_analyzers.get(fld, analyzer)
+            toks = a.analyze(raw)
+            if not toks:
+                continue
+            f = None if fld == "_default_" else fld
+            if len(toks) == 1:
+                node: Query = TermQuery(toks[0], field=f)
+            else:
+                node = BooleanQuery(
+                    tuple(
+                        BooleanClause(TermQuery(t, field=f), Occur.MUST)
+                        for t in toks
+                    )
+                )
+            if boost != 1.0:
+                node = BoostQuery(node, boost)
+            per_field.append(node)
+        if not per_field:
+            continue
+        node = (
+            per_field[0] if len(per_field) == 1
+            else DisjunctionMaxQuery(tuple(per_field), tie_breaker=tie)
+        )
+        clauses.append(BooleanClause(node, occur))
+    if not clauses:
+        return MatchNoDocsQuery("empty dismax query")
+    return BooleanQuery(tuple(clauses), minimum_should_match=mm)

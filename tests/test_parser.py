@@ -195,3 +195,32 @@ def test_numeric_field_range_parses_to_point_range():
     assert q == PointRangeQuery("size", 10, 20, True, True)
     q = p.parse("size:{* TO 20}")
     assert q == PointRangeQuery("size", None, 20, False, False)
+
+
+def test_dismax_parse():
+    from lucene_solr_ray.analysis.analyzer import KeywordAnalyzer
+    from lucene_solr_ray.search.parser import dismax_parse
+    from lucene_solr_ray.search.query import (
+        BooleanQuery as BQ,
+        BoostQuery as BoQ,
+        DisjunctionMaxQuery as DMQ,
+        Occur as Oc,
+        TermQuery as TQ,
+    )
+
+    q = dismax_parse(
+        "merge +fast -Broken",
+        qf={"_default_": 1.0, "title": 2.0},
+        field_analyzers={"title": KeywordAnalyzer(lowercase_value=True)},
+        tie=0.1,
+        mm=1,
+    )
+    assert isinstance(q, BQ) and q.minimum_should_match == 1
+    occ = [c.occur for c in q.clauses]
+    assert occ == [Oc.SHOULD, Oc.MUST, Oc.MUST_NOT]
+    d0 = q.clauses[0].query
+    assert isinstance(d0, DMQ) and d0.tie_breaker == 0.1
+    assert d0.disjuncts[0] == TQ("merge")
+    assert isinstance(d0.disjuncts[1], BoQ)
+    assert d0.disjuncts[1].query == TQ("merge", field="title")
+    assert d0.disjuncts[1].boost == 2.0
