@@ -1296,3 +1296,119 @@ def explain(
         return out
 
     return _tree(q)
+
+
+def rescore(
+    index: "Index",
+    first_query: str,
+    rescore_query: str,
+    k: int = 10,
+    window: int = 50,
+    rescore_weight: float = 1.0,
+    analyzer: Optional[StandardAnalyzer] = None,
+    similarity: Optional[BM25Similarity] = None,
+) -> pa.Table:
+    """``QueryRescorer.rescore`` (reference ``search/QueryRescorer.java``):
+    take the first-pass top-``window`` hits, re-score them with the
+    (usually more expensive) rescore query, final score = first +
+    weight·second; return the top-``k`` re-ranked.
+
+    Both passes run in the SAME distributed job — per segment the scorer
+    emits its first-pass top-window partial plus the rescore query's score
+    for exactly those docs, so the driver merge stays ≤ segments × window
+    rows and the expensive query is only ever evaluated per segment, never
+    re-dispatched per document."""
+    import ray.data
+
+    parser = index.make_parser(analyzer)
+    q1 = parser.parse(first_query)
+    q2 = parser.parse(rescore_query)
+    patterns: List[Query] = []
+    _collect_patterns(q1, patterns)
+    _collect_patterns(q2, patterns)
+    terms = sorted(set(q1.terms()) | set(q2.terms()))
+    stats, exp = index.collect_stats(terms, patterns)
+    if patterns:
+        q1 = rewrite_query(q1, exp)
+        q2 = rewrite_query(q2, exp)
+    sim = similarity or BM25Similarity()
+
+    class _RescoreFn:
+        def __init__(self):
+            self.need_pos = _has_phrase(q1) or _has_phrase(q2)
+            self._readers: Dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from lucene_solr_ray.search.reader import latest_deletes_file
+            from lucene_solr_ray.search.scorer import (
+                score_segment,
+                topk_segment,
+            )
+
+            rows = []
+            for seg_dir in batch.column("seg_dir").to_pylist():
+                key = (seg_dir, latest_deletes_file(seg_dir))
+                reader = self._readers.get(key)
+                if reader is None:
+                    reader = SegmentReader(
+                        seg_dir, load_positions=self.need_pos
+                    )
+                    self._readers[key] = reader
+                o1, s1 = topk_segment(reader, q1, stats, window, sim)
+                if len(o1) == 0:
+                    continue
+                o2, s2 = score_segment(reader, q2, stats, sim)
+                idx = np.searchsorted(o2, o1)
+                idx_c = np.minimum(idx, max(len(o2) - 1, 0))
+                hit = (
+                    (idx < len(o2)) & (o2[idx_c] == o1)
+                    if len(o2) else np.zeros(len(o1), dtype=bool)
+                )
+                second = np.where(hit, s2[idx_c] if len(o2) else 0.0, 0.0)
+                dids = reader.doc_ids[o1]
+                for d, f, s in zip(dids.tolist(), s1.tolist(),
+                                   second.tolist()):
+                    rows.append(
+                        {"doc_id": int(d), "first": float(f),
+                         "second": float(s)}
+                    )
+            return pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [("doc_id", pa.int64()), ("first", pa.float64()),
+                     ("second", pa.float64())]
+                ),
+            )
+
+    seg_items = [
+        {"seg_dir": d, "seg_ord": i} for i, d in enumerate(index.seg_dirs)
+    ]
+    df = (
+        ray.data.from_items(seg_items, override_num_blocks=len(seg_items))
+        .map_batches(_RescoreFn, batch_format="pyarrow",
+                     concurrency=(1, 4))
+        .to_pandas()
+    )
+    if df.empty:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int32()),
+             "score": pa.array([], pa.float64()),
+             "first_pass": pa.array([], pa.float64())}
+        )
+    # global first-pass window, then combine + re-rank
+    df = df.sort_values(["first", "doc_id"],
+                        ascending=[False, True]).head(window)
+    df["score"] = df["first"] + rescore_weight * df["second"]
+    df = df.sort_values(["score", "doc_id"],
+                        ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "rank": pa.array(
+                np.arange(len(df), dtype=np.int32)
+            ),
+            "score": pa.array(df["score"].to_numpy(np.float64)),
+            "first_pass": pa.array(df["first"].to_numpy(np.float64)),
+        }
+    )

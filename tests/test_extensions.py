@@ -713,3 +713,28 @@ def test_explain(docs_index, sf_dir):
     # absent doc id
     ex3 = explain(docs_index, "merge", 10**9)
     assert not ex3["match"]
+
+
+def test_rescore(docs_index, sf_dir):
+    """QueryRescorer: phrase rescoring of a term query — combined score
+    equals first + weight*second for every returned doc."""
+    from lucene_solr_ray.search.searcher import rescore
+    from lucene_solr_ray.search.similarity import BM25SimilarityF64
+
+    out = rescore(
+        docs_index, "merge", '"merge sort"', k=5, window=30,
+        rescore_weight=2.0, similarity=BM25SimilarityF64(),
+    ).to_pandas()
+    assert len(out) == 5
+    assert out.score.is_monotonic_decreasing
+
+    # verify the combination arithmetic against independent searches
+    first = docs_index.search(
+        {0: "merge"}, k=30, similarity=BM25SimilarityF64()
+    ).to_pandas().set_index("doc_id").score
+    second = docs_index.search(
+        {0: '"merge sort"'}, k=100000, similarity=BM25SimilarityF64()
+    ).to_pandas().set_index("doc_id").score
+    for _, r in out.iterrows():
+        want = first[r.doc_id] + 2.0 * second.get(r.doc_id, 0.0)
+        assert abs(r.score - want) < 1e-9
