@@ -37,6 +37,7 @@ __all__ = [
     "read_manifest",
     "rollback",
     "vacuum",
+    "replicate",
 ]
 
 SEGMENT_PREFIX = "seg_"
@@ -257,3 +258,34 @@ def vacuum(out_dir: str, keep_generations: int = 2) -> List[int]:
             except OSError:
                 pass
     return dropped
+
+
+def replicate(src_dir: str, dest_dir: str) -> Dict:
+    """Replicate the LATEST commit point to another directory (the
+    replicator module's role, reference ``lucene/replicator/src/java/org/
+    apache/lucene/replicator/IndexReplicationHandler.java``): copy the
+    manifest's segment dirs (skipping ones already present — segment
+    immutability makes the copy resumable and incremental, exactly the
+    revision-file diffing the reference does), then commit the manifest
+    LAST so a reader of ``dest_dir`` only ever sees a complete commit."""
+    import shutil
+
+    m = read_latest_manifest(src_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {src_dir}")
+    os.makedirs(dest_dir, exist_ok=True)
+    copied = []
+    for s in m["segments"]:
+        name = segment_dir_name(s["segment_id"])
+        sdir = os.path.join(src_dir, name)
+        ddir = os.path.join(dest_dir, name)
+        if read_segment_meta(ddir) is not None:
+            continue  # already replicated (immutable)
+        tmp = ddir + ".tmp-" + uuid.uuid4().hex[:8]
+        shutil.copytree(sdir, tmp)
+        os.rename(tmp, ddir)
+        copied.append(s["segment_id"])
+    # deletes sidecars ride along per segment dir via copytree; commit last
+    out = commit_manifest(dest_dir, m["segments"])
+    return {"generation": out["generation"], "copied_segments": copied,
+            "doc_count": out["doc_count"]}

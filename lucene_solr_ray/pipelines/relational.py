@@ -936,3 +936,62 @@ FROM orders ORDER BY o_orderkey LIMIT 2000
 
 QUERIES["evaluator_exprs"] = evaluator_exprs
 ORACLES["evaluator_exprs"] = EVAL_EXPR_SQL
+
+
+def interval_facet_orders(sf_dir: str) -> pd.DataFrame:
+    """facet.interval gate: overlapping arbitrary intervals over
+    o_totalprice (intervals MAY overlap, unlike range facets)."""
+    from lucene_solr_ray.stages.relational import interval_facet
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    out = interval_facet(ds, "o_totalprice", [
+        ("cheap", None, 50_000.0, False, False),
+        ("mid", 50_000.0, 150_000.0, True, False),
+        ("broad", 100_000.0, None, True, False),
+        ("all", None, None, True, True),
+    ]).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("interval").reset_index(drop=True)
+
+
+INTERVAL_SQL = """
+SELECT interval, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'cheap' AS interval, COUNT(*) AS n FROM orders
+    WHERE o_totalprice < 50000
+  UNION ALL
+  SELECT 'mid', COUNT(*) FROM orders
+    WHERE o_totalprice >= 50000 AND o_totalprice < 150000
+  UNION ALL
+  SELECT 'broad', COUNT(*) FROM orders WHERE o_totalprice >= 100000
+  UNION ALL
+  SELECT 'all', COUNT(*) FROM orders
+) ORDER BY interval
+"""
+
+QUERIES["interval_facet_orders"] = interval_facet_orders
+ORACLES["interval_facet_orders"] = INTERVAL_SQL
+
+
+def grouped_percentiles_orders(sf_dir: str) -> pd.DataFrame:
+    """Grouped exact percentiles (linear interpolation == quantile_cont)."""
+    from lucene_solr_ray.stages.relational import grouped_percentiles
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = grouped_percentiles(
+        ds, "o_orderpriority", "o_totalprice", [25, 50, 90]
+    ).to_pandas()
+    for c in ("p25", "p50", "p90"):
+        out[c] = out[c].round(4)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+GROUPED_PCT_SQL = """
+SELECT o_orderpriority,
+  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["grouped_percentiles_orders"] = grouped_percentiles_orders
+ORACLES["grouped_percentiles_orders"] = GROUPED_PCT_SQL

@@ -60,6 +60,8 @@ __all__ = [
     "significant_terms",
     "pivot_facet",
     "collapse_stream",
+    "interval_facet",
+    "grouped_percentiles",
 ]
 
 
@@ -455,4 +457,59 @@ def collapse_stream(ds, collapse_field: str, sort_col: str,
 
     return ds.groupby(collapse_field).map_groups(
         _best, batch_format="pandas"
+    )
+
+
+def interval_facet(ds, col: str, intervals: Sequence[Tuple]):
+    """Interval facets (``facet.interval`` — reference ``solr/core/src/
+    java/org/apache/solr/request/IntervalFacets.java``): counts per
+    arbitrary [lo, hi) / (lo, hi] interval spec.  ``intervals`` =
+    [(label, lo, hi, lo_incl, hi_incl), ...]; one vectorized pass, one
+    tiny groupby."""
+    from ray.data.aggregate import Count
+
+    specs = list(intervals)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy()
+        out_lab = []
+        out_n = []
+        for label, lo, hi, lo_incl, hi_incl in specs:
+            m = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                m &= (v >= lo) if lo_incl else (v > lo)
+            if hi is not None:
+                m &= (v <= hi) if hi_incl else (v < hi)
+            out_lab.append(label)
+            out_n.append(int(m.sum()))
+        return pa.table(
+            {"interval": pa.array(out_lab, pa.string()),
+             "n": pa.array(out_n, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.select_columns([col])
+        .map_batches(_bucket, batch_format="pyarrow")
+        .groupby("interval")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def grouped_percentiles(ds, key: str, value: str,
+                        qs: Sequence[float]):
+    """Grouped exact percentiles (the stats-component percentile over
+    facet buckets; linear interpolation matching ``np.percentile``):
+    one groupby, values sorted within each (bounded) group."""
+
+    def _pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value].to_numpy(dtype=np.float64))
+        row = {key: g[key].iloc[0]}
+        for q in qs:
+            row[f"p{int(q)}"] = float(np.percentile(v, q))
+        return pd.DataFrame([row])
+
+    return ds.select_columns([key, value]).groupby(key).map_groups(
+        _pct, batch_format="pandas"
     )

@@ -178,3 +178,37 @@ def test_commit_points_rollback_and_vacuum(ray_session, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         rollback(out, 1)
+
+
+def test_replicate(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.deletes import delete_by_term
+    from lucene_solr_ray.index.manifest import replicate
+    from lucene_solr_ray.search.searcher import Index
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                  "text": pa.array(["alpha beta"] * 15 +
+                                   ["gamma delta"] * 15)}), p)
+    src = str(tmp_path / "src")
+    build_index(p, src, text_col="text", id_col="doc_id",
+                docs_per_segment=10)
+    delete_by_term(src, "gamma")
+
+    dst = str(tmp_path / "dst")
+    from lucene_solr_ray.index.manifest import read_latest_manifest
+
+    n_segs = len(read_latest_manifest(src)["segments"])
+    r1 = replicate(src, dst)
+    assert len(r1["copied_segments"]) == n_segs
+    # replica answers identically, including tombstones
+    a = Index(src).search({0: "alpha", 1: "gamma"}, k=100).to_pandas()
+    b = Index(dst).search({0: "alpha", 1: "gamma"}, k=100).to_pandas()
+    assert a.equals(b)
+    # re-replication is incremental (no segments copied twice)
+    r2 = replicate(src, dst)
+    assert r2["copied_segments"] == []
