@@ -353,14 +353,23 @@ def _attach_text(rows, corpus, side: str, carry: List[Tuple[str, object]],
     )
 
 
-def _fetch_pair_texts(pairs, corpus, id_col: str, col: str):
-    """Attach both sides' text to an (id_a, id_b) pair list with two
-    reduce-side fetch joins — scales to corpora that never fit one hop.
+#: candidate sets at or under this size verify via ONE pruned read +
+#: broadcast of the CANDIDATE texts (bounded by the pair-output size, the
+#: same boundedness argument as the ANN driver merge); larger sets take
+#: the two reduce-side fetch joins
+CANDIDATE_BROADCAST_LIMIT = 50_000
 
-    The corpus is first pruned to CANDIDATE ids (vectorized isin filter):
-    the driver holds only the candidate id array — 16 bytes per pair,
-    bounded by the dedup OUTPUT size, never by the corpus — which caps the
-    fetch joins' group count at #candidates instead of #docs."""
+
+def _fetch_pair_texts(pairs, corpus, id_col: str, col: str):
+    """Attach both sides' text to an (id_a, id_b) pair list.
+
+    The corpus is pruned to CANDIDATE ids first (vectorized isin): the
+    driver holds only the candidate id array — 16 bytes per pair, bounded
+    by the dedup OUTPUT size, never the corpus.  Small candidate sets then
+    broadcast their texts once (two Ray passes total); big ones go through
+    two reduce-side fetch joins so no text set ever rides the driver."""
+    import ray
+
     pairs = pairs.materialize()
     pid = pairs.to_pandas()
     cand = np.unique(
@@ -371,15 +380,28 @@ def _fetch_pair_texts(pairs, corpus, id_col: str, col: str):
         ids = t.column(id_col).to_numpy()
         return t.filter(pa.array(np.isin(ids, cand)))
 
-    # candidate texts only — bounded by the pair-output size; materialized
-    # once so both attach passes skip the full corpus re-read
-    corpus = corpus.map_batches(_prune, batch_format="pyarrow").materialize()
+    pruned = corpus.map_batches(_prune, batch_format="pyarrow")
+    if len(cand) <= CANDIDATE_BROADCAST_LIMIT:
+        tdf = pruned.to_pandas()  # candidate texts only — bounded
+        texts_ref = ray.put(dict(zip(tdf[id_col], tdf[col])))
+
+        def _attach(t: pa.Table) -> pa.Table:
+            lookup = ray.get(texts_ref)
+            ta = [lookup.get(v) for v in t.column("id_a").to_pylist()]
+            tb = [lookup.get(v) for v in t.column("id_b").to_pylist()]
+            return t.append_column(
+                "_text_a", pa.array(ta, pa.string())
+            ).append_column("_text_b", pa.array(tb, pa.string()))
+
+        return pairs.map_batches(_attach, batch_format="pyarrow")
+
+    pruned = pruned.materialize()
     a = _attach_text(
-        pairs, corpus, "id_a", [("id_b", pa.int64())], "_text_a",
+        pairs, pruned, "id_a", [("id_b", pa.int64())], "_text_a",
         id_col, col,
     )
     return _attach_text(
-        a, corpus, "id_b",
+        a, pruned, "id_b",
         [("id_a", pa.int64()), ("_text_a", pa.string())], "_text_b",
         id_col, col,
     )
