@@ -273,3 +273,86 @@ def test_numeric_points_range_and_merge(ray_session, tmp_path):
         np.sort(hits.score.to_numpy()),
         np.sort(base.score.to_numpy() + np.float32(1.0)),
     )
+
+
+def test_multifield_delete_merge_matches_fresh(ray_session, tmp_path):
+    """Deletes + merge-time compaction on a MULTI-FIELD index: per-field
+    norms/stats recompute correctly (the norm__<f> lookup path in
+    compact_postings_rows)."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis.analyzer import KeywordAnalyzer
+
+    rng = random.Random(13)
+    n = 60
+    texts = [" ".join(rng.choice(WORDS) for _ in range(6))
+             for _ in range(n)]
+    langs = [rng.choice(["en", "de", "fr"]) for _ in range(n)]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(langs)}), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                extra_fields={"lang": "lang"},
+                field_analyzers={"lang": KeywordAnalyzer()},
+                docs_per_segment=15)
+
+    delete_by_term(out, "window")
+    m = read_latest_manifest(out)
+    ids = [s["segment_id"] for s in m["segments"]]
+    meta = merge_segments(out, ids, max(ids) + 1)
+    commit_manifest(out, [meta])
+
+    survivors = [i for i, t in enumerate(texts)
+                 if "window" not in t.split()]
+    p2 = str(tmp_path / "fresh.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(survivors, pa.int64()),
+                  "text": pa.array([texts[i] for i in survivors]),
+                  "lang": pa.array([langs[i] for i in survivors])}), p2)
+    fresh = str(tmp_path / "fresh_idx")
+    build_index(p2, fresh, text_col="text", id_col="doc_id",
+                extra_fields={"lang": "lang"},
+                field_analyzers={"lang": KeywordAnalyzer()},
+                docs_per_segment=10_000)
+
+    ma, mb = read_latest_manifest(out), read_latest_manifest(fresh)
+    assert ma["fields"] == mb["fields"]  # per-field doc_count + sttf
+
+    qa = Index(out).search(
+        {0: "merge AND lang:en", 1: "lang:de"}, k=100,
+        similarity=BM25SimilarityF64(),
+    ).to_pandas()
+    qb = Index(fresh).search(
+        {0: "merge AND lang:en", 1: "lang:de"}, k=100,
+        similarity=BM25SimilarityF64(),
+    ).to_pandas()
+    assert list(qa.doc_id) == list(qb.doc_id)
+    assert np.allclose(qa.score.to_numpy(), qb.score.to_numpy())
+
+
+def test_sharded_merge_with_deletes_byte_identical(built, tmp_path):
+    """Term-range-sharded merge must produce byte-identical postings to
+    the single-task merge when inputs carry tombstones."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.merge import merge_segments_sharded
+
+    out, texts = built
+    delete_by_term(out, "window")
+    m = read_latest_manifest(out)
+    ids = [s["segment_id"] for s in m["segments"]]
+    m1 = merge_segments(out, ids, max(ids) + 1)
+    m2 = merge_segments_sharded(out, ids, max(ids) + 2, num_shards=3)
+    a = pq.read_table(
+        os.path.join(out, f"seg_{m1['segment_id']:06d}",
+                     "postings.parquet"))
+    b = pq.read_table(
+        os.path.join(out, f"seg_{m2['segment_id']:06d}",
+                     "postings.parquet"))
+    assert a.equals(b)
+    assert m1["stats"] == m2["stats"]
