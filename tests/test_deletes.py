@@ -356,3 +356,38 @@ def test_sharded_merge_with_deletes_byte_identical(built, tmp_path):
                      "postings.parquet"))
     assert a.equals(b)
     assert m1["stats"] == m2["stats"]
+
+
+def test_sharded_merge_points_with_deletes(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.merge import merge_segments_sharded
+
+    rng = random.Random(17)
+    n = 60
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([" ".join(rng.choice(WORDS) for _ in range(4))
+                              for _ in range(n)]),
+            "size": pa.array([rng.randint(0, 99) for _ in range(n)],
+                             pa.int64()),
+        }), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                numeric_fields={"size": "size"}, docs_per_segment=15)
+    delete_doc_ids(out, list(range(0, n, 4)))
+    m = read_latest_manifest(out)
+    ids = [s["segment_id"] for s in m["segments"]]
+    m1 = merge_segments(out, ids, max(ids) + 1)
+    m2 = merge_segments_sharded(out, ids, max(ids) + 2, num_shards=3)
+    pa1 = pq.read_table(os.path.join(
+        out, f"seg_{m1['segment_id']:06d}", "points.parquet"))
+    pa2 = pq.read_table(os.path.join(
+        out, f"seg_{m2['segment_id']:06d}", "points.parquet"))
+    assert pa1.equals(pa2)
+    # compacted points reference only live (renumbered) ords
+    assert pa1.num_rows == n - len(range(0, n, 4))
