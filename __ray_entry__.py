@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_corrections": fulltext.spell_corrections,
         "term_vectors_docs": fulltext.term_vectors_docs,
         "export_sorted_docs": fulltext.export_sorted_docs,
+        "geo_distance_docs": fulltext.geo_distance_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_corrections": fulltext.spell_corrections_sql(),
         "term_vectors_docs": fulltext.term_vectors_docs_sql(),
         "export_sorted_docs": fulltext.export_sorted_docs_sql(),
+        "geo_distance_docs": fulltext.geo_distance_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

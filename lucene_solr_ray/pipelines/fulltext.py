@@ -1579,3 +1579,77 @@ WHERE list_contains(string_split(text, ' '), 'merge')
    OR list_contains(string_split(text, ' '), 'sort')
 ORDER BY field_len, doc_id
 """
+
+
+def geo_distance_docs(sf_dir: str) -> pa.Table:
+    """Geo distance gate (LatLonPoint.newDistanceQuery + distance sort):
+    lat/lon derived DETERMINISTICALLY from doc_id with a Knuth hash both
+    sides compute (the oracle runs over the pre-registered documents
+    view); top-20 within 500 km of (50, 5).  SQL-matched."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.search.geo import geo_distance_search
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    corpus = os.path.join("/tmp", f"lsr_geo_{key}.parquet")
+    if not os.path.exists(corpus):
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).column("doc_id").to_numpy().astype(np.int64)
+        h1 = ((ids + 7) * 2654435761) % 4294967296
+        h2 = ((ids + 13) * 2654435761) % 4294967296
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids),
+                "text": pa.array(["point"] * len(ids)),
+                "lat": pa.array(40.0 + (h1 % 20001) / 1000.0),
+                "lon": pa.array(-10.0 + (h2 % 30001) / 1000.0),
+            }),
+            corpus,
+        )
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+
+    out = os.path.join(_CACHE_ROOT, f"geo_v{FORMAT_VERSION}_{key}")
+    if read_latest_manifest(out) is None:
+        build_index(corpus, out, text_col="text", id_col="doc_id",
+                    stored_cols=["lat", "lon"], docs_per_segment=1000)
+    idx = Index(out)
+    t = geo_distance_search(idx, 50.0, 5.0, 500_000.0, k=20)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "rank": t.column("rank"),
+            "distance_m": pa.array(
+                np.round(t.column("distance_m").to_numpy(), 3)
+            ),
+        }
+    )
+
+
+def geo_distance_docs_sql() -> str:
+    return """
+WITH pts AS (
+  SELECT doc_id,
+    40.0 + ((((doc_id + 7) * 2654435761) % 4294967296) % 20001) / 1000.0
+      AS lat,
+    -10.0 + ((((doc_id + 13) * 2654435761) % 4294967296) % 30001) / 1000.0
+      AS lon
+  FROM documents
+)
+SELECT doc_id, rank, ROUND(distance_m, 3) AS distance_m FROM (
+  SELECT doc_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY d, doc_id) AS BIGINT) AS rank,
+    d AS distance_m
+  FROM (
+    SELECT doc_id,
+      2.0 * 6371008.8 * asin(sqrt(
+        LEAST(1.0, GREATEST(0.0,
+          pow(sin(radians(lat - 50.0) / 2), 2)
+          + cos(radians(50.0)) * cos(radians(lat))
+            * pow(sin(radians(lon - 5.0) / 2), 2)
+        ))
+      )) AS d
+    FROM pts
+  ) WHERE d <= 500000.0
+) WHERE rank <= 20 ORDER BY rank
+"""

@@ -738,3 +738,39 @@ def test_rescore(docs_index, sf_dir):
     for _, r in out.iterrows():
         want = first[r.doc_id] + 2.0 * second.get(r.doc_id, 0.0)
         assert abs(r.score - want) < 1e-9
+
+
+def test_geo_distance_search(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.geo import geo_distance_search, haversine_m
+    from lucene_solr_ray.search.searcher import Index
+
+    # known cities (lat, lon): distances from Paris
+    pts = [
+        (0, 48.8566, 2.3522),    # Paris
+        (1, 51.5074, -0.1278),   # London ~343 km
+        (2, 50.8503, 4.3517),    # Brussels ~264 km
+        (3, 40.4168, -3.7038),   # Madrid ~1052 km
+    ]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([x[0] for x in pts], pa.int64()),
+        "text": pa.array(["city"] * len(pts)),
+        "lat": pa.array([x[1] for x in pts]),
+        "lon": pa.array([x[2] for x in pts]),
+    }), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                stored_cols=["lat", "lon"], docs_per_segment=2)
+    idx = Index(out)
+    res = geo_distance_search(idx, 48.8566, 2.3522, 400_000.0,
+                              k=10).to_pandas()
+    assert list(res.doc_id) == [0, 2, 1]  # Paris, Brussels, London
+    # distances sane (within 2% of known values)
+    assert abs(res.distance_m[1] - 264_000) / 264_000 < 0.02
+    assert abs(res.distance_m[2] - 343_000) / 343_000 < 0.02
+    # scalar haversine sanity
+    assert abs(float(haversine_m(0, 0, 0, 1)) - 111_195) < 200
