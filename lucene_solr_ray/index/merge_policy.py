@@ -119,3 +119,51 @@ class TieredMergePolicy:
             chosen = set(ids)
             eligible = [(sid, s) for sid, s in eligible if sid not in chosen]
         return specs
+
+
+class LogByteSizeMergePolicy:
+    """The reference's other stock policy (``index/
+    LogByteSizeMergePolicy.java`` via ``LogMergePolicy.java:430-520``):
+    segments bucket into LEVELS by log(size)/log(mergeFactor); any level
+    holding ``merge_factor`` segments merges them oldest-first.  Simpler
+    and more aggressive than Tiered — the classic choice for append-only
+    time-series indexes."""
+
+    def __init__(self, merge_factor: int = 10,
+                 min_merge_mb: float = 1.6,
+                 max_merge_mb: float = 2048.0):
+        self.merge_factor = merge_factor
+        self.min_merge_bytes = int(min_merge_mb * 1024 * 1024)
+        self.max_merge_bytes = int(max_merge_mb * 1024 * 1024)
+
+    def find_merges(self, sizes: "Dict[int, int]") -> List[MergeSpec]:
+        import math
+
+        eligible = [
+            (sid, sz) for sid, sz in sorted(sizes.items())
+            if sz <= self.max_merge_bytes
+        ]
+        if len(eligible) < self.merge_factor:
+            return []
+        lf = math.log(self.merge_factor)
+
+        def level(sz: int) -> int:
+            s = max(sz, self.min_merge_bytes)
+            return int(math.floor(math.log(s) / lf))
+
+        buckets: Dict[int, List[Tuple[int, int]]] = {}
+        for sid, sz in eligible:
+            buckets.setdefault(level(sz), []).append((sid, sz))
+        specs: List[MergeSpec] = []
+        for lvl in sorted(buckets, reverse=True):
+            members = buckets[lvl]
+            while len(members) >= self.merge_factor:
+                batch = members[: self.merge_factor]
+                members = members[self.merge_factor:]
+                specs.append(
+                    MergeSpec(
+                        segment_ids=tuple(sid for sid, _ in batch),
+                        total_bytes=sum(sz for _, sz in batch),
+                    )
+                )
+        return specs

@@ -212,3 +212,57 @@ def test_replicate(ray_session, tmp_path):
     # re-replication is incremental (no segments copied twice)
     r2 = replicate(src, dst)
     assert r2["copied_segments"] == []
+
+
+def test_log_byte_size_merge_policy():
+    from lucene_solr_ray.index.merge_policy import LogByteSizeMergePolicy
+
+    mp = LogByteSizeMergePolicy(merge_factor=3, min_merge_mb=0.001)
+    # nine same-level segments -> three merges of three, oldest first
+    sizes = {i: 2_000_000 for i in range(9)}
+    specs = mp.find_merges(sizes)
+    assert [list(s.segment_ids) for s in specs] == [
+        [0, 1, 2], [3, 4, 5], [6, 7, 8]
+    ]
+    # a huge segment above max_merge stays untouched
+    mp2 = LogByteSizeMergePolicy(merge_factor=3, max_merge_mb=1.0)
+    sizes2 = {0: 5 << 20, 1: 100, 2: 120, 3: 110}
+    specs2 = mp2.find_merges(sizes2)
+    assert all(0 not in s.segment_ids for s in specs2)
+    # different levels don't mix
+    mp3 = LogByteSizeMergePolicy(merge_factor=2, min_merge_mb=0.0001)
+    sizes3 = {0: 1 << 20, 1: 1 << 20, 2: 1 << 28, 3: 1 << 28}
+    got = sorted(
+        tuple(s.segment_ids) for s in mp3.find_merges(sizes3)
+    )
+    assert got == [(0, 1), (2, 3)]
+
+
+def test_merge_until_done_with_log_policy(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.manifest import read_latest_manifest
+    from lucene_solr_ray.index.merge import merge_until_done
+    from lucene_solr_ray.index.merge_policy import LogByteSizeMergePolicy
+    from lucene_solr_ray.search.searcher import Index
+    from lucene_solr_ray.search.similarity import BM25SimilarityF64
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(["alpha beta gamma"] * 60)}), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                docs_per_segment=10)
+    before = Index(out).search({0: "alpha"}, k=100,
+                               similarity=BM25SimilarityF64()).to_pandas()
+    n = merge_until_done(
+        out, LogByteSizeMergePolicy(merge_factor=3, min_merge_mb=0.00001)
+    )
+    assert n >= 1
+    after = Index(out).search({0: "alpha"}, k=100,
+                              similarity=BM25SimilarityF64()).to_pandas()
+    assert before.equals(after)
+    assert len(read_latest_manifest(out)["segments"]) < 6
