@@ -64,3 +64,37 @@ def to_corpus_parquet(ds, out_dir: str, body_col: str = "body") -> List[str]:
         for f in os.listdir(out_dir)
         if f.endswith(".parquet")
     )
+
+
+def corpus_from_jsonl(path: str, text_field: str, id_field: str = None):
+    """JSON-lines content feed → the engine's corpus schema (doc_id, text)
+    (the Solr JSON update-handler ingest shape; ray.data parses JSON
+    natively, this wrapper just projects/renames)."""
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_json(path)
+
+    def _project(t: pa.Table) -> pa.Table:
+        cols = {"text": t.column(text_field).cast(pa.string())}
+        if id_field is not None:
+            cols = {"doc_id": t.column(id_field).cast(pa.int64()), **cols}
+        return pa.table(cols)
+
+    return ds.map_batches(_project, batch_format="pyarrow")
+
+
+def corpus_from_csv(path: str, text_field: str, id_field: str = None):
+    """CSV content feed → corpus schema (the CSV update handler)."""
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_csv(path)
+
+    def _project(t: pa.Table) -> pa.Table:
+        cols = {"text": t.column(text_field).cast(pa.string())}
+        if id_field is not None:
+            cols = {"doc_id": t.column(id_field).cast(pa.int64()), **cols}
+        return pa.table(cols)
+
+    return ds.map_batches(_project, batch_format="pyarrow")

@@ -626,3 +626,29 @@ def test_evaluator_expressions(ray_session):
         compile_expr("nope(a)")
     with _pytest.raises(EvalError):
         compile_expr("add(a")
+
+
+def test_corpus_feeds_jsonl_csv(ray_session, tmp_path):
+    import json
+
+    from lucene_solr_ray.sources.textline import (
+        corpus_from_csv,
+        corpus_from_jsonl,
+    )
+
+    jp = tmp_path / "feed.jsonl"
+    jp.write_text("\n".join(
+        json.dumps({"id": i, "body": f"doc {i} text", "junk": "x"})
+        for i in range(5)
+    ))
+    ds = corpus_from_jsonl(str(jp), "body", "id")
+    out = ds.to_pandas().sort_values("doc_id")
+    assert list(out.columns) == ["doc_id", "text"]
+    assert out.text.iloc[0] == "doc 0 text"
+
+    cp = tmp_path / "feed.csv"
+    cp.write_text("id,body\n" + "\n".join(
+        f"{i},row {i} words" for i in range(4)
+    ))
+    out2 = corpus_from_csv(str(cp), "body", "id").to_pandas()
+    assert len(out2) == 4 and set(out2.columns) == {"doc_id", "text"}
