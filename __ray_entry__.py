@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_topk": fulltext.fetch_topk,
         "suggest_prefix_s": fulltext.suggest_prefix_s,
         "suggest_infix_er": fulltext.suggest_infix_er,
+        "free_text_suggest_merge": fulltext.free_text_suggest_merge,
         "mlt_doc0": fulltext.mlt_doc0,
         "grouped_topk": fulltext.grouped_topk,
         "textprofile_dedup": fulltext.textprofile_dedup,
@@ -81,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_topk": fulltext.fetch_topk_sql(),
         "suggest_prefix_s": fulltext.suggest_prefix_s_sql(),
         "suggest_infix_er": fulltext.suggest_infix_er_sql(),
+        "free_text_suggest_merge": fulltext.free_text_suggest_merge_sql(),
         "grouped_topk": fulltext.grouped_topk_sql(),
         "sortfield_topk": fulltext.sortfield_topk_sql(),
         "hit_counts": fulltext.hit_counts_sql(),

@@ -17,7 +17,7 @@ from typing import List, Optional, Tuple
 
 import pyarrow as pa
 
-__all__ = ["suggest_terms", "suggest_infix"]
+__all__ = ["suggest_terms", "suggest_infix", "free_text_suggest"]
 
 
 def suggest_terms(index, prefix: str, n: int = 10,
@@ -84,3 +84,40 @@ def suggest_infix(index, fragment: str, n: int = 10) -> List[Tuple[str, int]]:
     rows = rows.sort_values(["weight", "term"],
                             ascending=[False, True]).head(n)
     return [(r.term, int(r.weight)) for r in rows.itertuples()]
+
+
+def free_text_suggest(ds, col: str, context: str, n: int = 5,
+                      id_col: str = None):
+    """FreeTextSuggester (reference ``lucene/suggest/src/java/org/apache/
+    lucene/search/suggest/analyzing/FreeTextSuggester.java``): an n-gram
+    language model over the corpus — given the last context word, rank
+    next-word completions by bigram frequency (ties by word asc).
+
+    One distributed pass shingles each doc into (prev, next) pairs and a
+    grouped count ranks the continuations; nothing corpus-sized leaves
+    the cluster."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    prev = context.strip().split()[-1].lower()
+
+    def _bigrams(t: pa.Table) -> pa.Table:
+        nxt = []
+        for text in t.column(col).to_pylist():
+            toks = (text or "").lower().split()
+            for a, b in zip(toks, toks[1:]):
+                if a == prev:
+                    nxt.append(b)
+        return pa.table({"next": pa.array(nxt, pa.string())})
+
+    rows = (
+        ds.map_batches(_bigrams, batch_format="pyarrow")
+        .groupby("next")
+        .aggregate(Count(alias_name="weight"))
+        .to_pandas()
+    )
+    rows = rows.sort_values(["weight", "next"],
+                            ascending=[False, True]).head(n)
+    return [(r.next, int(r.weight)) for r in rows.itertuples()]

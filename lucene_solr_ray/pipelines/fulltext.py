@@ -1653,3 +1653,37 @@ SELECT doc_id, rank, ROUND(distance_m, 3) AS distance_m FROM (
   ) WHERE d <= 500000.0
 ) WHERE rank <= 20 ORDER BY rank
 """
+
+
+def free_text_suggest_merge(sf_dir: str) -> pa.Table:
+    """FreeTextSuggester gate: top next-words after "merge" by bigram
+    frequency; SQL-matched with a positions self-join oracle."""
+    import ray.data
+
+    from lucene_solr_ray.functions.suggest import free_text_suggest
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    rows = free_text_suggest(ds, "text", "merge", n=8)
+    return pa.table(
+        {
+            "next": pa.array([r[0] for r in rows], pa.string()),
+            "weight": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def free_text_suggest_merge_sql() -> str:
+    return """
+WITH pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents WHERE text <> ''
+)
+SELECT b.term AS next, CAST(COUNT(*) AS BIGINT) AS weight
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.term = 'merge'
+GROUP BY b.term ORDER BY weight DESC, next LIMIT 8
+"""
