@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_prefix_s": fulltext.suggest_prefix_s,
         "suggest_infix_er": fulltext.suggest_infix_er,
         "free_text_suggest_merge": fulltext.free_text_suggest_merge,
+        "terms_enum_docs": fulltext.terms_enum_docs,
+        "realtime_get_docs": fulltext.realtime_get_docs,
         "mlt_doc0": fulltext.mlt_doc0,
         "grouped_topk": fulltext.grouped_topk,
         "textprofile_dedup": fulltext.textprofile_dedup,
@@ -83,6 +85,8 @@ def oracle_sql() -> dict[str, str]:
         "suggest_prefix_s": fulltext.suggest_prefix_s_sql(),
         "suggest_infix_er": fulltext.suggest_infix_er_sql(),
         "free_text_suggest_merge": fulltext.free_text_suggest_merge_sql(),
+        "terms_enum_docs": fulltext.terms_enum_docs_sql(),
+        "realtime_get_docs": fulltext.realtime_get_docs_sql(),
         "grouped_topk": fulltext.grouped_topk_sql(),
         "sortfield_topk": fulltext.sortfield_topk_sql(),
         "hit_counts": fulltext.hit_counts_sql(),

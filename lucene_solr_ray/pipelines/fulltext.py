@@ -1687,3 +1687,82 @@ FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
 WHERE a.term = 'merge'
 GROUP BY b.term ORDER BY weight DESC, next LIMIT 8
 """
+
+
+def terms_enum_docs(sf_dir: str) -> pa.Table:
+    """The /terms handler (reference ``solr/core/src/java/org/apache/solr/
+    handler/component/TermsComponent.java``): enumerate dictionary terms
+    in [lower, upper) with a df floor, ordered by term — straight off the
+    distributed postings metadata columns."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    idx = documents_index(sf_dir)
+    paths = [os.path.join(d, "postings.parquet") for d in idx.seg_dirs]
+    ds = ray.data.read_parquet(paths, columns=["term", "df"])
+
+    def _slice(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t.column("term"), "m"),
+            pc.less(t.column("term"), "t"),
+        )
+        return t.filter(m)
+
+    out = (
+        ds.map_batches(_slice, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    out = out[out["df"] >= 50].sort_values("term").reset_index(drop=True)
+    out["df"] = out["df"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def terms_enum_docs_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+),
+tf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df FROM tf
+WHERE term >= 'm' AND term < 't' AND df >= 50
+ORDER BY term
+"""
+
+
+def realtime_get_docs(sf_dir: str) -> pa.Table:
+    """Realtime get (``solr/core/.../handler/component/
+    RealTimeGetComponent.java``): fetch stored fields for explicit ids —
+    a pruned-row-group docstore read, no search."""
+    from lucene_solr_ray.search.fetch import fetch_from_corpus
+
+    ids = [3, 141, 400]
+    hits = pa.table(
+        {
+            "qid": pa.array([0] * len(ids), pa.int64()),
+            "rank": pa.array(range(len(ids)), pa.int32()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array([0.0] * len(ids), pa.float32()),
+        }
+    )
+    out = fetch_from_corpus(
+        hits, os.path.join(sf_dir, "documents.parquet"), "doc_id",
+        ["lang", "n_chars"],
+    ).sort_by("doc_id")
+    return pa.table(
+        {
+            "doc_id": out.column("doc_id"),
+            "lang": out.column("lang"),
+            "n_chars": out.column("n_chars"),
+        }
+    )
+
+
+def realtime_get_docs_sql() -> str:
+    return """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (3, 141, 400) ORDER BY doc_id
+"""
