@@ -13,9 +13,11 @@
   embedding column (brute-force blockwise; see functions/ann.py for top-k).
 
 Scale notes: hashing/minhash run vectorized per batch (stateless tasks);
-the only shuffle is the ``groupby`` on hash/band keys, whose cardinality is
-~#docs×bands but with tiny rows.  Verification happens inside the banded
-groups (skewed giant buckets are capped; see ``max_bucket``).
+the shuffles carry only tiny rows — (band, hash64, id) for bucketing, a
+hash-partitioned self-join for pair generation (degenerate buckets over
+``max_bucket`` are dropped first), and candidate-pruned fetch joins (or a
+bounded candidate-text broadcast) for verification.  Nothing corpus-sized
+ever reaches the driver; see BASELINE.md for the 10× driver-RSS evidence.
 """
 
 from __future__ import annotations
