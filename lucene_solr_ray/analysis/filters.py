@@ -196,6 +196,12 @@ class ShingleFilter(TokenFilter):
             for size in range(self.min, self.max + 1):
                 if i + size > len(positions):
                     break
+                # only CONSECUTIVE positions combine — a position hole
+                # (stop-word gap) breaks the shingle, as the reference
+                # ShingleFilter inserts filler tokens at holes and never
+                # joins across them
+                if positions[i + size - 1] != p + size - 1:
+                    break
                 window = [by_pos[positions[i + j]] for j in range(size)]
                 for combo in itertools.islice(
                     itertools.product(*window), self.MAX_COMBINATIONS

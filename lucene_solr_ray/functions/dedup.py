@@ -614,12 +614,25 @@ def embedding_near_dups(ds, vec_col: str, id_col: str,
                     continue
                 S = A @ B.T
                 ii, jj = np.nonzero(S >= threshold)
+                same = fa == fb
                 for i, j in zip(ii, jj):
                     x, y = int(ids_a[i]), int(ids_b[j])
-                    if x < y:
-                        out_a.append(x)
-                        out_b.append(y)
-                        out_c.append(float(S[i, j]))
+                    if same:
+                        # diagonal block: both (i,j) and (j,i) appear in S —
+                        # keep the ordered half only.
+                        if x >= y:
+                            continue
+                    else:
+                        # cross-block: each unordered pair appears exactly
+                        # once; ids are NOT guaranteed block-ordered, so
+                        # canonicalize instead of filtering.
+                        if x == y:
+                            continue
+                        if x > y:
+                            x, y = y, x
+                    out_a.append(x)
+                    out_b.append(y)
+                    out_c.append(float(S[i, j]))
             return pa.table(
                 {
                     "id_a": pa.array(out_a, pa.int64()),

@@ -131,8 +131,11 @@ def _query_has_phrase(q) -> bool:
 
 
 def _apply_delete(index_dir: str, query=None, stats=None,
-                  by_doc_ids: Optional[np.ndarray] = None) -> Dict:
-    """Run the per-segment delete fan-out + commit the next manifest."""
+                  by_doc_ids: Optional[np.ndarray] = None,
+                  commit: bool = True):
+    """Run the per-segment delete fan-out; commit the next manifest (or,
+    with ``commit=False``, return the updated segment-meta list so the
+    caller can fold more changes into ONE manifest generation)."""
     import ray.data
 
     manifest = read_latest_manifest(index_dir)
@@ -158,6 +161,8 @@ def _apply_delete(index_dir: str, query=None, stats=None,
         s = segs[int(r["segment_id"])]
         s["del_gen"] = int(r["del_gen"])
         s["del_count"] = int(r["del_count"])
+    if not commit:
+        return list(segs.values())
     return commit_manifest(index_dir, list(segs.values()))
 
 
@@ -234,9 +239,31 @@ def update_documents(
     texts: Sequence[Optional[str]],
     analyzer=None,
 ) -> Dict:
-    """``updateDocument``: atomically-ordered delete-by-id + re-add."""
-    delete_doc_ids(index_dir, doc_ids)
-    return add_documents(index_dir, doc_ids, texts, analyzer)
+    """``updateDocument``: delete-by-id + re-add committed as ONE manifest
+    generation — a manifest reader never observes the intermediate
+    deleted-but-not-readded state, matching the reference's atomic
+    ``IndexWriter.updateDocument``.  (The delete sidecars themselves land
+    before the commit; a crash in that window leaves uncommitted sidecar
+    files that the next successful commit of any kind supersedes.)"""
+    from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+    from lucene_solr_ray.index.manifest import write_segment_dir
+    from lucene_solr_ray.index.segment import build_segment_tables
+
+    ids = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+    # 1) build + write the replacement segment (invisible until commit)
+    analyzer = analyzer or StandardAnalyzer()
+    seg = build_segment_tables(list(doc_ids), list(texts), analyzer)
+    segs = _apply_delete(index_dir, by_doc_ids=ids, commit=False)
+    new_id = max(s["segment_id"] for s in segs) + 1
+    meta = {
+        "segment_id": new_id,
+        "stats": seg.stats,
+        "analyzer": analyzer.spec(),
+        "lineage": {"added_docs": len(list(doc_ids)), "update": True},
+    }
+    write_segment_dir(index_dir, new_id, seg.postings, seg.docmeta, meta)
+    # 2) ONE commit carrying both the del_gen bumps and the new segment
+    return commit_manifest(index_dir, segs + [meta])
 
 
 # ---------------------------------------------------------------------------

@@ -27,8 +27,7 @@ from lucene_solr_ray.search.searcher import (
 )
 from lucene_solr_ray.search.similarity import BM25Similarity
 
-__all__ = ["MemoryIndex" "term_vector",
-]
+__all__ = ["MemoryIndex", "term_vector"]
 
 
 class _OneDocReader:

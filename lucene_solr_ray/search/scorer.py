@@ -195,7 +195,10 @@ class _Eval:
         dt = self.sim.out_dtype
         doc_count, sttf = self.stats.collection_for(q.field)
         idf_acc = 0.0
-        for key in keys:
+        # each DISTINCT term contributes once — SpanWeight builds its sim
+        # weight from a Map<Term,TermStates>, so duplicated clause terms
+        # (e.g. SpanNear("x","x")) must not double the idf
+        for key in dict.fromkeys(keys):
             idf_acc += float(
                 dt(self.sim.idf_value(self.stats.df.get(key, 0), doc_count))
             )
@@ -309,7 +312,9 @@ class _Eval:
         dt = self.sim.out_dtype
         doc_count, sttf = self.stats.collection_for(fld)
         idf_acc = 0.0
-        for key in keys:
+        # distinct terms only (SpanWeight's Map<Term,TermStates>) — see
+        # _span_near
+        for key in dict.fromkeys(keys):
             idf_acc += float(
                 dt(self.sim.idf_value(self.stats.df.get(key, 0), doc_count))
             )
