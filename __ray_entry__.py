@@ -25,6 +25,42 @@ def entry() -> Any:
     return idx.search({qid: qs for qid, qs, _, _ in fulltext.QUERY_SET}, k=10)
 
 
+# Gate ordering: the driver evaluates the FIRST 50 entries of queries()
+# each round.  Gates never (or least recently) driver-verified go first;
+# long-stable round-2-green gates rotate behind the window (their code is
+# unchanged and stays covered by pytest).  Keep this list in sync when
+# adding gates: new gates belong near the front.
+_PRIORITY: list[str] = [
+    # -- never driver-verified (round-2 verdict) --------------------------
+    "sql_orders", "evaluator_exprs", "pivot_priority_segment",
+    "collapse_orders", "gather_nodes_orders", "interval_facet_orders",
+    "grouped_percentiles_orders", "ann_ivf_topk", "winnow_docs",
+    "features_selection_docs", "text_logit_docs",
+    # -- round-1-only (fell outside the round-2 window) -------------------
+    "dedup_exact", "token_count_docs", "quality_docs", "fingerprint_docs",
+    "ann_cosine_topk", "minhash_pairs", "simhash_pairs", "langid_docs",
+    "embedding_neardups", "ann_lsh_topk",
+    "sliding_windows", "urp_clean_parts", "distinct_quantiles",
+    "hll_partkeys", "eval_props", "facet_price_ranges", "json_facet_brands",
+    # -- round-3 additions (inserted here as they land) -------------------
+    # -- flagship + paths touched this round ------------------------------
+    "bm25_topk", "term_stats", "doc_norms", "phrase_topk",
+    "delete_then_search", "span_near_docs", "block_join_parents",
+    "numeric_range_topk", "sortfield_topk", "geo_distance_docs",
+    "rollup_lineitem", "innerjoin_revenue", "stats_orders",
+    "timeseries_events", "significant_terms_en", "session_windows",
+    "textprofile_dedup", "knn_classify_docs", "mlt_doc0",
+    "field_wildcard_docs", "grouped_topk", "hit_counts",
+]
+
+
+def _ordered(out: dict) -> dict:
+    """Priority entries first (those present), remainder in original order."""
+    head = {k: out[k] for k in _PRIORITY if k in out}
+    head.update({k: v for k, v in out.items() if k not in head})
+    return head
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.pipelines import fulltext, relational, training
 
@@ -69,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(relational.QUERIES)
     # -- training-data ops: dedup / text analysis / ANN -------------------
     out.update(training.QUERIES)
-    return out
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -111,4 +147,4 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)
-    return out
+    return _ordered(out)
