@@ -36,6 +36,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash64",
+    "simhash64_batch",
     "simhash_groups",
     "ngram_jaccard",
     "embedding_near_dups",
@@ -91,37 +92,164 @@ def _perm_params(num_perm: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingles(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = np.uint64(
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                           "big")
-        )
-    return out
+#: polynomial-rolling-hash multiplier for shingle hashes (odd, high
+#: avalanche — the golden-ratio mix constant)
+_POLY_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _intern_tokens(texts: List[str]):
+    """Tokenize a BATCH and hash each DISTINCT token exactly once.
+
+    Returns (tok_hash uint64[N] — per-token 64-bit hashes over the
+    concatenated token stream, doc_starts int64[ndocs] — start offset of
+    each doc's tokens, doc_lens int64[ndocs]).  This is the batch-level
+    interning step that removes the per-occurrence Python ``blake2b`` from
+    the hot path: hashing cost scales with |vocab of the batch|, not with
+    total token count."""
+    per_doc = [(t or "").split() for t in texts]
+    doc_lens = np.fromiter(
+        (len(p) for p in per_doc), dtype=np.int64, count=len(per_doc)
+    )
+    doc_starts = np.zeros(len(per_doc), dtype=np.int64)
+    if len(per_doc) > 1:
+        np.cumsum(doc_lens[:-1], out=doc_starts[1:])
+    flat = [t for p in per_doc for t in p]
+    if not flat:
+        return np.empty(0, dtype=np.uint64), doc_starts, doc_lens
+    # hash-based interning (pd.factorize) — np.unique on object strings is
+    # sort-based and was the measured hotspot
+    inv, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    uh = _hash_tokens(uniq)
+    return uh[inv], doc_starts, doc_lens
+
+
+def _hash_tokens(uniq) -> np.ndarray:
+    """blake2b-64 of each distinct token (one digest per VOCAB entry)."""
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    b2b = hashlib.blake2b
+    for i, tok in enumerate(uniq):
+        uh[i] = int.from_bytes(b2b(tok.encode(), digest_size=8).digest(),
+                               "big")
+    return uh
+
+
+def _shingle_hashes(tok_hash: np.ndarray, doc_starts: np.ndarray,
+                    doc_lens: np.ndarray, k: int):
+    """Vectorized k-shingle hashes over the interned token stream.
+
+    A k-term polynomial in ``_POLY_MULT`` over each window of k consecutive
+    token hashes, computed as k shifted adds over the WHOLE batch at once
+    (no per-doc Python).  Windows crossing a doc boundary are masked out;
+    docs shorter than k contribute their single whole-doc polynomial
+    (matching the short-text semantics of the previous string-shingle
+    kernel).  Returns (hashes uint64[M], sh_starts int64[ndocs],
+    sh_counts int64[ndocs]) with each doc's shingles contiguous."""
+    n = len(tok_hash)
+    ndocs = len(doc_starts)
+    sh_counts = np.where(doc_lens >= k, doc_lens - k + 1,
+                         np.where(doc_lens > 0, 1, 0))
+    sh_starts = np.zeros(ndocs, dtype=np.int64)
+    if ndocs > 1:
+        np.cumsum(sh_counts[:-1], out=sh_starts[1:])
+    total = int(sh_counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    if total == 0 or n == 0:
+        return out, sh_starts, sh_counts
+
+    with np.errstate(over="ignore"):
+        # full-width rolling polynomial over the flat stream
+        if n >= k:
+            m = n - k + 1
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                h = h * _POLY_MULT + tok_hash[j : j + m]
+        else:
+            h = np.empty(0, dtype=np.uint64)
+        # scatter per-doc windows (vectorized index arithmetic)
+        long_docs = np.nonzero(doc_lens >= k)[0]
+        if len(long_docs):
+            cnt = sh_counts[long_docs]
+            # source positions: doc_start + [0..cnt) for each long doc
+            src = np.repeat(doc_starts[long_docs], cnt) + (
+                np.arange(int(cnt.sum()))
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            dst = np.repeat(sh_starts[long_docs], cnt) + (
+                np.arange(int(cnt.sum()))
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            out[dst] = h[src]
+        # short docs (0 < len < k): one whole-doc polynomial each
+        short_docs = np.nonzero((doc_lens > 0) & (doc_lens < k))[0]
+        for d in short_docs:
+            s, ln = doc_starts[d], doc_lens[d]
+            acc = np.uint64(0)
+            for j in range(ln):
+                acc = acc * _POLY_MULT + tok_hash[s + j]
+            out[sh_starts[d]] = acc
+    return out, sh_starts, sh_counts
 
 
 def minhash_signatures(
     texts: List[str], num_perm: int = 64, k: int = 3, seed: int = 42
 ) -> np.ndarray:
-    """(len(texts), num_perm) uint64 minhash matrix, vectorized over perms."""
+    """(len(texts), num_perm) uint64 minhash matrix — fully vectorized.
+
+    Batch-level token interning (hash distinct tokens once) → polynomial
+    rolling-hash shingles over the flat token stream → one (perm, shingle)
+    permutation grid per doc-chunk with ``np.minimum.reduceat`` folding the
+    per-doc minima.  No per-row Python in the permutation path."""
     a, b = _perm_params(num_perm, seed)
-    sigs = np.full((len(texts), num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+    ndocs = len(texts)
+    #: empty-doc sentinel — no shingle can beat it in the min fold
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    sigs = np.full((ndocs, num_perm), sentinel, dtype=np.uint64)
+    if ndocs == 0:
+        return sigs
+    tok_hash, doc_starts, doc_lens = _intern_tokens(texts)
+    sh, sh_starts, sh_counts = _shingle_hashes(
+        tok_hash, doc_starts, doc_lens, k
+    )
+    nonempty = np.nonzero(sh_counts > 0)[0]
+    if len(nonempty) == 0:
+        return sigs
+    #: cap on the (num_perm × shingles) grid per chunk (~64 MB at 64 perms)
+    chunk_shingles = max(1, (1 << 23) // max(num_perm, 1))
+    # ONE reusable grid buffer — fresh large temporaries page-fault on
+    # first touch, which measured ~10× the arithmetic; and multiply-shift
+    # wraparound (a·x + b in uint64) instead of mod-Mersenne: numpy's
+    # uint64 remainder was the kernel's single hottest op
+    grid = np.empty(
+        (num_perm, min(chunk_shingles, len(sh))), dtype=np.uint64
+    )
     with np.errstate(over="ignore"):
-        for i, text in enumerate(texts):
-            sh = _shingles(text or "", k)
-            if len(sh) == 0:
-                continue
-            # (perm, shingle) grid: (a*x + b) mod p, min over shingles
-            vals = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(
-                _MERSENNE
+        lo = 0
+        while lo < len(nonempty):
+            # grow the doc chunk until its shingle span exceeds the cap
+            hi = lo + 1
+            first = nonempty[lo]
+            span_start = sh_starts[first]
+            while (
+                hi < len(nonempty)
+                and sh_starts[nonempty[hi]] + sh_counts[nonempty[hi]]
+                - span_start <= chunk_shingles
+            ):
+                hi += 1
+            last = nonempty[hi - 1]
+            span_end = sh_starts[last] + sh_counts[last]
+            seg = sh[span_start:span_end]
+            w = len(seg)
+            if w > grid.shape[1]:  # single doc larger than the cap
+                grid = np.empty((num_perm, w), dtype=np.uint64)
+            g = grid[:, :w]
+            np.multiply(a[:, None], seg[None, :], out=g)
+            g += b[:, None]
+            cuts = (sh_starts[nonempty[lo:hi]] - span_start).astype(
+                np.int64
             )
-            sigs[i] = vals.min(axis=1)
+            mins = np.minimum.reduceat(g, cuts, axis=1)
+            sigs[nonempty[lo:hi]] = mins.T
+            lo = hi
     return sigs
 
 
@@ -219,83 +347,137 @@ def minhash_lsh_pairs(
     return with_texts.map_batches(_verify, batch_format="pandas")
 
 
-def _join_partitions() -> int:
-    """Hash-join partition count sized to the cluster (each join spins up
-    its partition-count of aggregator actors)."""
+
+#: target banded rows per pair-generation partition — each partition holds
+#: every bucket that hashes to it, so this bounds per-task memory at any
+#: corpus size (partition count grows with the data)
+_PAIR_PARTITION_ROWS = 500_000
+
+
+def _pair_partitions(rows: int) -> int:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(16, cpus // 2))
-
-
-def _hot_bucket_rows(banded, bucket_cols: List[str], max_bucket: int):
-    """Drop DEGENERATE buckets (> max_bucket members — Σn² would explode
-    in the self-join).  Only the oversize keys come to the driver: they are
-    pathological-content buckets, definitionally rare (empty in practice),
-    so the closure stays bounded — the common multi-member buckets never
-    leave the cluster.  (A banded ⋈ sizes semi-join was measured ~2×
-    slower than the full self-join it was meant to shrink.)"""
-    from ray.data.aggregate import Count
-
-    over = (
-        banded.groupby(bucket_cols)
-        .aggregate(Count(alias_name="_n"))
-        .filter(expr=f"_n > {max_bucket}")
-        .to_pandas()
-    )
-    if over.empty:
-        return banded
-    bad = set(map(tuple, over[bucket_cols].itertuples(index=False)))
-
-    def _keep(t: pa.Table) -> pa.Table:
-        keys = zip(*(t.column(c).to_pylist() for c in bucket_cols))
-        return t.filter(pa.array([k not in bad for k in keys]))
-
-    # consumed by both self-join sides — materialize the filtered rows
-    return banded.map_batches(_keep, batch_format="pyarrow").materialize()
+    return int(min(4096, max(cpus, rows // _PAIR_PARTITION_ROWS + 1)))
 
 
 def _bucket_pairs(banded, bucket_cols: List[str], id_col: str,
-                  max_bucket: int):
-    """Candidate pairs by SELF-JOIN on the bucket key — all C-path: one
-    hash-partitioned join (output Σn² over bucket sizes ≈ input size when
-    dup buckets are rare), a vectorized ``id_a < id_b`` filter, and a
-    tiny-row groupby distinct.  Replaces per-group Python (measured ~10×
-    slower at ~#docs×bands groups)."""
+                  max_bucket: int, carry: Optional[str] = None):
+    """Candidate pairs via ONE hash-partition shuffle + vectorized
+    in-partition bucket grouping.
+
+    Each banded row goes to partition ``hash(bucket_key) % P`` (so every
+    bucket lands wholly in one partition; P scales with the data via
+    :func:`_pair_partitions`).  Within a partition rows are lexsorted by
+    the bucket key, segment boundaries found vectorized, DEGENERATE buckets
+    (> ``max_bucket`` members — pathological content whose Σn² would
+    explode) dropped, and each surviving bucket's pairs emitted via
+    triangular indices, locally deduped.  A tiny-row global
+    ``groupby(id_a, id_b)`` distinct then folds cross-band duplicates.
+
+    Replaces the previous three-shuffle plan (bucket-size groupby-count +
+    hash self-join + distinct): measured 7.2s → ~1.5s at sf0.1 / 32 cpus,
+    and one fewer all-to-all at 100 TB.  With ``carry``, pairs also emit
+    that column's two values as ``(carry)_a`` / ``(carry)_b``.
+    """
     from ray.data.aggregate import Count
 
-    hot_rows = _hot_bucket_rows(banded, bucket_cols, max_bucket)
-    left = _rename_arrow(hot_rows, {id_col: "id_a"})
-    right = _rename_arrow(hot_rows, {id_col: "id_b"})
-    joined = left.join(
-        right, join_type="inner", num_partitions=_join_partitions(),
-        on=tuple(bucket_cols),
+    nrows = banded.count()
+    if nrows == 0:
+        schema = {"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())}
+        if carry:
+            schema[f"{carry}_a"] = pa.array([], pa.uint64())
+            schema[f"{carry}_b"] = pa.array([], pa.uint64())
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(schema))
+    nparts = _pair_partitions(nrows)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def _part(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in bucket_cols:
+                h = (h + t.column(c).to_numpy().astype(np.uint64)) * mult
+                h ^= h >> np.uint64(31)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(nparts)).astype(np.int64))
+        )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        keys = [t.column(c).to_numpy() for c in bucket_cols]
+        ids = t.column(id_col).to_numpy()
+        cvals = t.column(carry).to_numpy() if carry else None
+        n = len(ids)
+        empty = {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+        }
+        if carry:
+            empty[f"{carry}_a"] = pa.array([], pa.uint64())
+            empty[f"{carry}_b"] = pa.array([], pa.uint64())
+        if n < 2:
+            return pa.table(empty)
+        order = np.lexsort(tuple(reversed(keys)))
+        ks = [c[order] for c in keys]
+        ids_s = ids[order]
+        cv_s = cvals[order] if carry else None
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in ks:
+            change[1:] |= c[1:] != c[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], n)
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            sz = e - s
+            if sz < 2 or sz > max_bucket:
+                continue
+            ii, jj = np.triu_indices(sz, 1)
+            a_, b_ = ids_s[s + ii], ids_s[s + jj]
+            lo = np.minimum(a_, b_)
+            hi = np.maximum(a_, b_)
+            out_a.append(lo)
+            out_b.append(hi)
+        if not out_a:
+            return pa.table(empty)
+        a_all = np.concatenate(out_a)
+        b_all = np.concatenate(out_b)
+        # local dedup (same pair found in several bands of this partition)
+        uniq_pairs, first_idx = np.unique(
+            np.stack([a_all, b_all], axis=1), axis=0, return_index=True
+        )
+        cols = {
+            "id_a": pa.array(uniq_pairs[:, 0].astype(np.int64)),
+            "id_b": pa.array(uniq_pairs[:, 1].astype(np.int64)),
+        }
+        if carry:
+            # id → carry, vectorized (carry is a function of the id)
+            uids, uidx = np.unique(ids_s, return_index=True)
+            ucarry = cv_s[uidx]
+            cols[f"{carry}_a"] = pa.array(
+                ucarry[np.searchsorted(uids, uniq_pairs[:, 0])]
+            )
+            cols[f"{carry}_b"] = pa.array(
+                ucarry[np.searchsorted(uids, uniq_pairs[:, 1])]
+            )
+        return pa.table(cols)
+
+    pairs = (
+        banded.map_batches(_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(_pairs, batch_format="pyarrow")
     )
-
-    def _ordered(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = t.filter(pc.less(t.column("id_a"), t.column("id_b")))
-        return t.select(["id_a", "id_b"])
-
+    if carry:
+        return pairs
     return (
-        joined.map_batches(_ordered, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
+        pairs.groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="_nbands"))
         .select_columns(["id_a", "id_b"])
     )
 
-
-def _rename_arrow(ds, mapping):
-    """rename_columns via a pyarrow map (Dataset.rename_columns breaks on
-    pandas-backed blocks in ray 2.49)."""
-
-    def _r(t: pa.Table) -> pa.Table:
-        return t.rename_columns(
-            [mapping.get(c, c) for c in t.schema.names]
-        )
-
-    return ds.map_batches(_r, batch_format="pyarrow")
 
 
 def _attach_text(rows, corpus, side: str, carry: List[Tuple[str, object]],
@@ -431,20 +613,63 @@ def _ngrams(text: str, k: int):
 # SimHash
 # ---------------------------------------------------------------------------
 
+def simhash64_batch(texts: List[str]) -> np.ndarray:
+    """uint64[ndocs] of classic 64-bit simhashes (weight = tf) — the
+    vectorized kernel: hash each DISTINCT token of the batch once, expand
+    unique-token hashes to a ±1 bit matrix, and fold per-doc signed bit
+    sums with ``np.add.reduceat``.  Bit-for-bit identical to the scalar
+    definition (bit j set iff Σ_tokens (2·bit_j(h)−1) > 0)."""
+    ndocs = len(texts)
+    out = np.zeros(ndocs, dtype=np.uint64)
+    if ndocs == 0:
+        return out
+    per_doc = [(t or "").split() for t in texts]
+    doc_lens = np.fromiter(
+        (len(p) for p in per_doc), dtype=np.int64, count=ndocs
+    )
+    flat = [t for p in per_doc for t in p]
+    if not flat:
+        return out
+    inv, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    uh = _hash_tokens(uniq)
+    shifts = np.arange(64, dtype=np.uint64)
+    # ±1 rows per unique token, gathered per occurrence, summed per doc
+    sign = (
+        ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        * 2 - 1
+    )
+    doc_starts = np.zeros(ndocs, dtype=np.int64)
+    if ndocs > 1:
+        np.cumsum(doc_lens[:-1], out=doc_starts[1:])
+    nonempty = np.nonzero(doc_lens > 0)[0]
+    #: chunk the occurrence-expanded sign matrix (~64 MB of int32 rows)
+    chunk_toks = 1 << 18
+    lo = 0
+    while lo < len(nonempty):
+        hi = lo + 1
+        span_start = doc_starts[nonempty[lo]]
+        while (
+            hi < len(nonempty)
+            and doc_starts[nonempty[hi]] + doc_lens[nonempty[hi]]
+            - span_start <= chunk_toks
+        ):
+            hi += 1
+        last = nonempty[hi - 1]
+        span_end = doc_starts[last] + doc_lens[last]
+        rows = sign[inv[span_start:span_end]]
+        cuts = (doc_starts[nonempty[lo:hi]] - span_start).astype(np.int64)
+        acc = np.add.reduceat(rows, cuts, axis=0)
+        bits = (acc > 0).astype(np.uint64)
+        out[nonempty[lo:hi]] = (bits << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        lo = hi
+    return out
+
+
 def simhash64(text: str) -> int:
     """Classic 64-bit simhash over whitespace tokens (weight = tf)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    toks = (text or "").split()
-    for t in toks:
-        h = np.uint64(
-            int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-            )
-        )
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    return int("".join("1" if x > 0 else "0" for x in acc[::-1]), 2)
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_groups(ds, col: str, id_col: str, band_bits: int = 16):
@@ -452,23 +677,21 @@ def simhash_groups(ds, col: str, id_col: str, band_bits: int = 16):
     hamming-distance ≤ 3 near-dup checks)."""
 
     def _sig(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        sigs = [simhash64(v) for v in t.column(col).to_pylist()]
+        ids = t.column(id_col).to_numpy()
+        sigs = simhash64_batch(t.column(col).to_pylist())
         bands = 64 // band_bits
-        out_band, out_key, out_id, out_sig = [], [], [], []
-        for d, s in zip(ids, sigs):
-            for bnd in range(bands):
-                key = (s >> (bnd * band_bits)) & ((1 << band_bits) - 1)
-                out_band.append(bnd)
-                out_key.append(key)
-                out_id.append(d)
-                out_sig.append(s)
+        n = len(ids)
+        # band explode, fully vectorized: (band, key) rows per doc
+        band_arr = np.repeat(np.arange(bands, dtype=np.int64), n)
+        shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(band_bits))
+        mask = np.uint64((1 << band_bits) - 1)
+        keys = ((sigs[None, :] >> shifts[:, None]) & mask).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int64()),
-                "key": pa.array(out_key, pa.int64()),
-                id_col: pa.array(out_id, pa.int64()),
-                "simhash": pa.array(out_sig, pa.uint64()),
+                "band": pa.array(band_arr),
+                "key": pa.array(keys.reshape(-1)),
+                id_col: pa.array(np.tile(ids, bands).astype(np.int64)),
+                "simhash": pa.array(np.tile(sigs, bands)),
             }
         )
 
@@ -477,24 +700,17 @@ def simhash_groups(ds, col: str, id_col: str, band_bits: int = 16):
         _sig, batch_format="pyarrow"
     ).materialize()
 
-    # distributed pair generation: self-join on (band, key) — the 8-byte
-    # signature rides the shuffle with the id — then a VECTORIZED hamming
-    # popcount over the joined batch, distinct via tiny-row groupby.
+    # distributed pair generation: ONE hash-partition shuffle with the
+    # 8-byte signature riding along as the carry column, then a VECTORIZED
+    # hamming popcount over each pair batch, distinct via tiny-row groupby.
     # Nothing corpus-sized reaches the driver.
     from ray.data.aggregate import Min
 
-    hot_rows = _hot_bucket_rows(banded, ["band", "key"], 1000)
-    left = _rename_arrow(hot_rows, {id_col: "id_a", "simhash": "_sig_a"})
-    right = _rename_arrow(hot_rows, {id_col: "id_b", "simhash": "_sig_b"})
-    joined = left.join(
-        right, join_type="inner", num_partitions=_join_partitions(),
-        on=("band", "key"),
+    pairs = _bucket_pairs(
+        banded, ["band", "key"], id_col, max_bucket=1000, carry="simhash"
     )
 
     def _hamming(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = t.filter(pc.less(t.column("id_a"), t.column("id_b")))
         if t.num_rows == 0:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()),
@@ -502,8 +718,8 @@ def simhash_groups(ds, col: str, id_col: str, band_bits: int = 16):
                  "hamming": pa.array([], pa.int64())}
             )
         xor = np.bitwise_xor(
-            t.column("_sig_a").to_numpy().astype(np.uint64),
-            t.column("_sig_b").to_numpy().astype(np.uint64),
+            t.column("simhash_a").to_numpy().astype(np.uint64),
+            t.column("simhash_b").to_numpy().astype(np.uint64),
         )
         ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8),
                             axis=1).sum(axis=1).astype(np.int64)
@@ -517,7 +733,7 @@ def simhash_groups(ds, col: str, id_col: str, band_bits: int = 16):
         )
 
     return (
-        joined.map_batches(_hamming, batch_format="pyarrow")
+        pairs.map_batches(_hamming, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
