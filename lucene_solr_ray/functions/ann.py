@@ -22,11 +22,41 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "lsh_topk", "build_ivf_index", "ivf_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "build_ivf_index", "ivf_topk", "vec_matrix"]
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def vec_matrix(t: pa.Table, col: str) -> np.ndarray:
+    """(rows, dim) float64 matrix from a ``list<float>`` column without the
+    per-row ``to_pylist`` detour: flatten the Arrow child values buffer
+    (zero-copy for fixed-size lists and contiguous variable lists) and
+    reshape (NOTE: the result may be a READ-ONLY view of the Arrow buffer — copy before mutating).  At 768-dim float32 embeddings the pylist path measured ~10×
+    the decode cost.  Falls back to ``to_pylist`` for ragged/null rows."""
+    ca = t.column(col)
+    if isinstance(ca, pa.ChunkedArray):
+        ca = ca.combine_chunks()
+    n = len(ca)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if ca.null_count == 0:
+        flat = ca.flatten()
+        if len(flat) % n == 0:
+            dim = len(flat) // n
+            if pa.types.is_fixed_size_list(ca.type):
+                uniform = ca.type.list_size == dim
+            else:
+                offs = ca.offsets.to_numpy()
+                uniform = bool((np.diff(offs) == dim).all())
+            if uniform:
+                return (
+                    flat.to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False)
+                    .reshape(n, dim)
+                )
+    return np.asarray(ca.to_pylist(), dtype=np.float64)
 
 
 def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
@@ -40,8 +70,8 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
 
     def _partial(t: pa.Table) -> pa.Table:
         Qm, qids = ray.get(q_ref)
-        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
-        M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        M = vec_matrix(t, vec_col)
         if len(ids) == 0:
             return pa.table({"qid": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
@@ -108,8 +138,8 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
 
     def _partial(t: pa.Table) -> pa.Table:
         Qm, qids, P, prob = ray.get(ref)
-        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
-        M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        M = vec_matrix(t, vec_col)
         out_q, out_v, out_c = [], [], []
         if len(ids):
             M = _normalize(M)
@@ -196,7 +226,7 @@ def build_ivf_index(ds, vec_col: str, id_col: str, out_dir: str,
 
     def _assign(t: pa.Table) -> pa.Table:
         C = ray.get(c_ref)
-        M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        M = vec_matrix(t, vec_col)
         if len(M) == 0:
             return t.append_column("cluster", pa.array([], pa.int64()))
         a = np.argmax(_normalize(M) @ C.T, axis=1)
@@ -250,9 +280,9 @@ def ivf_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
 
     def _partial(t: pa.Table) -> pa.Table:
         Qm, qids, allow = ray.get(ref)
-        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
-        M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
-        cl = np.asarray(t.column("cl").to_pylist(), dtype=np.int64)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        M = vec_matrix(t, vec_col)
+        cl = t.column("cl").to_numpy().astype(np.int64)
         out_q, out_v, out_c = [], [], []
         if len(ids):
             M = _normalize(M)

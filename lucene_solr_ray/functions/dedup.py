@@ -771,9 +771,13 @@ def embedding_near_dups(ds, vec_col: str, id_col: str,
 
     # stage 1: normalize + re-block to fixed row counts, one file per block
     def _normalize(t: pa.Table) -> pa.Table:
-        M = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        from lucene_solr_ray.functions.ann import vec_matrix
+
+        M = vec_matrix(t, vec_col)
         if len(M):
-            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            # vec_matrix may return a read-only zero-copy view — not in-place
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                               1e-12)
         return pa.table(
             {
                 id_col: t.column(id_col),
@@ -810,10 +814,11 @@ def embedding_near_dups(ds, vec_col: str, id_col: str,
             if hit is None:
                 import pyarrow.parquet as _pq
 
+                from lucene_solr_ray.functions.ann import vec_matrix
+
                 t = _pq.read_table(path)
                 ids = t.column(id_col).to_numpy()
-                M = np.asarray(t.column("_nvec").to_pylist(),
-                               dtype=np.float64)
+                M = vec_matrix(t, "_nvec")
                 hit = (ids, M)
                 if len(self._cache) > 8:
                     self._cache.clear()

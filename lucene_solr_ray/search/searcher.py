@@ -653,17 +653,27 @@ class Index:
         need_pos = any(
             _has_phrase(q) for _, q, _ in parsed
         )
-        kwargs = {}
-        if concurrency:
-            kwargs["concurrency"] = concurrency
         sim = similarity or BM25Similarity()
+        nseg = len(seg_items)
         ds = ray.data.from_items(
             seg_items, override_num_blocks=len(seg_items)
         )
+        # STATELESS tasks, concurrency = a task cap: each segment is
+        # visited exactly once per search, so every reader is built once
+        # regardless of executor shape and an actor pool cannot amortize
+        # anything WITHIN a call — and a fresh pool per call measured
+        # 3.5× slower than tasks at 64 segments / 32 cpus (pool startup
+        # dominates; rechecked round 3).  Cross-call reader reuse is the
+        # job of the warm ``state.query_engine.QueryEngine`` actor pool.
+        kwargs = {}
+        batch_size = 1
+        if concurrency:
+            kwargs["concurrency"] = concurrency
+            batch_size = max(1, nseg // concurrency)
         res = ds.map_batches(
             _SearchFn(parsed, stats, sim, need_pos),
             batch_format="pyarrow",
-            batch_size=max(1, len(seg_items) // (concurrency or len(seg_items)) or 1),
+            batch_size=batch_size,
             **kwargs,
         )
         rows = res.take_all()
