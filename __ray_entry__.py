@@ -43,6 +43,7 @@ _PRIORITY: list[str] = [
     "sliding_windows", "urp_clean_parts", "distinct_quantiles",
     "hll_partkeys", "eval_props", "facet_price_ranges", "json_facet_brands",
     # -- round-3 additions (inserted here as they land) -------------------
+    "geo_polygon_docs",
     # -- flagship + paths touched this round ------------------------------
     "bm25_topk", "term_stats", "doc_norms", "phrase_topk",
     "delete_then_search", "span_near_docs", "block_join_parents",
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors_docs": fulltext.term_vectors_docs,
         "export_sorted_docs": fulltext.export_sorted_docs,
         "geo_distance_docs": fulltext.geo_distance_docs,
+        "geo_polygon_docs": fulltext.geo_polygon_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -144,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors_docs": fulltext.term_vectors_docs_sql(),
         "export_sorted_docs": fulltext.export_sorted_docs_sql(),
         "geo_distance_docs": fulltext.geo_distance_docs_sql(),
+        "geo_polygon_docs": fulltext.geo_polygon_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

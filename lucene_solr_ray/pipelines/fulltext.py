@@ -1655,6 +1655,80 @@ SELECT doc_id, rank, ROUND(distance_m, 3) AS distance_m FROM (
 """
 
 
+#: the LatLonShape gate's query polygon — irregular pentagon over the
+#: deterministic point field (lat 40–60, lon −10–20); shared verbatim by
+#: the Ray kernel and the generated SQL oracle
+GEO_POLYGON = [
+    (45.1, -2.3), (52.7, -6.1), (58.3, 1.7), (55.9, 12.3), (46.2, 8.7),
+]
+
+
+def geo_polygon_docs(sf_dir: str) -> pa.Table:
+    """LatLonShape polygon-query gate (the fork's signature feature:
+    ``lucene/sandbox/.../LatLonShapePolygonQuery.java``): each doc indexes
+    its deterministic (lat, lon) as a degenerate point shape in the
+    bbox-sorted triangle table; the query returns docs inside the pentagon.
+    SQL-matched — the oracle ray-casts with the identical crossing formula
+    (richer triangle/line shapes are exercised by tests/test_shape.py)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_solr_ray.search.shape import (
+        build_shape_index,
+        shape_polygon_query,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, f"shape_v1_{key}")
+    if not os.path.isdir(idx) or not os.listdir(idx):
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).column("doc_id").to_numpy().astype(np.int64)
+        h1 = ((ids + 7) * 2654435761) % 4294967296
+        h2 = ((ids + 13) * 2654435761) % 4294967296
+        lat = 40.0 + (h1 % 20001) / 1000.0
+        lon = -10.0 + (h2 % 30001) / 1000.0
+        geoms = pa.array(
+            [[[la, lo]] for la, lo in zip(lat, lon)],
+            pa.list_(pa.list_(pa.float64())),
+        )
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids), "geom": geoms})
+        )
+        build_shape_index(ds, "doc_id", "geom", idx)
+    hits = shape_polygon_query(idx, GEO_POLYGON).to_pandas()
+    return pa.table(
+        {"doc_id": pa.array(np.sort(hits["doc_id"].to_numpy()))}
+    )
+
+
+def geo_polygon_docs_sql() -> str:
+    n = len(GEO_POLYGON)
+    edges = ", ".join(
+        f"({GEO_POLYGON[i][1]}, {GEO_POLYGON[i][0]}, "
+        f"{GEO_POLYGON[(i + 1) % n][1]}, {GEO_POLYGON[(i + 1) % n][0]})"
+        for i in range(n)
+    )
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+    40.0 + ((((doc_id + 7) * 2654435761) % 4294967296) % 20001) / 1000.0
+      AS lat,
+    -10.0 + ((((doc_id + 13) * 2654435761) % 4294967296) % 30001) / 1000.0
+      AS lon
+  FROM documents
+), edges(x1, y1, x2, y2) AS (VALUES {edges})
+SELECT doc_id FROM (
+  SELECT p.doc_id,
+    SUM(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+          AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1)
+               + e.x1)
+        THEN 1 ELSE 0 END) AS crossings
+  FROM pts p CROSS JOIN edges e GROUP BY p.doc_id
+) WHERE crossings % 2 = 1 ORDER BY doc_id
+"""
+
+
 def free_text_suggest_merge(sf_dir: str) -> pa.Table:
     """FreeTextSuggester gate: top next-words after "merge" by bigram
     frequency; SQL-matched with a positions self-join oracle."""
