@@ -43,7 +43,7 @@ _PRIORITY: list[str] = [
     "sliding_windows", "urp_clean_parts", "distinct_quantiles",
     "hll_partkeys", "eval_props", "facet_price_ranges", "json_facet_brands",
     # -- round-3 additions (inserted here as they land) -------------------
-    "geo_polygon_docs",
+    "geo_polygon_docs", "nb_classify_docs",
     # -- flagship + paths touched this round ------------------------------
     "bm25_topk", "term_stats", "doc_norms", "phrase_topk",
     "delete_then_search", "span_near_docs", "block_join_parents",

@@ -460,3 +460,73 @@ def text_logit_docs(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["text_logit_docs"] = text_logit_docs
+
+
+# -- SimpleNaiveBayes classification (gated + SQL) ---------------------------
+
+#: the gate classifies the first 5 non-empty docs against the full corpus
+_NB_INPUTS = 5
+
+
+def nb_classify_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-class log scores of the reference's add-1-smoothed naive Bayes
+    (SimpleNaiveBayesClassifier) for the first 5 non-empty documents,
+    with `lang` as the class field.  SQL-matched — the prior/likelihood
+    sums are exact SQL."""
+    import ray.data
+
+    from lucene_solr_ray.functions.classify import naive_bayes_classify
+
+    head = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    head = head[head["text"].fillna("") != ""].head(_NB_INPUTS)
+    inputs = list(zip(head["doc_id"].astype(int), head["text"]))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    out = naive_bayes_classify(ds, "text", "lang", inputs)
+    out["input_id"] = out["input_id"].astype("int64")
+    return out.sort_values(["input_id", "label"]).reset_index(drop=True)
+
+
+NB_CLASSIFY_SQL = f"""
+WITH inputs AS (
+  SELECT doc_id, text FROM documents WHERE text <> ''
+  ORDER BY doc_id LIMIT {_NB_INPUTS}
+),
+itok AS (
+  SELECT doc_id AS input_id, unnest(string_split(text, ' ')) AS term
+  FROM inputs
+),
+ctok AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+),
+classes AS (SELECT lang, COUNT(*) AS df_c FROM documents GROUP BY lang),
+consts AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM ctok)
+           / (SELECT COUNT(*) FROM documents WHERE text <> '') AS avg_uniq,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs
+),
+wc AS (SELECT term, lang, COUNT(*) AS hits FROM ctok GROUP BY term, lang)
+SELECT i.input_id, c.lang AS label,
+  ROUND(
+    ln(c.df_c / x.n_docs)
+    + SUM(ln((COALESCE(w.hits, 0) + 1)
+             / (x.avg_uniq * c.df_c + x.n_docs))),
+  6) AS log_score
+FROM itok i CROSS JOIN classes c CROSS JOIN consts x
+LEFT JOIN wc w ON w.term = i.term AND w.lang = c.lang
+GROUP BY i.input_id, c.lang, c.df_c, x.avg_uniq, x.n_docs
+ORDER BY input_id, label
+"""
+
+QUERIES["nb_classify_docs"] = nb_classify_docs
+ORACLES["nb_classify_docs"] = NB_CLASSIFY_SQL
