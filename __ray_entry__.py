@@ -43,7 +43,8 @@ _PRIORITY: list[str] = [
     "sliding_windows", "urp_clean_parts", "distinct_quantiles",
     "hll_partkeys", "eval_props", "facet_price_ranges", "json_facet_brands",
     # -- round-3 additions (inserted here as they land) -------------------
-    "geo_polygon_docs", "nb_classify_docs",
+    "geo_polygon_docs", "nb_classify_docs", "ltr_rerank_docs",
+    "ltr_trees_docs",
     # -- flagship + paths touched this round ------------------------------
     "bm25_topk", "term_stats", "doc_norms", "phrase_topk",
     "delete_then_search", "span_near_docs", "block_join_parents",
@@ -102,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_sorted_docs": fulltext.export_sorted_docs,
         "geo_distance_docs": fulltext.geo_distance_docs,
         "geo_polygon_docs": fulltext.geo_polygon_docs,
+        "ltr_rerank_docs": fulltext.ltr_rerank_docs,
+        "ltr_trees_docs": fulltext.ltr_trees_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -147,6 +150,8 @@ def oracle_sql() -> dict[str, str]:
         "export_sorted_docs": fulltext.export_sorted_docs_sql(),
         "geo_distance_docs": fulltext.geo_distance_docs_sql(),
         "geo_polygon_docs": fulltext.geo_polygon_docs_sql(),
+        "ltr_rerank_docs": fulltext.ltr_rerank_docs_sql(),
+        "ltr_trees_docs": fulltext.ltr_trees_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -1840,3 +1840,166 @@ def realtime_get_docs_sql() -> str:
 SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id IN (3, 141, 400) ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# LTR re-ranking — linear and additive-trees models (solr/contrib/ltr);
+# SQL-matched: every feature is SQL-expressible (BM25 scores from the
+# shared CTE, SmallFloat-bucketed field length, constants)
+# ---------------------------------------------------------------------------
+
+#: first pass + window shared by both LTR gates
+_LTR_Q1 = "merge sort"
+_LTR_WINDOW = 50
+
+
+def _ltr_features():
+    from lucene_solr_ray.search.ltr import (
+        FieldLengthFeature,
+        OriginalScoreFeature,
+        SolrFeature,
+        ValueFeature,
+    )
+
+    return [
+        OriginalScoreFeature("orig"),
+        FieldLengthFeature("len"),
+        SolrFeature("qbatch", q="batch"),
+        ValueFeature("bias", efi_key="bias"),
+    ]
+
+
+def ltr_rerank_docs(sf_dir: str) -> pa.Table:
+    """LinearModel re-rank of the first-pass top-50 for ``merge sort``:
+    score = 1·origScore + 0.3·minmax(fieldLength, 0, 100) +
+    0.8·score(q=batch) + 1·efi(bias=0.5)."""
+    from lucene_solr_ray.search.ltr import (
+        LinearModel,
+        MinMaxNormalizer,
+        ltr_rescore,
+    )
+
+    idx = documents_index(sf_dir)
+    t = ltr_rescore(
+        idx,
+        _LTR_Q1,
+        LinearModel({"orig": 1.0, "len": 0.3, "qbatch": 0.8, "bias": 1.0}),
+        _ltr_features(),
+        k=10,
+        window=_LTR_WINDOW,
+        norms={"len": MinMaxNormalizer(0.0, 100.0)},
+        efi={"bias": 0.5},
+        similarity=BM25SimilarityF64(),
+    )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "rank": t.column("rank"),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+            "first_pass": pa.array(
+                np.round(t.column("first_pass").to_numpy(), 4)
+            ),
+        }
+    )
+
+
+_LTR_WIN_CTE = _BM25_CTE + """
+, fp AS (
+  SELECT doc_id, SUM(tscore) AS first
+  FROM scores WHERE term IN ('merge', 'sort') GROUP BY doc_id
+),
+win AS (
+  SELECT doc_id, first FROM fp
+  ORDER BY first DESC, doc_id ASC LIMIT 50
+),
+fb AS (
+  SELECT doc_id, SUM(tscore) AS fbatch
+  FROM scores WHERE term = 'batch' GROUP BY doc_id
+)
+"""
+
+
+def ltr_rerank_docs_sql() -> str:
+    return _LTR_WIN_CTE + """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       ROUND(score, 4) AS score, ROUND(first, 4) AS first_pass
+FROM (
+  SELECT w.doc_id, w.first,
+    1.0 * w.first + 0.3 * (dn.dlq / 100.0)
+      + 0.8 * COALESCE(fb.fbatch, 0) + 1.0 * 0.5 AS score
+  FROM win w
+  JOIN dln dn ON w.doc_id = dn.doc_id
+  LEFT JOIN fb ON fb.doc_id = w.doc_id
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def ltr_trees_docs(sf_dir: str) -> pa.Table:
+    """MultipleAdditiveTrees re-rank (LambdaMART shape) over (orig, len)
+    with the reference's value <= threshold+1e-6 split rule."""
+    from lucene_solr_ray.search.ltr import (
+        FieldLengthFeature,
+        MultipleAdditiveTreesModel,
+        OriginalScoreFeature,
+        ltr_rescore,
+    )
+
+    idx = documents_index(sf_dir)
+    model = MultipleAdditiveTreesModel((
+        {
+            "weight": 1.0,
+            "root": {
+                "feature": "len", "threshold": 30.0,
+                "left": {"value": 0.1},
+                "right": {
+                    "feature": "orig", "threshold": 2.0,
+                    "left": {"value": 0.5},
+                    "right": {"value": 1.5},
+                },
+            },
+        },
+        {
+            "weight": 2.0,
+            "root": {
+                "feature": "orig", "threshold": 1.0,
+                "left": {"value": 0.0},
+                "right": {"value": 0.25},
+            },
+        },
+    ))
+    t = ltr_rescore(
+        idx,
+        _LTR_Q1,
+        model,
+        [OriginalScoreFeature("orig"), FieldLengthFeature("len")],
+        k=10,
+        window=_LTR_WINDOW,
+        similarity=BM25SimilarityF64(),
+    )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "rank": t.column("rank"),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def ltr_trees_docs_sql() -> str:
+    return _LTR_WIN_CTE + """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       ROUND(score, 4) AS score
+FROM (
+  SELECT w.doc_id,
+    1.0 * (CASE WHEN dn.dlq <= 30.0 + 1e-6 THEN 0.1
+                WHEN w.first <= 2.0 + 1e-6 THEN 0.5
+                ELSE 1.5 END)
+    + 2.0 * (CASE WHEN w.first <= 1.0 + 1e-6 THEN 0.0
+                  ELSE 0.25 END) AS score
+  FROM win w JOIN dln dn ON w.doc_id = dn.doc_id
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
