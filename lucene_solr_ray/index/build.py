@@ -163,6 +163,7 @@ class _BuildShard:
         with_offsets: bool = False,
         field_analyzers: Optional[Dict[str, StandardAnalyzer]] = None,
         numeric_fields: Optional[Dict[str, str]] = None,
+        index_sort: Optional[tuple] = None,
     ) -> None:
         self.out_dir = out_dir
         self.text_col = text_col
@@ -174,6 +175,7 @@ class _BuildShard:
         self.with_offsets = with_offsets
         self.field_analyzers = dict(field_analyzers or {})
         self.numeric_fields = dict(numeric_fields or {})
+        self.index_sort = tuple(index_sort) if index_sort else None
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -190,14 +192,30 @@ class _BuildShard:
         ) + list(self.numeric_fields.values())
         if self.id_col:
             cols = [self.id_col] + cols
+        if self.index_sort:
+            cols.append(self.index_sort[0])
         t = _read_shard_columns(shard, list(dict.fromkeys(cols)))
-        texts = t.column(self.text_col).to_pylist()
         if self.id_col:
             doc_ids = t.column(self.id_col).to_pylist()
         else:
             doc_ids = list(
-                range(shard["doc_base"], shard["doc_base"] + len(texts))
+                range(shard["doc_base"], shard["doc_base"] + len(t))
             )
+        if self.index_sort and len(t):
+            # IndexWriterConfig.setIndexSort (IndexWriterConfig.java:465):
+            # rows are laid down in comparator order (value, then the
+            # query-time doc_id-ascending tiebreak) so ord order == sort
+            # order and collectors can terminate early.  doc_ids ride with
+            # their rows — only the within-segment ordinal changes.
+            fld, desc = self.index_sort
+            vals = t.column(fld).to_numpy(zero_copy_only=False)
+            vals = vals.astype(np.float64)
+            perm = np.lexsort(
+                (np.asarray(doc_ids), -vals if desc else vals)
+            )
+            t = t.take(perm)
+            doc_ids = [doc_ids[i] for i in perm]
+        texts = t.column(self.text_col).to_pylist()
         if self.extra_fields:
             field_texts = {self.text_col: texts}
             for fname, colname in self.extra_fields.items():
@@ -237,6 +255,11 @@ class _BuildShard:
         meta = {
             "segment_id": shard["segment_id"],
             "stats": seg.stats,
+            **(
+                {"index_sort": {"field": self.index_sort[0],
+                                "desc": bool(self.index_sort[1])}}
+                if self.index_sort else {}
+            ),
             **({"default_field": self.text_col} if self.extra_fields else {}),
             **({"numeric_fields": numeric_meta} if numeric_meta else {}),
             **({"points_minmax": points_minmax} if points_minmax else {}),
@@ -280,12 +303,22 @@ def build_index(
     numeric_fields: Optional[Dict[str, str]] = None,
     block_align_col: Optional[str] = None,
     concurrency: Optional[int] = None,
+    index_sort: Optional[tuple] = None,
 ) -> Dict:
     """Build (or resume) an index over corpus Parquet; returns the manifest.
+
+    ``index_sort=(column, descending)`` lays each segment down in sort
+    order (IndexWriterConfig.setIndexSort) — ``search_by_field`` on the
+    same (field, direction) then early-terminates per segment.  The column
+    must also be a stored/numeric column for query-time value reads.
+    Incompatible with ``block_align_col`` (sorting would tear blocks).
 
     Ray must already be initialised by the caller (driver contract).
     """
     import ray.data
+
+    if index_sort and block_align_col:
+        raise ValueError("index_sort is incompatible with block_align_col")
 
     if isinstance(paths, str):
         paths = [
@@ -306,6 +339,7 @@ def build_index(
         fn = _BuildShard(
             out_dir, text_col, id_col, analyzer, with_positions, stored_cols,
             extra_fields, with_offsets, field_analyzers, numeric_fields,
+            index_sort,
         )
         # one block per shard — map_batches parallelism follows block count,
         # so without this from_items may pack shards into few blocks and

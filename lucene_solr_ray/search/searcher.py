@@ -741,6 +741,34 @@ def search(
     return Index(index_dir).search(queries, k, **kw)
 
 
+def field_sort_topk_ords(
+    reader, ords: np.ndarray, vals: np.ndarray, descending: bool, k: int,
+    field: str,
+) -> "Tuple[np.ndarray, int]":
+    """Select the top-``k`` matching ords by ``vals`` (tie: ascending
+    doc_id) and report how many candidates had their sort key examined.
+
+    Early termination (``TopFieldCollector`` CollectionTerminatedException
+    over a matching ``IndexWriterConfig.setIndexSort``): when the segment
+    was laid down sorted by (field, direction) — build.py records
+    ``index_sort`` in the segment meta — ord order IS comparator order, so
+    the first ``k`` matching ords are the answer and the remaining
+    candidates are never compared."""
+    isort = reader.meta.get("index_sort")
+    if (
+        isort is not None
+        and isort.get("field") == field
+        and bool(isort.get("desc")) == bool(descending)
+    ):
+        sel = ords[:k]
+        return sel, len(sel)
+    v = vals[ords].astype(np.float64)
+    dids = reader.doc_ids[ords]
+    sign = -1.0 if descending else 1.0
+    order = np.lexsort((dids, sign * v))[:k]
+    return ords[order], len(ords)
+
+
 class _FieldSortFn:
     """Per-segment matching + top-k by a docmeta field (TopFieldCollector,
     reference ``search/TopFieldCollector.java``): matching ords come from
@@ -777,14 +805,16 @@ class _FieldSortFn:
             ).column(self.field).to_numpy()
             for qid, q, k in self.parsed:
                 ords, _ = score_segment(reader, q, self.stats)
-                v = vals[ords]
-                dids = reader.doc_ids[ords]
-                sign = -1.0 if self.descending else 1.0
-                order = np.lexsort((dids, sign * v.astype(np.float64)))[:k]
-                for o in order:
+                sel, _scanned = field_sort_topk_ords(
+                    reader, ords, vals, self.descending, k, self.field
+                )
+                for o, v, d in zip(
+                    sel, vals[sel].astype(np.float64),
+                    reader.doc_ids[sel],
+                ):
                     rows.append(
-                        {"qid": qid, "doc_id": int(dids[o]),
-                         "sort_value": float(v[o]), "seg_ord": seg_ord}
+                        {"qid": qid, "doc_id": int(d),
+                         "sort_value": float(v), "seg_ord": seg_ord}
                     )
         return pa.Table.from_pylist(
             rows,
@@ -805,8 +835,9 @@ def search_by_field(
 ) -> pa.Table:
     """Sort-by-field search: match with the query, rank by a docmeta column
     (field_len, norm, or any stored column), ties by ascending doc_id.
-    Early termination on index-sorted segments is a no-op here (segments
-    are doc-id-sorted, not field-sorted)."""
+    Segments built with a matching ``index_sort=(field, descending)``
+    early-terminate: the first k matching ords are taken without any
+    per-candidate comparison (``field_sort_topk_ords``)."""
     import ray.data
 
     parser = index.make_parser(analyzer)

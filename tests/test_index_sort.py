@@ -1,0 +1,136 @@
+"""Index-time sort + sorted-index early termination.
+
+Reference: ``IndexWriterConfig.setIndexSort`` (IndexWriterConfig.java:465)
+lays segments down in comparator order; ``TopFieldCollector`` then throws
+CollectionTerminatedException after k docs when the search sort matches
+the index sort.  Here: build.py permutes each shard by (value, doc_id asc)
+and records ``index_sort`` in the segment meta; ``field_sort_topk_ords``
+takes the first k matching ords without comparisons.
+"""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search.reader import SegmentReader
+from lucene_solr_ray.search.searcher import (
+    Index,
+    field_sort_topk_ords,
+    search_by_field,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    n = 120
+    words = ["merge", "sort", "batch", "alpha", "beta", "gamma"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 9)))
+        for _ in range(n)
+    ]
+    prio = rng.integers(0, 40, size=n)  # duplicate values → tiebreaks
+    p = str(tmp_path_factory.mktemp("isort") / "docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "prio": pa.array(prio, pa.int64()),
+        }),
+        p,
+    )
+    return p
+
+
+def _build(corpus, out, **kw):
+    return build_index(
+        corpus, out, text_col="text", id_col="doc_id",
+        stored_cols=["prio"], docs_per_segment=40, **kw
+    )
+
+
+def test_sorted_build_layout_and_meta(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "sorted")
+    _build(corpus, out, index_sort=("prio", True))
+    idx = Index(out)
+    assert len(idx.seg_dirs) >= 2  # multi-segment (row-group snapping)
+    for d in idx.seg_dirs:
+        with open(os.path.join(d, "segment.json")) as f:
+            meta = json.load(f)
+        assert meta["index_sort"] == {"field": "prio", "desc": True}
+        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
+        v = dm.column("prio").to_numpy()
+        ids = dm.column("doc_id").to_numpy()
+        # non-increasing values; doc_id ascending within equal values
+        assert (np.diff(v) <= 0).all()
+        same = np.diff(v) == 0
+        assert (np.diff(ids)[same] > 0).all()
+
+
+def test_sorted_vs_unsorted_identity(ray_session, corpus, tmp_path):
+    """search_by_field results are byte-identical between a sorted index
+    (early-terminating) and an unsorted one (full comparator sort)."""
+    plain = str(tmp_path / "plain")
+    srt = str(tmp_path / "srt")
+    _build(corpus, plain)
+    _build(corpus, srt, index_sort=("prio", True))
+    queries = {0: "merge", 1: "merge sort", 2: "batch"}
+    a = search_by_field(Index(plain), queries, "prio",
+                        descending=True, k=7)
+    b = search_by_field(Index(srt), queries, "prio",
+                        descending=True, k=7)
+    assert a.equals(b)
+    # ascending search over a DESC-sorted index must NOT early-terminate
+    # (direction mismatch) and still agree
+    a2 = search_by_field(Index(plain), queries, "prio",
+                         descending=False, k=7)
+    b2 = search_by_field(Index(srt), queries, "prio",
+                         descending=False, k=7)
+    assert a2.equals(b2)
+
+
+def test_early_termination_scan_counts(ray_session, corpus, tmp_path):
+    from lucene_solr_ray.search.scorer import score_segment
+
+    srt = str(tmp_path / "srt2")
+    _build(corpus, srt, index_sort=("prio", True))
+    idx = Index(srt)
+    parser = idx.make_parser()
+    q = parser.parse("merge")
+    stats, _ = idx.collect_stats(sorted(set(q.terms())), [])
+    reader = SegmentReader(idx.seg_dirs[0])
+    vals = pq.read_table(
+        os.path.join(idx.seg_dirs[0], "docmeta.parquet"),
+        columns=["prio"],
+    ).column("prio").to_numpy()
+    ords, _ = score_segment(reader, q, stats)
+    assert len(ords) > 3
+    k = 3
+    sel, scanned = field_sort_topk_ords(reader, ords, vals, True, k, "prio")
+    assert scanned == k  # early termination: only k keys examined
+    # mismatch (wrong direction / wrong field) scans every candidate
+    _, scanned_asc = field_sort_topk_ords(
+        reader, ords, vals, False, k, "prio"
+    )
+    assert scanned_asc == len(ords)
+    _, scanned_other = field_sort_topk_ords(
+        reader, ords, vals, True, k, "field_len"
+    )
+    assert scanned_other == len(ords)
+    # the early-terminated selection equals the full comparator's answer
+    full, _ = field_sort_topk_ords(reader, ords, vals, False, len(ords),
+                                   "prio")
+    v = vals[full].astype(np.float64)
+    order = np.lexsort((reader.doc_ids[full], -v))[:k]
+    np.testing.assert_array_equal(sel, full[order])
+
+
+def test_index_sort_rejects_block_align(ray_session, corpus, tmp_path):
+    with pytest.raises(ValueError, match="incompatible"):
+        build_index(corpus, str(tmp_path / "x"), text_col="text",
+                    index_sort=("prio", True), block_align_col="prio")
