@@ -44,7 +44,7 @@ _PRIORITY: list[str] = [
     "hll_partkeys", "eval_props", "facet_price_ranges", "json_facet_brands",
     # -- round-3 additions (inserted here as they land) -------------------
     "geo_polygon_docs", "nb_classify_docs", "ltr_rerank_docs",
-    "ltr_trees_docs",
+    "ltr_trees_docs", "dv_update_then_sort", "indexsort_topk",
     # -- flagship + paths touched this round ------------------------------
     "bm25_topk", "term_stats", "doc_norms", "phrase_topk",
     "delete_then_search", "span_near_docs", "block_join_parents",
@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_docs": fulltext.geo_polygon_docs,
         "ltr_rerank_docs": fulltext.ltr_rerank_docs,
         "ltr_trees_docs": fulltext.ltr_trees_docs,
+        "dv_update_then_sort": fulltext.dv_update_then_sort,
+        "indexsort_topk": fulltext.indexsort_topk,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -152,6 +154,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_polygon_docs": fulltext.geo_polygon_docs_sql(),
         "ltr_rerank_docs": fulltext.ltr_rerank_docs_sql(),
         "ltr_trees_docs": fulltext.ltr_trees_docs_sql(),
+        "dv_update_then_sort": fulltext.dv_update_then_sort_sql(),
+        "indexsort_topk": fulltext.indexsort_topk_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -122,15 +122,16 @@ def _effective_inputs(seg_dirs: List[str]):
     reference ``index/SegmentMerger.java:105-139``)."""
     import json
 
-    import pyarrow.parquet as pq
-
     from lucene_solr_ray.index.deletes import segment_deleted_ords
+    from lucene_solr_ray.index.docvalues import docmeta_with_overlays
 
     docmetas, in_metas, dels, eff_stats = [], [], [], []
     for d in seg_dirs:
         with open(os.path.join(d, "segment.json")) as f:
             meta = json.load(f)
-        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
+        # DocValues-update overlays bake into the merged docmeta (the
+        # reference rewrites doc values on merge, dropping dvu generations)
+        dm = docmeta_with_overlays(d)
         deleted = segment_deleted_ords(d)
         if len(deleted):
             live = np.ones(dm.num_rows, dtype=bool)

@@ -1450,6 +1450,116 @@ def delete_then_search_sql() -> str:
     return _BM25_CTE + "\nUNION ALL\n".join(selects)
 
 
+def dv_update_then_sort(sf_dir: str) -> pa.Table:
+    """In-place numeric DocValues update gate
+    (``IndexWriter.updateNumericDocValue``, IndexWriter.java:1683): build
+    a private index storing ``n_chars``, stamp ``n_chars=7`` on every doc
+    containing 'merge', then ``n_chars=9000`` on every doc containing
+    'sort' (the later write wins on docs with both — update generations),
+    and rank docs matching 'data' by the column: the sort path reads
+    through the overlay sidecars without rewriting any segment."""
+    from lucene_solr_ray.index.docvalues import update_numeric_docvalue
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+    from lucene_solr_ray.search.searcher import search_by_field
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"documents_dvu_v{FORMAT_VERSION}_{key}")
+    if read_latest_manifest(out) is None:
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            text_col="text",
+            id_col="doc_id",
+            stored_cols=["n_chars"],
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    # idempotent: re-running re-stamps the same final values
+    update_numeric_docvalue(out, "merge", "n_chars", 7)
+    update_numeric_docvalue(out, "sort", "n_chars", 9000)
+    t = search_by_field(
+        Index(out), {0: "data"}, "n_chars", descending=True, k=15
+    )
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "n_chars": pa.array(
+                t.column("sort_value").to_numpy().astype(np.int64)
+            ),
+        }
+    )
+
+
+def dv_update_then_sort_sql() -> str:
+    return """
+WITH upd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+    CASE WHEN list_contains(string_split(text, ' '), 'sort') THEN 9000
+         WHEN list_contains(string_split(text, ' '), 'merge') THEN 7
+         ELSE n_chars END::BIGINT AS n_chars_u
+  FROM documents
+)
+SELECT 0 AS qid, doc_id, rank, n_chars FROM (
+  SELECT doc_id, n_chars_u AS n_chars,
+    ROW_NUMBER() OVER (ORDER BY n_chars_u DESC, doc_id) AS rank
+  FROM upd WHERE list_contains(toks, 'data')
+) WHERE rank <= 15
+"""
+
+
+def indexsort_topk(sf_dir: str) -> pa.Table:
+    """Index-time-sort gate (``IndexWriterConfig.setIndexSort``,
+    IndexWriterConfig.java:465): segments laid down in (n_chars DESC,
+    doc_id ASC) comparator order; ``search_by_field`` on the matching sort
+    early-terminates per segment after k matching ords — results must be
+    byte-identical to the full comparator over an unsorted index."""
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+    from lucene_solr_ray.search.searcher import search_by_field
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(
+        _CACHE_ROOT, f"documents_isort_v{FORMAT_VERSION}_{key}"
+    )
+    if read_latest_manifest(out) is None:
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            text_col="text",
+            id_col="doc_id",
+            stored_cols=["n_chars"],
+            index_sort=("n_chars", True),
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    t = search_by_field(
+        Index(out), {0: "batch"}, "n_chars", descending=True, k=12
+    )
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "n_chars": pa.array(
+                t.column("sort_value").to_numpy().astype(np.int64)
+            ),
+        }
+    )
+
+
+def indexsort_topk_sql() -> str:
+    return """
+SELECT 0 AS qid, doc_id, rank, n_chars FROM (
+  SELECT doc_id, n_chars,
+    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents WHERE list_contains(string_split(text, ' '), 'batch')
+) WHERE rank <= 12
+"""
+
+
 def field_wildcard_docs(sf_dir: str) -> pa.Table:
     """Field-scoped wildcard over the ``lang`` keyword field:
     docs whose lang starts with 'e' (constant-score rewrite)."""

@@ -743,7 +743,7 @@ def search(
 
 def field_sort_topk_ords(
     reader, ords: np.ndarray, vals: np.ndarray, descending: bool, k: int,
-    field: str,
+    field: str, overlaid: bool = False,
 ) -> "Tuple[np.ndarray, int]":
     """Select the top-``k`` matching ords by ``vals`` (tie: ascending
     doc_id) and report how many candidates had their sort key examined.
@@ -753,10 +753,13 @@ def field_sort_topk_ords(
     was laid down sorted by (field, direction) — build.py records
     ``index_sort`` in the segment meta — ord order IS comparator order, so
     the first ``k`` matching ords are the answer and the remaining
-    candidates are never compared."""
+    candidates are never compared.  ``overlaid=True`` (a DocValues-update
+    sidecar rewrote some of ``vals``) voids that physical-order guarantee
+    and forces the full comparator."""
     isort = reader.meta.get("index_sort")
     if (
-        isort is not None
+        not overlaid
+        and isort is not None
         and isort.get("field") == field
         and bool(isort.get("desc")) == bool(descending)
     ):
@@ -783,8 +786,7 @@ class _FieldSortFn:
         self._readers: Dict[str, SegmentReader] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
+        from lucene_solr_ray.index.docvalues import read_docmeta_column
         from lucene_solr_ray.search.scorer import score_segment
 
         rows = []
@@ -799,14 +801,12 @@ class _FieldSortFn:
             if reader is None:
                 reader = SegmentReader(seg_dir, load_positions=self.need_pos)
                 self._readers[rkey] = reader
-            vals = pq.read_table(
-                os.path.join(seg_dir, "docmeta.parquet"),
-                columns=[self.field],
-            ).column(self.field).to_numpy()
+            vals, overlaid = read_docmeta_column(seg_dir, self.field)
             for qid, q, k in self.parsed:
                 ords, _ = score_segment(reader, q, self.stats)
                 sel, _scanned = field_sort_topk_ords(
-                    reader, ords, vals, self.descending, k, self.field
+                    reader, ords, vals, self.descending, k, self.field,
+                    overlaid=overlaid,
                 )
                 for o, v, d in zip(
                     sel, vals[sel].astype(np.float64),
