@@ -45,6 +45,7 @@ _PRIORITY: list[str] = [
     # -- round-3 additions (inserted here as they land) -------------------
     "geo_polygon_docs", "nb_classify_docs", "ltr_rerank_docs",
     "ltr_trees_docs", "dv_update_then_sort", "indexsort_topk",
+    "payload_score_docs",
     # -- flagship + paths touched this round ------------------------------
     "bm25_topk", "term_stats", "doc_norms", "phrase_topk",
     "delete_then_search", "span_near_docs", "block_join_parents",
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_trees_docs": fulltext.ltr_trees_docs,
         "dv_update_then_sort": fulltext.dv_update_then_sort,
         "indexsort_topk": fulltext.indexsort_topk,
+        "payload_score_docs": fulltext.payload_score_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
     out.update(relational.QUERIES)
@@ -156,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "ltr_trees_docs": fulltext.ltr_trees_docs_sql(),
         "dv_update_then_sort": fulltext.dv_update_then_sort_sql(),
         "indexsort_topk": fulltext.indexsort_topk_sql(),
+        "payload_score_docs": fulltext.payload_score_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

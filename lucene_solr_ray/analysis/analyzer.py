@@ -244,6 +244,62 @@ class KeywordAnalyzer(StandardAnalyzer):
         return {"kind": "keyword", "lowercase": self.lowercase_value}
 
 
+class DelimitedPayloadAnalyzer(StandardAnalyzer):
+    """Whitespace tokenizer + DelimitedPayloadTokenFilter with FloatEncoder
+    (reference ``lucene/analysis/common/src/java/org/apache/lucene/
+    analysis/payloads/DelimitedPayloadTokenFilter.java`` +
+    ``FloatEncoder.java``): each whitespace token ``word|3.5`` splits into
+    the lowercased term ``word`` carrying float payload 3.5; tokens
+    without the delimiter carry payload 0.0.  Stop words drop AFTER the
+    payload strip (leaving a position gap), matching a
+    Whitespace→DelimitedPayload→LowerCase→Stop chain."""
+
+    def __init__(
+        self, delimiter: str = "|", stop_words: Iterable[str] = ()
+    ) -> None:
+        super().__init__(stop_words=stop_words)
+        self.delimiter = delimiter
+
+    def _parse(self, text: str):
+        terms: List[str] = []
+        payloads: List[float] = []
+        positions: List[int] = []
+        stop = self.stop_words
+        for pos, tok in enumerate(text.split()):
+            term, _, pay = tok.partition(self.delimiter)
+            term = lowercase(term)
+            if not term or term in stop:
+                continue
+            try:
+                p = float(pay) if pay else 0.0
+            except ValueError:
+                p = 0.0
+            terms.append(term)
+            payloads.append(p)
+            positions.append(pos)
+        return terms, positions, payloads
+
+    def analyze(self, text: str) -> List[str]:
+        return self._parse(text)[0]
+
+    def analyze_with_positions(self, text: str):
+        terms, positions, _ = self._parse(text)
+        return terms, positions, len(terms)
+
+    def analyze_with_payloads(self, text: str):
+        """(terms, positions, payloads, field_length) — the
+        PayloadAttribute path."""
+        terms, positions, payloads = self._parse(text)
+        return terms, positions, payloads, len(terms)
+
+    def spec(self) -> Dict:
+        return {
+            "kind": "delimited_payload",
+            "delimiter": self.delimiter,
+            "stop_words": sorted(self.stop_words),
+        }
+
+
 def analyzer_from_spec(spec: Dict) -> "Optional[StandardAnalyzer]":
     """Reconstruct an analyzer from its manifest ``spec()`` dict.
 
@@ -254,6 +310,11 @@ def analyzer_from_spec(spec: Dict) -> "Optional[StandardAnalyzer]":
         return None
     if kind == "keyword":
         return KeywordAnalyzer(lowercase_value=bool(spec.get("lowercase")))
+    if kind == "delimited_payload":
+        return DelimitedPayloadAnalyzer(
+            delimiter=spec.get("delimiter", "|"),
+            stop_words=spec.get("stop_words", ()),
+        )
     if kind == "english":
         from lucene_solr_ray.analysis.en import EnglishAnalyzer
 

@@ -164,6 +164,7 @@ class _BuildShard:
         field_analyzers: Optional[Dict[str, StandardAnalyzer]] = None,
         numeric_fields: Optional[Dict[str, str]] = None,
         index_sort: Optional[tuple] = None,
+        with_payloads: bool = False,
     ) -> None:
         self.out_dir = out_dir
         self.text_col = text_col
@@ -176,6 +177,7 @@ class _BuildShard:
         self.field_analyzers = dict(field_analyzers or {})
         self.numeric_fields = dict(numeric_fields or {})
         self.index_sort = tuple(index_sort) if index_sort else None
+        self.with_payloads = with_payloads
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -228,7 +230,7 @@ class _BuildShard:
         else:
             seg = build_segment_tables(
                 doc_ids, texts, self.analyzer, self.with_positions,
-                self.with_offsets,
+                self.with_offsets, self.with_payloads,
             )
         docmeta = seg.docmeta
         for c in self.stored_cols:  # docstore columns ride along docmeta
@@ -304,6 +306,7 @@ def build_index(
     block_align_col: Optional[str] = None,
     concurrency: Optional[int] = None,
     index_sort: Optional[tuple] = None,
+    with_payloads: bool = False,
 ) -> Dict:
     """Build (or resume) an index over corpus Parquet; returns the manifest.
 
@@ -339,7 +342,7 @@ def build_index(
         fn = _BuildShard(
             out_dir, text_col, id_col, analyzer, with_positions, stored_cols,
             extra_fields, with_offsets, field_analyzers, numeric_fields,
-            index_sort,
+            index_sort, with_payloads,
         )
         # one block per shard — map_batches parallelism follows block count,
         # so without this from_items may pack shards into few blocks and

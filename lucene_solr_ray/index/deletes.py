@@ -289,6 +289,7 @@ def compact_postings_rows(
         return postings
     deleted = np.sort(np.asarray(deleted, dtype=np.int64))
     has_off = "offsets" in postings.schema.names
+    has_pay = "payloads" in postings.schema.names
     terms = postings.column("term").to_pylist()
     blocks = postings.column("blocks").to_pylist()
     poss = postings.column("positions").to_pylist()
@@ -296,9 +297,15 @@ def compact_postings_rows(
         postings.column("offsets").to_pylist() if has_off
         else [None] * postings.num_rows
     )
+    pays = (
+        postings.column("payloads").to_pylist() if has_pay
+        else [None] * postings.num_rows
+    )
     out = {"term": [], "df": [], "ttf": [], "blocks": [], "positions": [],
-           "offsets": []}
-    for term, blob, posblob, offblob in zip(terms, blocks, poss, offs):
+           "offsets": [], "payloads": []}
+    for term, blob, posblob, offblob, payblob in zip(
+        terms, blocks, poss, offs, pays
+    ):
         ords, freqs = decode_postings(blob)
         ords64 = ords.astype(np.int64)
         idx = np.searchsorted(deleted, ords64)
@@ -330,6 +337,12 @@ def compact_postings_rows(
             out["offsets"].append(pairs[keep_vals].tobytes())
         else:
             out["offsets"].append(None)
+        if payblob is not None:
+            pvals = np.frombuffer(payblob or b"", dtype="<f4")
+            keep_vals = np.repeat(live, freqs)
+            out["payloads"].append(pvals[keep_vals].tobytes())
+        else:
+            out["payloads"].append(None)
     return pa.table(
         {
             "term": pa.array(out["term"], pa.string()),
@@ -338,6 +351,7 @@ def compact_postings_rows(
             "blocks": pa.array(out["blocks"], pa.binary()),
             "positions": pa.array(out["positions"], type=pa.binary()),
             "offsets": pa.array(out["offsets"], type=pa.binary()),
+            "payloads": pa.array(out["payloads"], type=pa.binary()),
         },
         schema=POSTINGS_SCHEMA,
     )

@@ -54,6 +54,7 @@ def _merge_postings_rows(tables, bases) -> "pa.Table":
     term_lists: Dict[str, List] = {}
     has_positions = False
     has_offsets = False
+    has_payloads = False
     for si, t in enumerate(tables):
         terms = t.column("term").to_pylist()
         blocks = t.column("blocks").to_pylist()
@@ -64,19 +65,26 @@ def _merge_postings_rows(tables, bases) -> "pa.Table":
             t.column("offsets").to_pylist()
             if "offsets" in t.schema.names else [None] * t.num_rows
         )
-        for term, blob, df_i, ttf_i, pos, off in zip(
-            terms, blocks, dfs_in, ttfs_in, poss, offs
+        pays = (
+            t.column("payloads").to_pylist()
+            if "payloads" in t.schema.names else [None] * t.num_rows
+        )
+        for term, blob, df_i, ttf_i, pos, off, pay in zip(
+            terms, blocks, dfs_in, ttfs_in, poss, offs, pays
         ):
             if pos is not None:
                 has_positions = True
             if off is not None:
                 has_offsets = True
+            if pay is not None:
+                has_payloads = True
             term_lists.setdefault(term, []).append(
-                (si, blob, df_i, ttf_i, pos, off)
+                (si, blob, df_i, ttf_i, pos, off, pay)
             )
 
     terms_sorted = sorted(term_lists)
-    blobs, dfs, ttfs, positions_out, offsets_out = [], [], [], [], []
+    blobs, dfs, ttfs = [], [], []
+    positions_out, offsets_out, payloads_out = [], [], []
     for term in terms_sorted:
         parts = sorted(term_lists[term], key=lambda x: x[0])
         blobs.append(
@@ -102,6 +110,15 @@ def _merge_postings_rows(tables, bases) -> "pa.Table":
             offsets_out.append(b"".join(p[5] for p in parts))
         else:
             offsets_out.append(None)
+        if has_payloads:
+            if any(p[6] is None for p in parts):
+                raise ValueError(
+                    f"term {term!r}: cannot merge segments with and "
+                    "without payloads"
+                )
+            payloads_out.append(b"".join(p[6] for p in parts))
+        else:
+            payloads_out.append(None)
     return pa.table(
         {
             "term": pa.array(terms_sorted, pa.string()),
@@ -110,6 +127,7 @@ def _merge_postings_rows(tables, bases) -> "pa.Table":
             "blocks": pa.array(blobs, pa.binary()),
             "positions": pa.array(positions_out, type=pa.binary()),
             "offsets": pa.array(offsets_out, type=pa.binary()),
+            "payloads": pa.array(payloads_out, type=pa.binary()),
         },
         schema=POSTINGS_SCHEMA,
     )

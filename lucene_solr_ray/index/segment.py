@@ -44,7 +44,7 @@ __all__ = ["build_segment_tables", "SegmentData", "POSTINGS_SCHEMA",
            "DOCMETA_SCHEMA", "FORMAT_VERSION"]
 
 #: bump when the on-disk segment layout changes (cache keys include it)
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -61,6 +61,11 @@ POSTINGS_SCHEMA = pa.schema(
         # optional (start,end) char-offset int32 pairs in the same order —
         # DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS (IndexOptions.java:25-48)
         ("offsets", pa.binary()),
+        # optional per-occurrence float32 payloads in the same (doc,
+        # occurrence) order as positions — the PayloadAttribute blob
+        # (``analysis/tokenattributes/PayloadAttribute.java`` with the
+        # FloatEncoder layout PayloadScoreQuery decodes)
+        ("payloads", pa.binary()),
     ]
 )
 
@@ -91,6 +96,7 @@ def build_segment_tables(
     analyzer: Optional[StandardAnalyzer] = None,
     with_positions: bool = True,
     with_offsets: bool = False,
+    with_payloads: bool = False,
 ) -> SegmentData:
     """Invert a slice of documents into sorted postings + docmeta tables.
 
@@ -102,6 +108,16 @@ def build_segment_tables(
         raise ValueError(
             "with_offsets requires with_positions (the offsets blob is "
             "indexed by the freq boundaries the positions path defines)"
+        )
+    if with_payloads and (not with_positions or with_offsets):
+        raise ValueError(
+            "with_payloads requires with_positions and is exclusive with "
+            "with_offsets (one attribute path per chain)"
+        )
+    if with_payloads and not hasattr(analyzer, "analyze_with_payloads"):
+        raise ValueError(
+            "with_payloads needs a payload-producing analyzer "
+            "(e.g. DelimitedPayloadAnalyzer)"
         )
     n = len(texts)
     assert len(doc_ids) == n
@@ -118,7 +134,18 @@ def build_segment_tables(
     doc_lens = np.zeros(n, dtype=np.int64)
     all_pos_parts: List[List[int]] = []
     all_off_parts: List[List[int]] = []  # interleaved (start, end) per token
-    if with_offsets:
+    all_pay_parts: List[List[float]] = []  # one float payload per token
+    if with_payloads:
+        for ord_, text in enumerate(texts):
+            if text is None:
+                text = ""
+            terms, positions, payloads, flen = \
+                analyzer.analyze_with_payloads(text)
+            all_terms.extend(terms)
+            all_pos_parts.append(positions)
+            all_pay_parts.append(payloads)
+            doc_lens[ord_] = flen
+    elif with_offsets:
         for ord_, text in enumerate(texts):
             if text is None:
                 text = ""
@@ -225,8 +252,35 @@ def build_segment_tables(
                     ],
                     type=pa.binary(),
                 )
+            if with_payloads and all_pay_parts:
+                # payloads follow the same (term, doc, occurrence) sort as
+                # positions: one '<f4' blob per term
+                flat_pay = (
+                    np.concatenate(
+                        [np.asarray(p, dtype=np.float64)
+                         for p in all_pay_parts if p]
+                    )
+                    if any(all_pay_parts)
+                    else np.zeros(0, np.float64)
+                )
+                pay_values = flat_pay[order].astype("<f4")
+                payloads_arr = pa.array(
+                    [
+                        pay_values[term_val_edges[i]: term_val_edges[i + 1]]
+                        .tobytes()
+                        for i in range(len(t_codes))
+                    ],
+                    type=pa.binary(),
+                )
+            else:
+                payloads_arr = pa.array(
+                    [None] * len(t_codes), type=pa.binary()
+                )
         else:
             positions_arr = pa.array(
+                [None] * len(t_codes), type=pa.binary()
+            )
+            payloads_arr = pa.array(
                 [None] * len(t_codes), type=pa.binary()
             )
     else:
@@ -236,6 +290,7 @@ def build_segment_tables(
         blobs = []
         positions_arr = pa.array([], type=pa.binary())
         offsets_arr = pa.array([], type=pa.binary())
+        payloads_arr = pa.array([], type=pa.binary())
 
     postings_cols: Dict[str, pa.Array] = {
         "term": pa.array(terms_sorted, type=pa.string()),
@@ -244,6 +299,7 @@ def build_segment_tables(
         "blocks": pa.array(blobs, type=pa.binary()),
         "positions": positions_arr,
         "offsets": offsets_arr,
+        "payloads": payloads_arr,
     }
     postings = pa.table(postings_cols, schema=POSTINGS_SCHEMA)
 

@@ -1510,6 +1510,129 @@ SELECT 0 AS qid, doc_id, rank, n_chars FROM (
 """
 
 
+def _payload_corpus(sf_dir: str) -> str:
+    """Derive a payload-delimited corpus from documents.parquet (ONE
+    distributed map_batches pass, cached): token at 0-based position i
+    becomes ``tok|((i % 7) + 1)`` — the DelimitedPayloadTokenFilter input
+    shape with a deterministic, SQL-recomputable payload."""
+    import ray.data
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"payload_corpus_{key}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    if os.path.isdir(out):  # partial write without the marker: start over
+        import shutil
+
+        shutil.rmtree(out)
+
+    def addpay(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        new = [
+            " ".join(
+                f"{w}|{(i % 7) + 1}" for i, w in enumerate(s.split())
+            )
+            for s in texts
+        ]
+        return t.set_column(
+            t.schema.get_field_index("text"), "text", pa.array(new)
+        )
+
+    (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(addpay, batch_format="pyarrow")
+        .write_parquet(out)
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def payload_index(sf_dir: str) -> Index:
+    """Build-or-open the payload-carrying index (DelimitedPayloadAnalyzer
+    + per-occurrence float32 payload blobs in the postings)."""
+    from lucene_solr_ray.analysis.analyzer import DelimitedPayloadAnalyzer
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"documents_pay_v{FORMAT_VERSION}_{key}")
+    if read_latest_manifest(out) is None:
+        corpus = _payload_corpus(sf_dir)
+        paths = sorted(
+            os.path.join(corpus, f)
+            for f in os.listdir(corpus)
+            if f.endswith(".parquet")
+        )
+        build_index(
+            paths,
+            out,
+            text_col="text",
+            id_col="doc_id",
+            analyzer=DelimitedPayloadAnalyzer(),
+            with_payloads=True,
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    return Index(out)
+
+
+def payload_score_docs(sf_dir: str) -> pa.Table:
+    """PayloadScoreQuery gate (reference ``queries/payloads/
+    PayloadScoreQuery.java`` + Min/Max/Avg/SumPayloadFunction): docs
+    ranked by the avg payload of 'merge' occurrences (qid 0) and the sum
+    payload of 'sort' occurrences (qid 1)."""
+    from lucene_solr_ray.search.query import PayloadScoreQuery, SpanTermQuery
+
+    idx = payload_index(sf_dir)
+    t = idx.search_parsed(
+        [
+            (0, PayloadScoreQuery(SpanTermQuery("merge"), func="avg"), 15),
+            (1, PayloadScoreQuery(SpanTermQuery("sort"), func="sum"), 15),
+        ],
+        similarity=BM25SimilarityF64(),
+    )
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def payload_score_docs_sql() -> str:
+    return """
+WITH pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents WHERE text <> ''
+)
+SELECT 0 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id, AVG((p % 7) + 1) AS score
+    FROM pos WHERE term = 'merge' GROUP BY doc_id
+  )
+) WHERE rank <= 15
+UNION ALL
+SELECT 1 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id, SUM((p % 7) + 1)::DOUBLE AS score
+    FROM pos WHERE term = 'sort' GROUP BY doc_id
+  )
+) WHERE rank <= 15
+"""
+
+
 def indexsort_topk(sf_dir: str) -> pa.Table:
     """Index-time-sort gate (``IndexWriterConfig.setIndexSort``,
     IndexWriterConfig.java:465): segments laid down in (n_chars DESC,

@@ -25,6 +25,7 @@ __all__ = [
     "SpanFirstQuery",
     "SpanNotQuery",
     "SpanOrQuery",
+    "PayloadScoreQuery",
     "SynonymQuery",
     "DisjunctionMaxQuery",
     "BlendedTermQuery",
@@ -299,6 +300,29 @@ class SpanNearQuery(Query):
         from lucene_solr_ray.index.segment import field_term
 
         return [field_term(self.field, t) for t in self.span_terms]
+
+
+@dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """Score docs by a function of the payloads collected at the matched
+    span positions (reference ``lucene/queries/src/java/org/apache/lucene/
+    queries/payloads/PayloadScoreQuery.java`` with
+    Min/Max/Avg/SumPayloadFunction and the float PayloadDecoder):
+    score = payloadFn(payloads) [× spanScore when ``include_span_score``].
+
+    Payload collection: every leaf-term occurrence lying inside a matched
+    span interval contributes its payload (the reference's
+    PayloadSpanCollector enumerates exactly those positions for
+    SpanTermQuery; for composite spans with repeated terms inside one
+    window the interval form may collect supersets — documented engine
+    semantics, property-tested against a brute-force oracle)."""
+
+    span: "Query"
+    func: str = "avg"  # min | max | avg | sum
+    include_span_score: bool = False
+
+    def terms(self) -> List[str]:
+        return self.span.terms()
 
 
 @dataclass(frozen=True)

@@ -74,10 +74,13 @@ class SegmentReader:
                 "current engine (FORMAT_VERSION >= 3)"
             )
         self._has_offsets_col = "offsets" in pq_schema.names
+        self._has_payloads_col = "payloads" in pq_schema.names
         if load_positions:
             cols.append("positions")
             if self._has_offsets_col:
                 cols.append("offsets")
+            if self._has_payloads_col:
+                cols.append("payloads")
         t = pq.read_table(
             os.path.join(seg_dir, "postings.parquet"), columns=cols
         )
@@ -111,6 +114,14 @@ class SegmentReader:
                 self._off_blobs = offcol
             else:
                 self._off_blobs = None
+            if self._has_payloads_col:
+                paycol = t.column("payloads").combine_chunks()
+                if isinstance(paycol, pa.ChunkedArray):
+                    paycol = paycol.chunk(0) if paycol.num_chunks else \
+                        pa.array([], type=pa.binary())
+                self._pay_blobs = paycol
+            else:
+                self._pay_blobs = None
 
         dm_schema = pq.read_schema(os.path.join(seg_dir, "docmeta.parquet"))
         extra = [c for c in dm_schema.names if c.startswith("norm__")]
@@ -259,3 +270,25 @@ class SegmentReader:
             return vals[offs[i]: offs[i + 1]]
 
         return ords, offfn
+
+    def payloads(self, term: str):
+        """(ords, payfn) — payfn(i) = float32 payloads of the i-th posting
+        entry, aligned with ``positions``; None if the term is absent or
+        the segment carries no payloads for it (PayloadAttribute read,
+        reference ``index/PostingsEnum.getPayload``)."""
+        if not self._has_positions:
+            raise RuntimeError("reader opened without positions")
+        r = self._term_row.get(term)
+        if r is None or self._pay_blobs is None:
+            return None
+        blob = self._pay_blobs[r].as_py()
+        if blob is None:
+            return None
+        ords, freqs = self.postings(term)
+        vals = np.frombuffer(blob, dtype="<f4")
+        offs = np.concatenate([[0], np.cumsum(freqs, dtype=np.int64)])
+
+        def payfn(i: int) -> np.ndarray:
+            return vals[offs[i]: offs[i + 1]]
+
+        return ords, payfn

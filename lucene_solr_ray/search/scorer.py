@@ -47,6 +47,7 @@ from lucene_solr_ray.search.query import (
     MatchNoDocsQuery,
     Occur,
     FunctionScoreQuery,
+    PayloadScoreQuery,
     PhraseQuery,
     PointRangeQuery,
     Query,
@@ -128,6 +129,8 @@ class _Eval:
         if isinstance(q, (SpanTermQuery, SpanFirstQuery, SpanNotQuery,
                           SpanOrQuery)):
             return self._span_query(q, boost)
+        if isinstance(q, PayloadScoreQuery):
+            return self._payload_score(q, boost)
         if isinstance(q, ToParentBlockJoinQuery):
             return eval_block_join(self, q, boost)
         if isinstance(q, ToChildBlockJoinQuery):
@@ -323,6 +326,89 @@ class _Eval:
         )
         norms = self.reader.norms_for(fld) if fld else self.norms
         return ords, sc.score(freqs, norms[ords])
+
+    def _payload_leaves(self, q) -> List[str]:
+        """Positive leaf term-dictionary keys whose occurrences carry the
+        payloads a matched span consumes (SpanNot's ``exclude`` never
+        contributes — the reference PayloadSpanCollector visits only the
+        include side's term positions)."""
+        from lucene_solr_ray.index.segment import field_term
+
+        if isinstance(q, SpanTermQuery):
+            return [field_term(q.field, q.span_term)]
+        if isinstance(q, SpanNearQuery):
+            return [field_term(q.field, t) for t in q.span_terms]
+        if isinstance(q, SpanFirstQuery):
+            return self._payload_leaves(q.match)
+        if isinstance(q, SpanNotQuery):
+            return self._payload_leaves(q.include)
+        if isinstance(q, SpanOrQuery):
+            out: List[str] = []
+            for c in q.clauses:
+                out.extend(self._payload_leaves(c))
+            return out
+        raise TypeError(type(q))
+
+    def _payload_score(self, q: PayloadScoreQuery, boost: float):
+        """PayloadScoreQuery (reference ``queries/payloads/
+        PayloadScoreQuery.java``): collect the payloads at leaf-term
+        positions inside matched spans, combine with
+        Min/Max/Avg/SumPayloadFunction (a doc with spans but zero payloads
+        scores the reference's ``docScore`` default of 1), optionally
+        multiply by the span score."""
+        cand = self._span_candidates(q.span)
+        if cand is None or len(cand) == 0:
+            return _EMPTY_I, _EMPTY_F
+        srcs = []
+        for key in dict.fromkeys(self._payload_leaves(q.span)):
+            pr = self.reader.positions(key)
+            py = self.reader.payloads(key)
+            if pr is not None and py is not None:
+                srcs.append((pr[0], pr[1], py[1]))
+        out_ords: List[int] = []
+        out_pay: List[float] = []
+        for d in cand:
+            spans = self._doc_spans(q.span, int(d))
+            if not spans:
+                continue
+            pays = []
+            for ords_k, posfn, payfn in srcs:
+                i = np.searchsorted(ords_k, d)
+                if i >= len(ords_k) or ords_k[i] != d:
+                    continue
+                pos = posfn(int(i))
+                m = np.zeros(len(pos), dtype=bool)
+                for s, e, _ in spans:
+                    m |= (pos >= s) & (pos < e)
+                if m.any():
+                    pays.append(payfn(int(i))[m])
+            if pays:
+                arr = np.concatenate(pays).astype(np.float64)
+                if q.func == "min":
+                    p = float(arr.min())
+                elif q.func == "max":
+                    p = float(arr.max())
+                elif q.func == "sum":
+                    p = float(arr.sum())
+                else:  # avg
+                    p = float(arr.mean())
+            else:
+                p = 1.0
+            out_ords.append(int(d))
+            out_pay.append(p)
+        if not out_ords:
+            return _EMPTY_I, _EMPTY_F
+        ords = np.asarray(out_ords, dtype=np.int32)
+        pscores = np.asarray(out_pay, dtype=np.float64)
+        dt = self.sim.out_dtype
+        if q.include_span_score:
+            s_ords, s_scores = self.eval(q.span, boost)
+            # identical match sets by construction: align by position
+            pos = np.searchsorted(s_ords, ords)
+            pscores = pscores * s_scores[pos].astype(np.float64)
+        else:
+            pscores = pscores * boost
+        return ords, pscores.astype(dt)
 
     def _function_score(self, q: FunctionScoreQuery, boost: float):
         """FunctionScoreQuery: combine inner scores with a per-doc value

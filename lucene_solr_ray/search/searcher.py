@@ -685,6 +685,7 @@ class Index:
 def _has_phrase(q: Query) -> bool:
     from lucene_solr_ray.search.join import ToParentBlockJoinQuery
     from lucene_solr_ray.search.query import (
+        PayloadScoreQuery,
         SpanFirstQuery,
         SpanNearQuery,
         SpanNotQuery,
@@ -693,7 +694,8 @@ def _has_phrase(q: Query) -> bool:
     )
 
     if isinstance(q, (PhraseQuery, SpanNearQuery, SpanTermQuery,
-                      SpanFirstQuery, SpanNotQuery, SpanOrQuery)):
+                      SpanFirstQuery, SpanNotQuery, SpanOrQuery,
+                      PayloadScoreQuery)):
         return True
     if isinstance(q, ToParentBlockJoinQuery):
         return _has_phrase(q.child_query)

@@ -166,6 +166,7 @@ def test_compact_postings_byte_identity():
                                pa.binary()),
             "positions": pa.array([positions.tobytes()], pa.binary()),
             "offsets": pa.array([None], pa.binary()),
+            "payloads": pa.array([None], pa.binary()),
         },
         schema=POSTINGS_SCHEMA,
     )
