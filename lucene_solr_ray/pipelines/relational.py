@@ -903,6 +903,54 @@ QUERIES["gather_nodes_orders"] = gather_nodes_orders
 ORACLES["gather_nodes_orders"] = GATHER_SQL
 
 
+def score_nodes_parts(sf_dir: str) -> pd.DataFrame:
+    """scoreNodes composite gate (ScoreNodesStream.java:243 over a
+    gatherNodes frontier): 1-hop part expansion from orders 1..20, then
+    tf-idf node scoring against the lineitem collection — termFreq is the
+    gathered ancestor count, docFreq one distributed value-count pass."""
+    from lucene_solr_ray.stages.graph import gather_nodes, score_nodes
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    roots = list(range(1, 21))
+    nodes = gather_nodes(edges, "l_orderkey", "l_partkey", roots, hops=1)
+    nodes = nodes[nodes["level"] == 1][["node", "ancestors"]]
+    docs = _read(sf_dir, "lineitem", ["l_partkey"])
+    out = score_nodes(nodes, docs, "l_partkey",
+                      node_col="node", term_freq_col="ancestors")
+    out = out.rename(columns={"node": "l_partkey"})
+    out["nodeScore"] = out["nodeScore"].round(6)
+    return out[["l_partkey", "nodeScore", "docFreq", "numDocs"]].astype(
+        {"l_partkey": "int64", "docFreq": "int64", "numDocs": "int64"}
+    ).sort_values(["nodeScore", "l_partkey"],
+                  ascending=[False, True]).reset_index(drop=True)
+
+
+SCORE_NODES_SQL = """
+WITH nodes AS (
+  SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS ancestors
+  FROM lineitem
+  WHERE l_orderkey BETWEEN 1 AND 20
+    AND l_partkey NOT BETWEEN 1 AND 20
+  GROUP BY l_partkey
+), stats AS (
+  SELECT COUNT(*) AS numdocs FROM lineitem
+), dfs AS (
+  SELECT l_partkey, COUNT(*) AS df FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(n.l_partkey AS BIGINT) AS l_partkey,
+       ROUND((ln(n.ancestors) + 1.0)
+             * (ln((s.numdocs + 1) / (d.df + 1.0)) + 1.0), 6) AS nodeScore,
+       CAST(d.df AS BIGINT) AS docFreq,
+       CAST(s.numdocs AS BIGINT) AS numDocs
+FROM nodes n, stats s, dfs d
+WHERE d.l_partkey = n.l_partkey
+ORDER BY nodeScore DESC, l_partkey
+"""
+
+QUERIES["score_nodes_parts"] = score_nodes_parts
+ORACLES["score_nodes_parts"] = SCORE_NODES_SQL
+
+
 # -- evaluator expressions (SelectStream + 201-evaluator family) -------------
 
 def evaluator_exprs(sf_dir: str) -> pd.DataFrame:

@@ -530,3 +530,82 @@ ORDER BY input_id, label
 
 QUERIES["nb_classify_docs"] = nb_classify_docs
 ORACLES["nb_classify_docs"] = NB_CLASSIFY_SQL
+
+
+# -- ModelStream + ClassifyStream (gated + SQL) ------------------------------
+
+#: fixed logistic-regression model for the gate — bias-first weights over
+#: common corpus terms (a trained TextLogit tuple would drift per-SF; the
+#: stream semantics under test are storage + scoring, not training)
+_CLS_TERMS = ["sort", "order", "join", "filter", "slow"]
+_CLS_WEIGHTS = [-0.5, 0.8, -0.3, 0.6, 0.4, -0.7]  # bias first
+_CLS_IDFS = [1.1, 1.3, 0.9, 1.2, 1.5]
+
+
+def classify_stream_docs(sf_dir: str) -> pd.DataFrame:
+    """ModelStream → ClassifyStream composite gate (ClassifyStream.java:
+    140-176): persist a model generation, fetch the latest via
+    model_stream, score every document with the reference's exact
+    tf=1+ln(count), feature=idf·tf, sigmoid probability and
+    total/sqrt(termCount) score.  SQL-matched."""
+    import tempfile
+
+    import ray.data
+
+    from lucene_solr_ray.stages.model import (classify_stream, load_model,
+                                              save_model)
+
+    with tempfile.TemporaryDirectory() as mdir:
+        save_model(mdir, "g", _CLS_TERMS, [0.0] * 6, iteration=0)
+        save_model(mdir, "g", _CLS_TERMS, _CLS_WEIGHTS, _CLS_IDFS,
+                   iteration=3)
+        model = load_model(mdir, "g")  # latest generation wins
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = classify_stream(ds, model, "text").to_pandas()
+    out["probability_d"] = out["probability_d"].round(6)
+    out["score_d"] = out["score_d"].round(6)
+    return out[["doc_id", "probability_d", "score_d"]].sort_values(
+        "doc_id").reset_index(drop=True)
+
+
+_CLS_MODEL_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS term, {w} AS w, {i} AS idf"
+    for t, w, i in zip(_CLS_TERMS, _CLS_WEIGHTS[1:], _CLS_IDFS)
+)
+
+CLASSIFY_STREAM_SQL = f"""
+WITH model AS ({_CLS_MODEL_SQL}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS f FROM tok GROUP BY doc_id, term
+),
+tc AS (
+  SELECT doc_id,
+         CASE WHEN text = '' THEN 0
+              ELSE array_length(string_split(text, ' ')) END::DOUBLE AS n
+  FROM documents
+),
+totals AS (
+  SELECT d.doc_id,
+         {_CLS_WEIGHTS[0]} + COALESCE(SUM(
+           m.idf * (1.0 + ln(tf.f)) * m.w), 0.0) AS total
+  FROM documents d
+  LEFT JOIN tf ON tf.doc_id = d.doc_id
+  LEFT JOIN model m ON m.term = tf.term
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       ROUND(1.0 / (1.0 + exp(-t.total)), 6) AS probability_d,
+       ROUND(t.total / sqrt(GREATEST(tc.n, 1.0)), 6) AS score_d
+FROM totals t JOIN tc USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["classify_stream_docs"] = classify_stream_docs
+ORACLES["classify_stream_docs"] = CLASSIFY_STREAM_SQL

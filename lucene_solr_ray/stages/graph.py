@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["gather_nodes", "shortest_path"]
+__all__ = ["gather_nodes", "shortest_path", "score_nodes"]
 
 
 def _neighbors(edges, from_col: str, to_col: str,
@@ -72,6 +72,63 @@ def gather_nodes(edges, from_col: str, to_col: str,
     ]
     return pd.DataFrame(rows).sort_values(
         ["level", "node"]
+    ).reset_index(drop=True)
+
+
+def score_nodes(nodes: pd.DataFrame, docs, field: str,
+                node_col: str = "node",
+                term_freq_col: str = "ancestors") -> pd.DataFrame:
+    """``scoreNodes`` (reference ``solr/solrj/src/java/org/apache/solr/
+    client/solrj/io/stream/ScoreNodesStream.java:243``): tf-idf score each
+    gathered node against the collection —
+
+        nodeScore = (ln(termFreq) + 1) * (ln((numDocs+1)/(docFreq+1)) + 1)
+
+    with termFreq taken from the node tuples (the stream's ``count(*)`` /
+    custom termFreq param) and docFreq/numDocs from one distributed stats
+    pass over ``docs`` (the TermsComponent round trip): broadcast the small
+    node-id set, partial-count matches per batch, sum the partials.
+    Appends ``nodeScore``/``docFreq``/``numDocs`` columns, highest first.
+    """
+    import ray
+
+    node_vals = nodes[node_col].tolist()
+    ref = ray.put(pa.array(sorted(set(node_vals))))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t.column(field)
+        hit = t.filter(pc.is_in(col, value_set=ray.get(ref)))
+        vc = hit.column(field).value_counts()
+        # one sentinel row (null node) carries this batch's doc count
+        nodes_out = pa.concat_arrays(
+            [vc.field("values").combine_chunks() if isinstance(
+                vc.field("values"), pa.ChunkedArray) else vc.field("values"),
+             pa.array([None], col.type)]
+        )
+        df_out = pa.concat_arrays(
+            [vc.field("counts").cast(pa.int64()),
+             pa.array([0], pa.int64())]
+        )
+        n_out = pa.array([0] * len(vc) + [t.num_rows], pa.int64())
+        return pa.table({"node": nodes_out, "df": df_out, "n": n_out})
+
+    parts = docs.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    num_docs = int(parts["n"].sum())
+    dfs = parts.dropna(subset=["node"]).groupby("node")["df"].sum()
+
+    out = nodes.copy()
+    df_arr = out[node_col].map(dfs).fillna(0).astype("int64")
+    tf = out[term_freq_col].astype("float64").to_numpy()
+    import numpy as np
+
+    score = (np.log(np.maximum(tf, 1e-12)) + 1.0) * (
+        np.log((num_docs + 1) / (df_arr.to_numpy() + 1.0)) + 1.0
+    )
+    out["nodeScore"] = score.astype("float64")
+    out["docFreq"] = df_arr
+    out["numDocs"] = np.int64(num_docs)
+    return out.sort_values(
+        ["nodeScore", node_col], ascending=[False, True]
     ).reset_index(drop=True)
 
 

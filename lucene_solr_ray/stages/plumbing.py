@@ -13,7 +13,8 @@ from __future__ import annotations
 from typing import Dict, List, Optional
 
 __all__ = ["Let", "tup_stream", "echo_stream", "null_stream",
-           "list_stream", "cell_stream", "priority_stream"]
+           "list_stream", "cell_stream", "priority_stream",
+           "executor_stream"]
 
 
 class Let:
@@ -67,3 +68,40 @@ def priority_stream(high, low):
     """PriorityStream: emit ``high`` if it has any tuples, else ``low``."""
     probe = high.limit(1).take(1)
     return high if probe else low
+
+
+def executor_stream(exprs, compile_fn, expr_col: str = "expr_s",
+                    threads: int = 3):
+    """ExecutorStream (reference ``solr/solrj/src/java/org/apache/solr/
+    client/solrj/io/stream/ExecutorStream.java:48-60``): read tuples whose
+    ``expr_s`` field names a streaming expression and execute each in a
+    bounded pool, DISCARDING the inner streams' tuples (the reference is a
+    fire-and-forget work dispatcher; failures are logged, not raised).
+
+    ``compile_fn(expr) -> callable`` is the StreamFactory role.  The pool
+    is a driver-side thread pool, exactly the reference's shape: the
+    executor parallelizes ORCHESTRATION, while each compiled expression
+    runs its own distributed Ray Data work — nesting Dataset jobs inside
+    Ray tasks would deadlock the scheduler, threads don't.  Returns one
+    status tuple per expression: {expr_col, ok, error}."""
+    import ray.data
+    from concurrent.futures import ThreadPoolExecutor
+
+    if hasattr(exprs, "take_all"):  # Dataset of tuples
+        rows = exprs.take_all()
+        expr_list = [r[expr_col] for r in rows]
+    else:
+        expr_list = list(exprs)
+
+    def _run(expr: str) -> Dict:
+        try:
+            compile_fn(expr)()
+            return {expr_col: expr, "ok": True, "error": None}
+        except Exception as e:  # reference logs and continues
+            return {expr_col: expr, "ok": False, "error": str(e)}
+
+    with ThreadPoolExecutor(max_workers=max(1, int(threads))) as pool:
+        out = list(pool.map(_run, expr_list))
+    return ray.data.from_items(out) if out else ray.data.from_items(
+        [{expr_col: None, "ok": True, "error": None}]
+    ).limit(0)
