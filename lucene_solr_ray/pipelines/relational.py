@@ -1043,3 +1043,54 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["grouped_percentiles_orders"] = grouped_percentiles_orders
 ORACLES["grouped_percentiles_orders"] = GROUPED_PCT_SQL
+
+
+# -- expressions compiler (JavascriptCompiler over doc values) ---------------
+
+_EXPR_SRC = ("sqrt(price) + ln(okey + 1) * ((okey % 7 < 3) ? 1.5 : 0.5)"
+             " + max(ck % 5, 1)")
+
+
+def expr_sort_orders(sf_dir: str) -> pd.DataFrame:
+    """Expressions-module gate (JavascriptCompiler.java → numpy closure):
+    compile once on the driver, evaluate per Arrow batch as column math
+    (ternary, %, sqrt/ln/max all exercised), distributed top-50 sort.
+    SQL-matched."""
+    from lucene_solr_ray.search.expressions import compile_expression
+
+    expr = compile_expression(_EXPR_SRC)
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_custkey"])
+
+    def _score(t: pa.Table) -> pa.Table:
+        vals = expr.evaluate({
+            "price": t.column("o_totalprice").to_numpy().astype(np.float64),
+            "okey": t.column("o_orderkey").to_numpy().astype(np.float64),
+            "ck": t.column("o_custkey").to_numpy().astype(np.float64),
+        })
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "expr_score": pa.array(np.round(vals, 6)),
+        })
+
+    out = (
+        ds.map_batches(_score, batch_format="pyarrow")
+        .sort(["expr_score", "o_orderkey"], descending=[True, False])
+        .limit(50)
+        .to_pandas()
+    )
+    return out.astype({"o_orderkey": "int64"}).reset_index(drop=True)
+
+
+EXPR_SORT_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       ROUND(sqrt(o_totalprice)
+             + ln(o_orderkey + 1)
+               * (CASE WHEN o_orderkey % 7 < 3 THEN 1.5 ELSE 0.5 END)
+             + GREATEST(o_custkey % 5, 1), 6) AS expr_score
+FROM orders
+ORDER BY expr_score DESC, o_orderkey LIMIT 50
+"""
+
+QUERIES["expr_sort_orders"] = expr_sort_orders
+ORACLES["expr_sort_orders"] = EXPR_SORT_SQL

@@ -357,6 +357,23 @@ class FunctionScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class ExpressionScoreQuery(Query):
+    """Re-score the inner query with a compiled javascript expression
+    (reference ``lucene/expressions/.../ExpressionValueSource.java`` via
+    ``Expression.getDoubleValuesSource(bindings)`` wrapped in a
+    FunctionScoreQuery).  ``bindings`` maps each expression variable to a
+    docmeta column name, with the reserved name ``_score`` bound to the
+    inner query's score (``expressions/ScoreFunctionValues`` role)."""
+
+    query: "Query"
+    source: str
+    bindings: Tuple[Tuple[str, str], ...]  # (variable, column) pairs
+
+    def terms(self) -> List[str]:
+        return self.query.terms()
+
+
+@dataclass(frozen=True)
 class TermInSetQuery(Query):
     in_terms: Tuple[str, ...]
 

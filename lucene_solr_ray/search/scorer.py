@@ -43,6 +43,7 @@ from lucene_solr_ray.search.query import (
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    ExpressionScoreQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     Occur,
@@ -139,6 +140,8 @@ class _Eval:
             return self._point_range(q, boost)
         if isinstance(q, FunctionScoreQuery):
             return self._function_score(q, boost)
+        if isinstance(q, ExpressionScoreQuery):
+            return self._expression_score(q, boost)
         if isinstance(q, TermInSetQuery):
             # constant-score union (CONSTANT_SCORE_REWRITE semantics)
             all_ords: List[np.ndarray] = []
@@ -440,6 +443,53 @@ class _Eval:
             out = v
         else:
             raise ValueError(f"unknown FunctionScore mode {q.mode!r}")
+        return ords, out.astype(self.sim.out_dtype)
+
+    def _expression_score(self, q: ExpressionScoreQuery, boost: float):
+        """ExpressionScoreQuery: replace inner scores with the compiled
+        expression over docmeta columns + ``_score`` (reference
+        ExpressionValueSource; the FunctionScoreQuery wrapper's boost
+        multiplies the expression value, FunctionScoreQuery.java:180)."""
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        from lucene_solr_ray.search.expressions import compile_expression
+
+        ords, scores = self.eval(q.query, 1.0)
+        if len(ords) == 0:
+            return ords, scores
+        # per-reader caches: compiled AST + docmeta column arrays
+        ecache = getattr(self.reader, "_expr_cache", None)
+        if ecache is None:
+            ecache = self.reader._expr_cache = {}
+        expr = ecache.get(q.source)
+        if expr is None:
+            expr = ecache[q.source] = compile_expression(q.source)
+        cache = getattr(self.reader, "_value_cols", None)
+        if cache is None:
+            cache = self.reader._value_cols = {}
+        bmap = dict(q.bindings)
+        need = sorted(
+            {bmap[v] for v in expr.variables if bmap.get(v) != "_score"
+             and v != "_score"}
+        )
+        miss = [c for c in need if c not in cache]
+        if miss:
+            t = _pq.read_table(
+                _os.path.join(self.reader.seg_dir, "docmeta.parquet"),
+                columns=miss,
+            )
+            for c in miss:
+                cache[c] = t.column(c).to_numpy().astype(np.float64)
+        bindings = {}
+        for v in expr.variables:
+            col = bmap.get(v, v)
+            if v == "_score" or col == "_score":
+                bindings[v] = scores.astype(np.float64)
+            else:
+                bindings[v] = cache[col][ords]
+        out = expr.evaluate(bindings) * boost
         return ords, out.astype(self.sim.out_dtype)
 
     def _point_range(self, q: "PointRangeQuery", boost: float):

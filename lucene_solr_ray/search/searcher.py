@@ -705,6 +705,11 @@ def _has_phrase(q: Query) -> bool:
         return any(_has_phrase(d) for d in q.disjuncts)
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return _has_phrase(q.query)
+    from lucene_solr_ray.search.query import (ExpressionScoreQuery,
+                                              FunctionScoreQuery)
+
+    if isinstance(q, (ExpressionScoreQuery, FunctionScoreQuery)):
+        return _has_phrase(q.query)
     return False
 
 
