@@ -46,7 +46,7 @@ _PRIORITY: list[str] = [
     "geo_polygon_docs", "nb_classify_docs", "ltr_rerank_docs",
     "ltr_trees_docs", "dv_update_then_sort", "indexsort_topk",
     "payload_score_docs", "score_nodes_parts", "classify_stream_docs",
-    "expr_sort_orders",
+    "expr_sort_orders", "math_stats_lineitem",
     # -- flagship + paths touched this round ------------------------------
     "bm25_topk", "term_stats", "doc_norms", "phrase_topk",
     "delete_then_search", "span_near_docs", "block_join_parents",

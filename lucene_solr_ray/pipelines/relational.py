@@ -1094,3 +1094,51 @@ ORDER BY expr_score DESC, o_orderkey LIMIT 50
 
 QUERIES["expr_sort_orders"] = expr_sort_orders
 ORACLES["expr_sort_orders"] = EXPR_SORT_SQL
+
+
+# -- Solr math expressions (let/col vector-statistics family) ----------------
+
+def math_stats_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Math-expression gate (reference ``solr/solrj/.../io/eval/`` —
+    MeanEvaluator, VarianceEvaluator, CorrelationEvaluator, …): a ``let()``
+    program pulls two columns with ``col()`` and computes the vector
+    statistics driver-side, exactly the reference's math-expression
+    execution shape.  Every output is SQL-exact (sample statistics,
+    geometric mean via exp∘avg∘ln) and rounded to 6 decimals."""
+    from lucene_solr_ray.stages.matheval import let_eval
+
+    t = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"]).to_pandas()
+    out = let_eval({
+        "li": t,
+        "q": "col(li, l_quantity)",
+        "d": "col(li, l_discount)",
+        "mean_q": "mean(q)",
+        "var_q": "var(q)",
+        "stdev_q": "stddev(q)",
+        "gmean_q": "geometricMean(q)",
+        "sum_d": "mult(mean(d), length(d))",
+        "corr_qd": "correlation(q, d)",
+        "cov_qd": "covariance(q, d)",
+        "min_q": "valueAt(asc(q), 0)",
+        "max_q": "valueAt(rev(asc(q)), 0)",
+    })
+    cols = ["mean_q", "var_q", "stdev_q", "gmean_q", "sum_d",
+            "corr_qd", "cov_qd", "min_q", "max_q"]
+    return pd.DataFrame([{c: round(float(out[c]), 6) for c in cols}])
+
+
+MATH_STATS_SQL = """
+SELECT ROUND(AVG(l_quantity), 6)                 AS mean_q,
+       ROUND(VAR_SAMP(l_quantity), 6)            AS var_q,
+       ROUND(STDDEV_SAMP(l_quantity), 6)         AS stdev_q,
+       ROUND(EXP(AVG(LN(l_quantity))), 6)        AS gmean_q,
+       ROUND(AVG(l_discount) * COUNT(*), 6)      AS sum_d,
+       ROUND(CORR(l_quantity, l_discount), 6)    AS corr_qd,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qd,
+       ROUND(MIN(l_quantity), 6)                 AS min_q,
+       ROUND(MAX(l_quantity), 6)                 AS max_q
+FROM lineitem
+"""
+
+QUERIES["math_stats_lineitem"] = math_stats_lineitem
+ORACLES["math_stats_lineitem"] = MATH_STATS_SQL
