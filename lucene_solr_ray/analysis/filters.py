@@ -334,9 +334,38 @@ class CustomAnalyzer(StandardAnalyzer):
         self.filters = list(filters)
 
     def _run(self, text: str) -> Stream:
-        from lucene_solr_ray.analysis.tokenizer import tokenize
+        from lucene_solr_ray.analysis.tokenizer import (
+            tokenize,
+            tokenize_with_offsets,
+        )
 
-        stream: Stream = [
+        if any(getattr(f, "needs_offsets", False) for f in self.filters):
+            # offset-consuming filters (CJKBigramFilter) see the source
+            # spans; valid only while every preceding filter maps
+            # position -> position (offset-safe)
+            triples = tokenize_with_offsets(text, self.max_token_length)
+            stream = [(t, p) for p, (t, _, _) in enumerate(triples)]
+            spans: Optional[Dict[int, Tuple[int, int]]] = {
+                p: (s, e) for p, (_, s, e) in enumerate(triples)
+            }
+            for f in self.filters:
+                if getattr(f, "needs_offsets", False):
+                    if spans is None:
+                        raise NotImplementedError(
+                            f"{type(f).__name__} needs source offsets but "
+                            "follows a filter that invalidated them"
+                        )
+                    stream = f.apply_spans(stream, spans)
+                    spans = None
+                else:
+                    if spans is not None and not (
+                            isinstance(f, CustomAnalyzer._OFFSET_SAFE)
+                            or getattr(f, "offset_safe", False)):
+                        spans = None
+                    stream = f.apply(stream)
+            return stream
+
+        stream = [
             (t, p)
             for p, t in enumerate(tokenize(text, self.max_token_length))
         ]
@@ -365,7 +394,8 @@ class CustomAnalyzer(StandardAnalyzer):
 
         unsafe = [
             f for f in self.filters
-            if not isinstance(f, CustomAnalyzer._OFFSET_SAFE)
+            if not (isinstance(f, CustomAnalyzer._OFFSET_SAFE)
+                    or getattr(f, "offset_safe", False))
         ]
         if unsafe:
             raise NotImplementedError(
