@@ -92,7 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_then_search": fulltext.delete_then_search,
         "numeric_range_topk": fulltext.numeric_range_topk,
         "stemmed_search_topk": fulltext.stemmed_search_topk,  # rows-only
-        "span_near_docs": fulltext.span_near_docs,  # rows-only
+        "span_near_docs": fulltext.span_near_docs,
         "block_join_parents": fulltext.block_join_parents,
         "joinutil_docs": fulltext.joinutil_docs,
         "image_decode_stats": fulltext.image_decode_stats,  # rows-only
@@ -160,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "dv_update_then_sort": fulltext.dv_update_then_sort_sql(),
         "indexsort_topk": fulltext.indexsort_topk_sql(),
         "payload_score_docs": fulltext.payload_score_docs_sql(),
+        "span_near_docs": fulltext.span_near_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

@@ -340,9 +340,11 @@ class HyphenatedWordsFilter(TokenFilter):
 
 class CommonGramsFilter(TokenFilter):
     """commongrams/CommonGramsFilter.java: for each adjacent pair where
-    either term is a common word, stack the bigram ``a_b`` at the second
-    term's position (type=gram in the reference) alongside the
-    unigrams."""
+    either term is a common word, stack the bigram ``a_b`` (type=gram)
+    alongside the unigrams.  The gram is emitted with positionIncrement 0
+    right after the FIRST unigram, i.e. at the first term's position
+    (``gramToken()``, CommonGramsFilter.java:173) — phrase/span queries
+    over gram tokens rely on that placement."""
 
     SEPARATOR = "_"
 
@@ -354,10 +356,10 @@ class CommonGramsFilter(TokenFilter):
         for i, (t, p) in enumerate(stream):
             out.append((t, p))
             if i + 1 < len(stream):
-                nt, np = stream[i + 1]
-                if (np == p + 1) and (t in self.common
-                                      or nt in self.common):
-                    out.append((t + self.SEPARATOR + nt, np))
+                nt, nxt_p = stream[i + 1]
+                if (nxt_p == p + 1) and (t in self.common
+                                         or nt in self.common):
+                    out.append((t + self.SEPARATOR + nt, p))
         return out
 
 

@@ -67,10 +67,16 @@ def _write_deletes_file(seg_dir: str, gen: int, ords: np.ndarray) -> str:
 
 
 def segment_deleted_ords(seg_dir: str) -> np.ndarray:
-    """Sorted deleted ordinals from the newest sidecar (empty if none)."""
-    from lucene_solr_ray.search.reader import latest_deletes_file
+    """Sorted deleted ordinals from the COMMITTED sidecar generation
+    (manifest-resolved, falling back to the newest on-disk sidecar for
+    standalone segment dirs); empty if none."""
+    from lucene_solr_ray.search.reader import committed_gens, latest_deletes_file
 
-    f = latest_deletes_file(seg_dir)
+    gens = committed_gens(seg_dir)
+    if gens is not None:
+        f = f"deletes-{gens[0]}.parquet" if gens[0] > 0 else None
+    else:
+        f = latest_deletes_file(seg_dir)
     if f is None:
         return np.empty(0, dtype=np.int64)
     return np.sort(
@@ -233,6 +239,27 @@ def add_documents(
     )
 
 
+def _postings_col_nonnull(path: str, col: str) -> bool:
+    """True if the named postings column carries any non-null blob —
+    decided from parquet row-group statistics alone (no data read)."""
+    f = pq.ParquetFile(path)
+    try:
+        ci = f.schema_arrow.names.index(col)
+    except ValueError:
+        return False
+    md = f.metadata
+    for rg in range(md.num_row_groups):
+        c = md.row_group(rg).column(ci)
+        if c.num_values == 0:
+            continue
+        st = c.statistics
+        if st is None or st.null_count is None:
+            return True  # no stats recorded: assume present
+        if st.null_count < c.num_values:
+            return True
+    return False
+
+
 def update_documents(
     index_dir: str,
     doc_ids: Sequence[int],
@@ -240,19 +267,56 @@ def update_documents(
     analyzer=None,
 ) -> Dict:
     """``updateDocument``: delete-by-id + re-add committed as ONE manifest
-    generation — a manifest reader never observes the intermediate
-    deleted-but-not-readded state, matching the reference's atomic
-    ``IndexWriter.updateDocument``.  (The delete sidecars themselves land
-    before the commit; a crash in that window leaves uncommitted sidecar
-    files that the next successful commit of any kind supersedes.)"""
-    from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+    generation.  Readers resolve sidecar generations from the committed
+    manifest (``reader.committed_gens``), so neither the delete sidecars
+    nor the replacement segment is visible before the single commit below
+    — the intermediate deleted-but-not-readded state cannot be observed,
+    and a crash anywhere before the commit leaves the previous commit
+    point fully intact (uncommitted sidecars/segments are inert garbage
+    the next commit's generations supersede), matching the reference's
+    atomic ``IndexWriter.updateDocument``.
+
+    The replacement segment is tokenized with the index's RECORDED
+    analyzer (manifest spec) and inherits its payload/offset posting
+    options unless an analyzer is passed explicitly — mixed-config
+    segments would fail to merge (``IndexWriter`` likewise applies its one
+    configured analyzer chain to updates)."""
+    from lucene_solr_ray.analysis.analyzer import (
+        StandardAnalyzer,
+        analyzer_from_spec,
+    )
     from lucene_solr_ray.index.manifest import write_segment_dir
     from lucene_solr_ray.index.segment import build_segment_tables
 
     ids = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+    manifest = read_latest_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(index_dir)
+    if analyzer is None:
+        spec = manifest.get("analyzer")
+        analyzer = analyzer_from_spec(spec) if spec else None
+        if analyzer is None:
+            if spec and spec.get("kind") == "custom":
+                raise ValueError(
+                    "index was built with a custom analyzer chain; pass "
+                    "the same analyzer explicitly to update_documents"
+                )
+            analyzer = StandardAnalyzer()
+    # posting options must match the base index or merge.py refuses to mix
+    # (columns exist in every FORMAT_VERSION>=5 segment; parquet row-group
+    # null counts tell — metadata-only, no data read — whether they carry
+    # actual blobs)
+    first_path = os.path.join(
+        index_dir, segment_dir_name(manifest["segments"][0]["segment_id"]),
+        "postings.parquet",
+    )
+    with_offsets = _postings_col_nonnull(first_path, "offsets")
+    with_payloads = _postings_col_nonnull(first_path, "payloads")
     # 1) build + write the replacement segment (invisible until commit)
-    analyzer = analyzer or StandardAnalyzer()
-    seg = build_segment_tables(list(doc_ids), list(texts), analyzer)
+    seg = build_segment_tables(
+        list(doc_ids), list(texts), analyzer,
+        with_offsets=with_offsets, with_payloads=with_payloads,
+    )
     segs = _apply_delete(index_dir, by_doc_ids=ids, commit=False)
     new_id = max(s["segment_id"] for s in segs) + 1
     meta = {

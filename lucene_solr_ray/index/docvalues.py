@@ -84,10 +84,21 @@ def dvu_fields(seg_dir: str) -> Dict[str, int]:
 
 
 def segment_dv_overlay(
-    seg_dir: str, field: str
+    seg_dir: str, field: str, gen: Optional[int] = None
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """(sorted ords, values) of the newest overlay for ``field``, or None."""
-    f = latest_dvu_file(seg_dir, field)
+    """(sorted ords, values) of the COMMITTED overlay generation for
+    ``field`` (manifest-resolved unless ``gen`` is given; standalone
+    segment dirs fall back to the newest on-disk sidecar), or None."""
+    if gen is None:
+        from lucene_solr_ray.search.reader import committed_gens
+
+        gens = committed_gens(seg_dir)
+        if gens is not None:
+            gen = gens[1].get(field, 0)
+    if gen is not None:
+        f = f"dvu-{field}-{gen}.parquet" if gen > 0 else None
+    else:
+        f = latest_dvu_file(seg_dir, field)
     if f is None:
         return None
     t = pq.read_table(os.path.join(seg_dir, f))
@@ -122,14 +133,21 @@ def docmeta_with_overlays(seg_dir: str) -> pa.Table:
     """Full docmeta with every field's DV overlay baked in (merge path:
     the reference rewrites doc values on merge and drops the update
     generations — ``SegmentMerger`` reads through ``ReadersAndUpdates``)."""
+    from lucene_solr_ray.search.reader import committed_gens
+
+    gens = committed_gens(seg_dir)
+    fields = gens[1] if gens is not None else dvu_fields(seg_dir)
     dm = pq.read_table(os.path.join(seg_dir, "docmeta.parquet"))
-    for field in dvu_fields(seg_dir):
+    for field, gen in fields.items():
         if field not in dm.schema.names:
+            continue
+        ov = segment_dv_overlay(seg_dir, field, gen=gen)
+        if ov is None:
             continue
         i = dm.schema.get_field_index(field)
         base_type = dm.schema.field(i).type
         vals = dm.column(i).to_numpy(zero_copy_only=False).copy()
-        ords, new = segment_dv_overlay(seg_dir, field)
+        ords, new = ov
         vals[ords] = new.astype(vals.dtype)
         dm = dm.set_column(i, dm.schema.field(i),
                            pa.array(vals).cast(base_type))

@@ -851,14 +851,16 @@ def stemmed_search_topk(sf_dir: str) -> pa.Table:
 
 
 def span_near_docs(sf_dir: str) -> pa.Table:
-    """SpanNearQuery gate (rows-only; pytest carries the exhaustive
-    positional oracle): ordered and unordered near-spans over documents."""
+    """SpanNearQuery gate, SQL-matched: ordered and unordered near-spans
+    over documents (slop=1 keeps every sloppyFreq contribution a binary
+    fraction — 1 or 0.5 — so both engines sum order-independently exactly;
+    larger slops keep their exhaustive pytest positional oracle)."""
     from lucene_solr_ray.search.query import SpanNearQuery
 
     idx = documents_index(sf_dir)
     parsed = [
-        (0, SpanNearQuery(("merge", "sort"), slop=3, in_order=True), 20),
-        (1, SpanNearQuery(("fast", "key"), slop=2, in_order=False), 20),
+        (0, SpanNearQuery(("merge", "sort"), slop=1, in_order=True), 20),
+        (1, SpanNearQuery(("fast", "key"), slop=1, in_order=False), 20),
     ]
     t = idx.search_parsed(parsed, similarity=BM25SimilarityF64())
     return pa.table(
@@ -871,6 +873,84 @@ def span_near_docs(sf_dir: str) -> pa.Table:
             "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
         }
     )
+
+
+def span_near_docs_sql() -> str:
+    """Positional SQL oracle for SpanNearQuery (reference
+    ``lucene/core/src/java/org/apache/lucene/search/spans/
+    SpanNearQuery.java`` + NearSpansOrdered/NearSpansUnordered):
+
+    - ORDERED minimal spans (2 terms): each start position of the first
+      term chains to the SMALLEST position of the second term strictly
+      after it (``MIN(b.p)`` per start);
+    - UNORDERED minimal spans (2 terms): mutually-nearest opposite-term
+      pairs — no occurrence of either term strictly between them (the
+      sliding-window minimal-interval emission reduces to exactly this
+      for two terms);
+    - sloppyFreq = Σ 1/(1 + gaps), gaps = span length − #terms, matches
+      with gaps ≤ slop only;
+    - scored as BM25 with the span's summed distinct-term idf
+      (SpanWeight building one sim weight from Map<Term,TermStates>).
+    """
+    k1, b = "1.2", "0.75"
+
+    def idf(term: str) -> str:
+        return (
+            f"(SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM dfs d CROSS JOIN stats s WHERE d.term = '{term}')"
+        )
+
+    ordered_pf = """
+      SELECT doc_id, SUM(1.0 / (1.0 + (nxt - p - 1))) AS pf FROM (
+        SELECT a.doc_id, a.p, MIN(b.p) AS nxt
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.term = 'sort'
+                  AND b.p > a.p
+        WHERE a.term = 'merge'
+        GROUP BY a.doc_id, a.p
+      ) WHERE nxt - p - 1 <= 1
+      GROUP BY doc_id"""
+    unordered_pf = """
+      SELECT doc_id, SUM(1.0 / (1.0 + (ys - xs - 1))) AS pf FROM (
+        SELECT x.doc_id, x.p AS xs, y.p AS ys
+        FROM pos x
+        JOIN pos y ON y.doc_id = x.doc_id AND y.p > x.p
+        WHERE ((x.term = 'fast' AND y.term = 'key')
+               OR (x.term = 'key' AND y.term = 'fast'))
+          AND NOT EXISTS (
+            SELECT 1 FROM pos z
+            WHERE z.doc_id = x.doc_id AND z.term IN ('fast', 'key')
+              AND z.p > x.p AND z.p < y.p
+          )
+      ) WHERE ys - xs - 1 <= 1
+      GROUP BY doc_id"""
+    selects = []
+    for qid, pf_sql, idf_sum in (
+        (0, ordered_pf, f"{idf('merge')} + {idf('sort')}"),
+        (1, unordered_pf, f"{idf('fast')} + {idf('key')}"),
+    ):
+        selects.append(f"""
+  SELECT {qid} AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM (
+      SELECT m.doc_id,
+        ({k1} + 1) * ({idf_sum})
+          * (m.pf / (m.pf + {k1} * ((1 - {b}) + {b} * dn.dlq / (s.sttf / s.n))))
+        AS score
+      FROM ({pf_sql}
+      ) m
+      JOIN dln dn ON m.doc_id = dn.doc_id
+      CROSS JOIN stats s
+    )
+  ) WHERE rank <= 20""")
+    return _BM25_CTE + """
+, pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents WHERE text <> ''
+)
+""" + "\nUNION ALL\n".join(selects)
 
 
 def random_sample_docs(sf_dir: str) -> pa.Table:

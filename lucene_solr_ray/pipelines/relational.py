@@ -197,8 +197,11 @@ def innerjoin_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     li = li.map_batches(prep, batch_format="pyarrow")
+    # size-aware dispatch: orders is dimension-sized here, so this takes
+    # the broadcast build-small/probe-big path; at fact-scale both sides
+    # it hash-partitions with a data-scaled partition count
     joined = R.inner_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                          num_partitions=8, how="inner")
+                          how="inner")
     # join key names differ: Dataset.join keeps right key col; rename after
     out = R.rollup(
         joined, ["o_orderpriority"],

@@ -51,12 +51,19 @@ __all__ = [
 
 @dataclass(frozen=True)
 class ValueFeature:
-    """Constant or externally-supplied (efi) value (ValueFeature.java)."""
+    """Constant or externally-supplied (efi) value (ValueFeature.java).
+
+    With ``efi_key`` set and ``required`` (the reference's
+    ``required=true`` default for ``${...}`` efi params), a lookup whose
+    efi map lacks the key RAISES instead of silently scoring the default
+    — ValueFeature.java throws FeatureException for a missing required
+    external feature value."""
 
     name: str
     value: float = 0.0
     efi_key: Optional[str] = None  # value comes from efi[...] when set
     default: float = 0.0
+    required: bool = True
 
 
 @dataclass(frozen=True)
@@ -287,7 +294,7 @@ def ltr_rescore(
     from lucene_solr_ray.search.query import Query
     from lucene_solr_ray.search.reader import (
         SegmentReader,
-        latest_deletes_file,
+        reader_cache_key,
     )
     from lucene_solr_ray.search.searcher import (
         _collect_patterns,
@@ -340,7 +347,7 @@ def ltr_rescore(
 
             cols: Dict[str, list] = {n: [] for n in schema.names}
             for seg_dir in batch.column("seg_dir").to_pylist():
-                key = (seg_dir, latest_deletes_file(seg_dir))
+                key = reader_cache_key(seg_dir)
                 reader = self._readers.get(key)
                 if reader is None:
                     reader = SegmentReader(seg_dir, load_positions=need_pos)
@@ -357,10 +364,16 @@ def ltr_rescore(
                     if isinstance(f, OriginalScoreFeature):
                         vals = s1.astype(np.float64)
                     elif isinstance(f, ValueFeature):
-                        v = (
-                            efi.get(f.efi_key, f.default)
-                            if f.efi_key else f.value
-                        )
+                        if f.efi_key:
+                            if f.efi_key not in efi and f.required:
+                                raise KeyError(
+                                    f"ValueFeature {f.name!r}: required "
+                                    f"external feature value "
+                                    f"{f.efi_key!r} missing from efi"
+                                )
+                            v = efi.get(f.efi_key, f.default)
+                        else:
+                            v = f.value
                         vals = np.full(len(ords), float(v))
                     elif isinstance(f, FieldLengthFeature):
                         nb = reader.norms_for(f.field)[ords].astype(np.int64)

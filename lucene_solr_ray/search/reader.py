@@ -20,7 +20,12 @@ import pyarrow.parquet as pq
 
 from lucene_solr_ray.index.postings_codec import decode_postings
 
-__all__ = ["SegmentReader", "latest_deletes_file"]
+__all__ = [
+    "SegmentReader",
+    "latest_deletes_file",
+    "committed_gens",
+    "reader_cache_key",
+]
 
 _DELETES_RE = __import__("re").compile(r"^deletes-(\d+)\.parquet$")
 
@@ -31,7 +36,12 @@ def latest_deletes_file(seg_dir: str) -> Optional[str]:
     The per-segment live-docs sidecar (the ``.liv`` file role, reference
     ``lucene/core/src/java/org/apache/lucene/codecs/lucene50/
     Lucene50LiveDocsFormat.java:30-60``): segments stay immutable; deletes
-    ride in a generation-stamped sidecar, highest generation wins."""
+    ride in a generation-stamped sidecar.  This directory scan is the
+    WRITER-side helper (choosing the next generation) and the fallback for
+    standalone segment dirs; readers resolve the generation from the
+    committed manifest (:func:`committed_gens`) so an uncommitted sidecar
+    is never visible — the reference only exposes ``.liv`` files through a
+    committed ``SegmentCommitInfo.getDelGen()``."""
     best, best_gen = None, -1
     try:
         names = os.listdir(seg_dir)
@@ -45,6 +55,51 @@ def latest_deletes_file(seg_dir: str) -> Optional[str]:
     return best
 
 
+def committed_gens(seg_dir: str) -> Optional[Tuple[int, Dict[str, int]]]:
+    """``(del_gen, dv_gens)`` of this segment per the COMMITTED manifest of
+    the enclosing index directory, or None if the segment is standalone
+    (no manifest, or not listed in it).
+
+    This is the reader-side source of truth for sidecar visibility — the
+    ``SegmentCommitInfo.getDelGen()/getDocValuesGen()`` role (reference
+    ``lucene/core/src/java/org/apache/lucene/index/SegmentCommitInfo.java``):
+    a delete/DV-update sidecar written but not yet committed must not be
+    observed, and a crash between sidecar write and commit leaves the
+    previous commit point fully intact."""
+    from lucene_solr_ray.index.manifest import (
+        SEGMENT_PREFIX,
+        read_latest_manifest,
+    )
+
+    base = os.path.basename(os.path.normpath(seg_dir))
+    if not base.startswith(SEGMENT_PREFIX):
+        return None
+    try:
+        seg_id = int(base[len(SEGMENT_PREFIX):])
+    except ValueError:
+        return None
+    manifest = read_latest_manifest(os.path.dirname(os.path.normpath(seg_dir)))
+    if manifest is None:
+        return None
+    for s in manifest["segments"]:
+        if int(s["segment_id"]) == seg_id:
+            return (
+                int(s.get("del_gen", 0)),
+                {k: int(v) for k, v in (s.get("dv_gens") or {}).items()},
+            )
+    return None
+
+
+def reader_cache_key(seg_dir: str) -> Tuple:
+    """Cache key for reader caches that must refresh when the committed
+    live-docs / DV-update generation advances (actor-side reader caches).
+    Falls back to the newest on-disk sidecar for standalone segments."""
+    gens = committed_gens(seg_dir)
+    if gens is not None:
+        return (seg_dir, gens[0], tuple(sorted(gens[1].items())))
+    return (seg_dir, latest_deletes_file(seg_dir))
+
+
 def _list_views(col: pa.ChunkedArray) -> Tuple[np.ndarray, np.ndarray]:
     """(offsets, values) numpy views of a list<int32> column."""
     arr = col.combine_chunks()
@@ -56,7 +111,8 @@ def _list_views(col: pa.ChunkedArray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 class SegmentReader:
-    def __init__(self, seg_dir: str, load_positions: bool = False) -> None:
+    def __init__(self, seg_dir: str, load_positions: bool = False,
+                 del_gen: Optional[int] = None) -> None:
         self.seg_dir = seg_dir
         with open(os.path.join(seg_dir, "segment.json")) as f:
             self.meta = json.load(f)
@@ -138,8 +194,22 @@ class SegmentReader:
         }
         self.ndocs = len(self.doc_ids)
 
-        # live docs: deleted segment-local ordinals from the newest sidecar
-        self.del_file = latest_deletes_file(seg_dir)
+        # live docs: deleted ordinals from the COMMITTED sidecar generation
+        # (manifest-resolved; an uncommitted sidecar stays invisible, and a
+        # crash between sidecar write and commit loses nothing).  Explicit
+        # del_gen wins; standalone segment dirs fall back to the dir scan.
+        self.dv_gens: Dict[str, int] = {}
+        if del_gen is None:
+            gens = committed_gens(seg_dir)
+            if gens is not None:
+                del_gen, self.dv_gens = gens
+        if del_gen is not None:
+            self.del_file = (
+                f"deletes-{int(del_gen)}.parquet" if int(del_gen) > 0
+                else None
+            )
+        else:
+            self.del_file = latest_deletes_file(seg_dir)
         if self.del_file:
             self.deleted_ords: np.ndarray = np.sort(
                 pq.read_table(os.path.join(seg_dir, self.del_file))

@@ -470,18 +470,20 @@ class _Eval:
         if cache is None:
             cache = self.reader._value_cols = {}
         bmap = dict(q.bindings)
+        # unbound variables fall back to the same-named docmeta column
+        # (reference SimpleBindings.add(SortField) implicit binding)
         need = sorted(
-            {bmap[v] for v in expr.variables if bmap.get(v) != "_score"
-             and v != "_score"}
+            {bmap.get(v, v) for v in expr.variables
+             if bmap.get(v, v) != "_score" and v != "_score"}
         )
         miss = [c for c in need if c not in cache]
         if miss:
-            t = _pq.read_table(
-                _os.path.join(self.reader.seg_dir, "docmeta.parquet"),
-                columns=miss,
-            )
+            from lucene_solr_ray.index.docvalues import read_docmeta_column
+
             for c in miss:
-                cache[c] = t.column(c).to_numpy().astype(np.float64)
+                # read through numeric DocValues-update overlays, like the
+                # reference's ExpressionValueSource reading updatable DVs
+                cache[c], _ = read_docmeta_column(self.reader.seg_dir, c)
         bindings = {}
         for v in expr.variables:
             col = bmap.get(v, v)

@@ -401,11 +401,12 @@ class _SearchFn:
         self._readers: Dict[str, SegmentReader] = {}
 
     def _reader(self, seg_dir: str) -> SegmentReader:
-        from lucene_solr_ray.search.reader import latest_deletes_file
+        from lucene_solr_ray.search.reader import reader_cache_key
 
-        # cache key includes the live-docs generation: a delete between
-        # searches must not serve a stale cached reader
-        key = (seg_dir, latest_deletes_file(seg_dir))
+        # cache key includes the COMMITTED live-docs/DV generations: a
+        # delete or DV update committed between searches must not serve a
+        # stale cached reader (and an uncommitted sidecar must not bust it)
+        key = reader_cache_key(seg_dir)
         r = self._readers.get(key)
         if r is None:
             r = SegmentReader(seg_dir, load_positions=self.need_positions)
@@ -801,9 +802,9 @@ class _FieldSortFn:
             batch.column("seg_dir").to_pylist(),
             batch.column("seg_ord").to_pylist(),
         ):
-            from lucene_solr_ray.search.reader import latest_deletes_file
+            from lucene_solr_ray.search.reader import reader_cache_key
 
-            rkey = (seg_dir, latest_deletes_file(seg_dir))
+            rkey = reader_cache_key(seg_dir)
             reader = self._readers.get(rkey)
             if reader is None:
                 reader = SegmentReader(seg_dir, load_positions=self.need_pos)
@@ -1007,9 +1008,9 @@ class _GroupedFn:
             batch.column("seg_dir").to_pylist(),
             batch.column("seg_ord").to_pylist(),
         ):
-            from lucene_solr_ray.search.reader import latest_deletes_file
+            from lucene_solr_ray.search.reader import reader_cache_key
 
-            rkey = (seg_dir, latest_deletes_file(seg_dir))
+            rkey = reader_cache_key(seg_dir)
             reader = self._readers.get(rkey)
             if reader is None:
                 reader = SegmentReader(seg_dir, load_positions=self.need_pos)
@@ -1387,7 +1388,7 @@ def rescore(
             self._readers: Dict = {}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from lucene_solr_ray.search.reader import latest_deletes_file
+            from lucene_solr_ray.search.reader import reader_cache_key
             from lucene_solr_ray.search.scorer import (
                 score_segment,
                 topk_segment,
@@ -1395,7 +1396,7 @@ def rescore(
 
             rows = []
             for seg_dir in batch.column("seg_dir").to_pylist():
-                key = (seg_dir, latest_deletes_file(seg_dir))
+                key = reader_cache_key(seg_dir)
                 reader = self._readers.get(key)
                 if reader is None:
                     reader = SegmentReader(

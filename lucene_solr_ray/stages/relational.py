@@ -254,21 +254,70 @@ def hash_join(
                 self.small, how=how, left_on=on, right_on=right_on or on
             )
 
-    return ds.map_batches(_Probe, batch_format="pandas", concurrency=(1, 8))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return ds.map_batches(
+        _Probe, batch_format="pandas", concurrency=(1, cpus)
+    )
+
+
+#: below this many RIGHT-side rows the join broadcasts (build-small /
+#: probe-big, the reference HashJoinStream.java:45-95 shape) instead of
+#: shuffling both sides
+JOIN_BROADCAST_ROW_LIMIT = 1_000_000
+
+#: target rows per shuffle-join partition — the partition count scales
+#: with input size (the `_pair_partitions` pattern, functions/dedup.py)
+#: instead of a constant that starves a 100 TB shuffle
+_JOIN_PARTITION_ROWS = 500_000
+
+
+def _join_partitions(rows: int) -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return int(min(4096, max(cpus, rows // _JOIN_PARTITION_ROWS + 1)))
 
 
 def inner_join(left, right, on: str | Tuple[str, ...],
                right_on: Optional[str | Tuple[str, ...]] = None,
-               num_partitions: int = 16, how: str = "inner"):
-    """InnerJoinStream / LeftOuterJoinStream with both sides large:
-    hash-partitioned ``Dataset.join`` (the shuffle join)."""
+               num_partitions: Optional[int] = None, how: str = "inner",
+               broadcast_limit: int = JOIN_BROADCAST_ROW_LIMIT):
+    """InnerJoinStream / LeftOuterJoinStream with size-aware dispatch.
+
+    The right side is materialized (it is consumed for its row count
+    either way) and counted IN the cluster; a dimension-sized right side
+    (≤ ``broadcast_limit`` rows) ships once via ``ray.put`` and probes
+    inside ``map_batches`` — no shuffle of the big side, exactly the
+    reference ``HashJoinStream.java:45-95`` build-small/probe-big plan.
+    Past the limit both sides hash-partition (``Dataset.join``) with the
+    partition count scaled to the data (``num_partitions=None`` →
+    :func:`_join_partitions`), never a constant."""
     on_t = (on,) if isinstance(on, str) else tuple(on)
-    r_t = None
+    r_t = on_t
     if right_on is not None:
         r_t = (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    right = right.materialize()
+    n_right = right.count()
+    if n_right <= broadcast_limit:
+        small = right.to_pandas()
+        pd_how = {"inner": "inner", "left_outer": "left"}.get(how)
+        if pd_how is not None:
+            return hash_join(ds=left, small=small, on=list(on_t),
+                             how=pd_how, right_on=list(r_t))
+    if num_partitions is None:
+        # size the shuffle off the known right count plus the left's
+        # metadata row-count estimate when one is available without
+        # executing the pipeline (parquet reads know; transforms don't)
+        est_left = 0
+        try:
+            meta_n = left._plan.meta_count()  # metadata-only, may be None
+            est_left = int(meta_n) if meta_n is not None else 0
+        except Exception:
+            est_left = 0
+        num_partitions = _join_partitions(max(n_right, est_left))
     return left.join(
         right, join_type=how, num_partitions=num_partitions, on=on_t,
-        right_on=r_t,
+        right_on=r_t if right_on is not None else None,
     )
 
 

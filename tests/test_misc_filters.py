@@ -124,8 +124,10 @@ def test_common_grams():
     f = CommonGramsFilter({"the", "of"})
     out = f.apply([("the", 0), ("quick", 1), ("fox", 2), ("of", 3),
                    ("doom", 4)])
-    assert out == [("the", 0), ("the_quick", 1), ("quick", 1), ("fox", 2),
-                   ("fox_of", 3), ("of", 3), ("of_doom", 4), ("doom", 4)]
+    # grams stack at the FIRST unigram's position (posIncr 0 after it),
+    # matching the reference gramToken() (CommonGramsFilter.java:173)
+    assert out == [("the", 0), ("the_quick", 0), ("quick", 1), ("fox", 2),
+                   ("fox_of", 2), ("of", 3), ("of_doom", 3), ("doom", 4)]
 
 
 def test_fingerprint():
