@@ -795,11 +795,28 @@ def embedding_near_dups(ds, vec_col: str, id_col: str,
         if f.endswith(".parquet")
     )
 
-    items = [
-        {"fa": files[i], "fb": files[j]}
-        for i in range(len(files))
-        for j in range(i, len(files))
-    ]
+    # stage 2: block-PAIR enumeration happens IN the cluster — a Dataset
+    # over block indices flat-maps each i to its (i, j≥i) pairs, so the
+    # driver never holds a list proportional to blocks² (the round-3
+    # review's scale-killer); it holds only the O(blocks) file list,
+    # shipped once via ray.put.
+    import ray as _ray
+
+    n_files = len(files)
+    files_ref = _ray.put(files)
+
+    def _expand(t: pa.Table) -> pa.Table:
+        fl = _ray.get(files_ref)
+        fa, fb = [], []
+        for i in t.column("i").to_pylist():
+            fa.extend([fl[i]] * (len(fl) - i))
+            fb.extend(fl[i:])
+        return pa.table(
+            {"fa": pa.array(fa, pa.string()),
+             "fb": pa.array(fb, pa.string())}
+        )
+
+    n_pairs = n_files * (n_files + 1) // 2
 
     class _BlockPair:
         """One call = one block pair; caches decoded blocks across calls
@@ -862,10 +879,22 @@ def embedding_near_dups(ds, vec_col: str, id_col: str,
                 }
             )
 
-    return ray.data.from_items(
-        items, override_num_blocks=max(1, len(items))
-    ).map_batches(_BlockPair, batch_size=1, batch_format="pyarrow",
-                  concurrency=(1, 8))
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    # ≤4096 pairs → one pair per task (max parallelism); past that each
+    # task works a run of pairs and its block cache amortizes file reads
+    n_parts = max(1, min(n_pairs, 4096))
+    pairs_ds = (
+        ray.data.from_items(
+            [{"i": i} for i in range(n_files)],
+            override_num_blocks=max(1, n_files),
+        )
+        .map_batches(_expand, batch_format="pyarrow")
+        .repartition(n_parts)
+    )
+    return pairs_ds.map_batches(
+        _BlockPair, batch_size=1, batch_format="pyarrow",
+        concurrency=(1, cpus),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -786,6 +786,58 @@ QUERIES["sql_orders"] = sql_orders
 ORACLES["sql_orders"] = SQL_ORDERS_SQL
 
 
+def sql_select_limit(sf_dir: str) -> pd.DataFrame:
+    """Plain (un-aggregated) SELECT with ORDER BY + LIMIT: compiles to
+    ``Dataset.sort().limit()`` IN the cluster — only the 10-row head ever
+    reaches the driver (the round-3 review's full-table ``to_pandas``
+    anti-pattern is gone).  Unique ORDER BY tiebreak (o_orderkey) keeps
+    the head deterministic on both engines."""
+    from lucene_solr_ray.stages.sql import sql_query
+
+    return sql_query(
+        SQL_SELECT_LIMIT_TEXT, lambda name: _read(sf_dir, name)
+    ).reset_index(drop=True)
+
+
+SQL_SELECT_LIMIT_TEXT = (
+    "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+    "WHERE o_totalprice > 100000 AND o_orderpriority <> '1-URGENT' "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+)
+
+QUERIES["sql_select_limit"] = sql_select_limit
+ORACLES["sql_select_limit"] = SQL_SELECT_LIMIT_TEXT
+
+
+def sql_join_orders(sf_dir: str) -> pd.DataFrame:
+    """SQL JOIN gate (reference ``SolrRules.java`` join rules → our
+    size-aware ``inner_join`` dispatch): the SAME join SQL runs through
+    the streaming compiler and verbatim through DuckDB.  customer is
+    dimension-sized → the broadcast build-small/probe-big path; safe
+    WHERE conjuncts push below the join to their own side."""
+    from lucene_solr_ray.stages.sql import sql_query
+
+    out = sql_query(SQL_JOIN_TEXT, lambda name: _read(sf_dir, name))
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_JOIN_TEXT = (
+    "SELECT c_mktsegment, COUNT(*) AS n, "
+    "MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p "
+    "FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "WHERE o_totalprice > 50000 AND c_mktsegment <> 'BUILDING' "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+)
+
+SQL_JOIN_SQL = SQL_JOIN_TEXT.replace(
+    "COUNT(*) AS n", "CAST(COUNT(*) AS BIGINT) AS n"
+)
+
+QUERIES["sql_join_orders"] = sql_join_orders
+ORACLES["sql_join_orders"] = SQL_JOIN_SQL
+
+
 # -- pivot facets + field collapsing ----------------------------------------
 
 def pivot_priority_segment(sf_dir: str) -> pd.DataFrame:

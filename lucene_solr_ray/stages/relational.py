@@ -302,8 +302,12 @@ def inner_join(left, right, on: str | Tuple[str, ...],
         small = right.to_pandas()
         pd_how = {"inner": "inner", "left_outer": "left"}.get(how)
         if pd_how is not None:
-            return hash_join(ds=left, small=small, on=list(on_t),
-                             how=pd_how, right_on=list(r_t))
+            out = hash_join(ds=left, small=small, on=list(on_t),
+                            how=pd_how, right_on=list(r_t))
+            # Dataset.join emits the LEFT key only; drop the duplicate
+            # right key columns so both dispatch paths share one schema
+            dup = [c for c in r_t if c not in on_t and c in small.columns]
+            return out.drop_columns(dup) if dup else out
     if num_partitions is None:
         # size the shuffle off the known right count plus the left's
         # metadata row-count estimate when one is available without

@@ -4,7 +4,8 @@ The reference ships a Calcite-based SQL layer that rewrites SQL onto
 streaming expressions (``solr/core/src/java/org/apache/solr/handler/sql/
 SolrRules.java``, ``SQLHandler.java``): SELECT → SelectStream, WHERE →
 query/HavingStream, GROUP BY + aggregates → RollupStream (over a
-ParallelStream), ORDER BY → SortStream, LIMIT → LimitStream.  This module
+ParallelStream), ORDER BY → SortStream, LIMIT → LimitStream, and JOIN →
+HashJoinStream / InnerJoinStream (``SolrRules``' join rules).  This module
 does the same compilation onto the Ray-Data stages in
 ``stages/relational.py``:
 
@@ -13,22 +14,32 @@ does the same compilation onto the Ray-Data stages in
               "HAVING n > 10 ORDER BY s DESC LIMIT 5", resolver)
 
 Grammar subset: SELECT cols/aggs (COUNT(*)/SUM/AVG/MIN/MAX + aliases),
-FROM one table, WHERE with =, <>, !=, <, <=, >, >=, AND/OR/NOT/parens and
-string/number literals, GROUP BY, HAVING (over output columns), ORDER BY
-(multi-key, ASC/DESC), LIMIT.  Everything aggregates/filters inside the
-distributed stages; only the final (small) result is ordered driver-side.
+FROM one table or ``a [INNER|LEFT [OUTER]] JOIN b ON a.x = b.y``
+(optionally qualified ``table.column`` names), WHERE with =, <>, !=, <,
+<=, >, >=, AND/OR/NOT/parens and string/number literals, GROUP BY, HAVING
+(over output columns), ORDER BY (multi-key, ASC/DESC), LIMIT.
+
+Everything stays a Dataset until the final bounded collect: WHERE filters
+vectorized per batch (conjuncts pushed below the join to their own side
+when safe), aggregates run as the two-phase distributed rollup, HAVING /
+projection run as batch transforms over the (bounded) grouped Dataset,
+and ORDER BY / LIMIT compile to ``Dataset.sort().limit()`` IN the cluster
+— the driver only ever receives the final head (or the grouped result,
+bounded by group cardinality).  A plain un-aggregated SELECT with neither
+ORDER BY nor LIMIT is the one unbounded collect, inherent to returning
+the full result; use :func:`sql_dataset` to keep even that streaming.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["sql_query", "SqlError"]
+__all__ = ["sql_query", "sql_dataset", "SqlError"]
 
 
 class SqlError(ValueError):
@@ -37,14 +48,14 @@ class SqlError(ValueError):
 
 _TOKEN = re.compile(
     r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*|\*)"
+    r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_0-9]+)?|\*)"
     r"|(?P<op><=|>=|<>|!=|=|<|>|\(|\)|,))"
 )
 
 _KEYWORDS = {
     "select", "from", "where", "group", "by", "having", "order", "limit",
     "and", "or", "not", "as", "asc", "desc", "count", "sum", "avg", "min",
-    "max",
+    "max", "join", "inner", "left", "outer", "on",
 }
 
 
@@ -65,11 +76,21 @@ def _lex(s: str) -> List[Tuple[str, str]]:
         elif m.lastgroup == "id":
             t = m.group("id")
             out.append(
-                ("kw", t.lower()) if t.lower() in _KEYWORDS else ("id", t)
+                ("kw", t.lower())
+                if "." not in t and t.lower() in _KEYWORDS
+                else ("id", t)
             )
         else:
             out.append(("op", m.group("op")))
     return out
+
+
+def _split_qual(name: str) -> Tuple[Optional[str], str]:
+    """``table.col`` → (table, col); bare → (None, col)."""
+    if "." in name:
+        q, c = name.split(".", 1)
+        return q, c
+    return None, name
 
 
 class _Parser:
@@ -110,7 +131,7 @@ class _Parser:
             if self.peek() == ("id", "*"):
                 self.take()
             else:
-                col = self.take("id")
+                col = _split_qual(self.take("id"))[1]
             self.take("op", ")")
             alias = self._alias() or (
                 f"{v}_{col}" if col else v
@@ -118,7 +139,7 @@ class _Parser:
             if v != "count" and col is None:
                 raise SqlError(f"{v.upper()} requires a column")
             return ("agg", v, col, alias)
-        col = self.take("id")
+        col = _split_qual(self.take("id"))[1]
         alias = self._alias() or col
         return ("col", col, None, alias)
 
@@ -175,7 +196,7 @@ class _Parser:
             lit = v
         else:
             raise SqlError(f"expected literal, got {v!r}")
-        return ("cmp", col, op, lit)
+        return ("cmp", _split_qual(col)[1], op, lit)
 
 
 def _pred_to_arrow(p, t: pa.Table):
@@ -197,6 +218,232 @@ def _pred_to_arrow(p, t: pa.Table):
     raise SqlError(f"bad predicate node {p!r}")
 
 
+def _pred_cols(p, out: set) -> set:
+    if p[0] == "cmp":
+        out.add(p[1])
+    elif p[0] == "not":
+        _pred_cols(p[1], out)
+    else:
+        _pred_cols(p[1], out)
+        _pred_cols(p[2], out)
+    return out
+
+
+def _conjuncts(p) -> List:
+    """Flatten an AND-tree into its conjuncts (non-AND roots → [p])."""
+    if p[0] == "and":
+        return _conjuncts(p[1]) + _conjuncts(p[2])
+    return [p]
+
+
+def _filter_ds(ds, pred):
+    def _filt(t: pa.Table) -> pa.Table:
+        return t.filter(_pred_to_arrow(pred, t))
+
+    return ds.map_batches(_filt, batch_format="pyarrow")
+
+
+def _and_all(preds: List):
+    out = preds[0]
+    for p in preds[1:]:
+        out = ("and", out, p)
+    return out
+
+
+def sql_dataset(
+    sql: str,
+    resolver: Callable[[str], "object"],
+):
+    """Parse + compile one SELECT to a (still lazy) ``ray.data.Dataset``
+    — every stage streams; nothing is collected.  ``resolver(table)``
+    returns the backing Dataset for a table name."""
+    ds, _ = _compile(sql, resolver)
+    return ds
+
+
+def sql_query(
+    sql: str,
+    resolver: Callable[[str], "object"],
+) -> pd.DataFrame:
+    """Parse + execute one SELECT; returns the collected ``DataFrame``.
+    With ORDER BY/LIMIT present only the final head crosses to the
+    driver; grouped results are bounded by group cardinality."""
+    ds, single_row = _compile(sql, resolver)
+    if single_row is not None:
+        return single_row
+    return ds.to_pandas().reset_index(drop=True)
+
+
+def _compile(sql: str, resolver):
+    from lucene_solr_ray.stages.relational import (
+        inner_join,
+        rollup,
+        select,
+    )
+
+    p = _Parser(_lex(sql))
+    p.take("kw", "select")
+    items = p.select_list()
+    p.take("kw", "from")
+    left_name = p.take("id")
+    join_spec = None  # (how, right_name, left_key, right_key)
+    if p.at_kw("inner", "left", "join"):
+        how = "inner"
+        if p.at_kw("inner"):
+            p.take()
+        elif p.at_kw("left"):
+            p.take()
+            how = "left_outer"
+            if p.at_kw("outer"):
+                p.take()
+        p.take("kw", "join")
+        right_name = p.take("id")
+        p.take("kw", "on")
+        a = p.take("id")
+        p.take("op", "=")
+        b = p.take("id")
+        qa, ca = _split_qual(a)
+        qb, cb = _split_qual(b)
+        # route each side of the ON equality to its table by qualifier
+        if qa == right_name or qb == left_name:
+            ca, cb = cb, ca
+        join_spec = (how, right_name, ca, cb)
+    where = None
+    if p.at_kw("where"):
+        p.take()
+        where = p.pred()
+    group_by: List[str] = []
+    if p.at_kw("group"):
+        p.take()
+        p.take("kw", "by")
+        group_by.append(_split_qual(p.take("id"))[1])
+        while p.peek() == ("op", ","):
+            p.take()
+            group_by.append(_split_qual(p.take("id"))[1])
+    having = None
+    if p.at_kw("having"):
+        p.take()
+        having = p.pred()
+    order: List[Tuple[str, bool]] = []
+    if p.at_kw("order"):
+        p.take()
+        p.take("kw", "by")
+        while True:
+            c = _split_qual(p.take("id"))[1]
+            asc = True
+            if p.at_kw("asc", "desc"):
+                asc = p.take() == "asc"
+            order.append((c, asc))
+            if p.peek() == ("op", ","):
+                p.take()
+                continue
+            break
+    limit = None
+    if p.at_kw("limit"):
+        p.take()
+        limit = int(p.take("num"))
+    if p.peek()[0] != "eof":
+        raise SqlError(f"trailing tokens: {p.peek()!r}")
+
+    # prune at the read: only columns the query references leave storage
+    # (select_columns over a parquet read projects into the scan)
+    referenced = {it[2] or it[1] for it in items if it[1] or it[2]}
+    referenced |= set(group_by)
+    if where is not None:
+        _pred_cols(where, referenced)
+    for c, _ in order:
+        referenced.add(c)
+    referenced.discard(None)
+
+    def _prune(d):
+        names = d.schema().names
+        keep = [c for c in names if c in referenced]
+        return d.select_columns(keep) if 0 < len(keep) < len(names) else d
+
+    ds = resolver(left_name)
+    if join_spec is not None:
+        how, right_name, lkey, rkey = join_spec
+        referenced.update({lkey, rkey})
+        right = _prune(resolver(right_name))
+        ds = _prune(ds)
+        if where is not None:
+            # push safe conjuncts below the join to their own side: a
+            # conjunct whose columns all belong to one input filters that
+            # input pre-shuffle (predicate pushdown; right-side pushdown
+            # is unsafe under LEFT JOIN — those rows must NULL-extend)
+            lcols = set(ds.schema().names)
+            rcols = set(right.schema().names)
+            lparts, rparts, residual = [], [], []
+            for c in _conjuncts(where):
+                cols = _pred_cols(c, set())
+                if cols <= lcols:
+                    lparts.append(c)
+                elif cols <= rcols and how == "inner":
+                    rparts.append(c)
+                else:
+                    residual.append(c)
+            if lparts:
+                ds = _filter_ds(ds, _and_all(lparts))
+            if rparts:
+                right = _filter_ds(right, _and_all(rparts))
+            where = _and_all(residual) if residual else None
+        ds = inner_join(ds, right, on=lkey, right_on=rkey, how=how)
+    else:
+        ds = _prune(ds)
+    if where is not None:
+        ds = _filter_ds(ds, where)
+
+    aggs = [it for it in items if it[0] == "agg"]
+    plain = [it for it in items if it[0] == "col"]
+    if aggs:
+        spec = [
+            (fn, col, alias) if fn != "count" else ("count", None, alias)
+            for _, fn, col, alias in aggs
+        ]
+        if not group_by:
+            from lucene_solr_ray.stages.relational import stats
+
+            row = stats(ds, spec)
+            out = pd.DataFrame([{a: row[a] for _, _, a in spec}])
+            if having is not None:
+                out = out[_pred_to_pandas(having, out)]
+            return None, out.reset_index(drop=True)
+        out_ds = rollup(ds, group_by, spec)
+        # projection/rename of grouped keys per the select-list order —
+        # IN the cluster, so HAVING/ORDER see output aliases
+        cols, rename = [], {}
+        for it in items:
+            if it[0] == "col":
+                if it[1] not in group_by:
+                    raise SqlError(f"column {it[1]!r} not in GROUP BY")
+                if it[3] != it[1]:
+                    rename[it[1]] = it[3]
+                cols.append(it[3])
+            else:
+                cols.append(it[3])
+        out_ds = select(out_ds, rename=rename or None)
+        out_ds = select(out_ds, columns=cols)
+        ds = out_ds
+    else:
+        if having is not None:
+            raise SqlError("HAVING requires aggregates")
+        cols = [it[1] for it in plain]
+        rename = {it[1]: it[3] for it in plain if it[3] != it[1]}
+        ds = select(ds, columns=list(dict.fromkeys(cols)),
+                    rename=rename or None)
+        ds = select(ds, columns=[it[3] for it in plain])
+
+    if having is not None:
+        hv = having
+        ds = _filter_ds(ds, hv)
+    if order:
+        ds = ds.sort([c for c, _ in order],
+                     descending=[not a for _, a in order])
+    if limit is not None:
+        ds = ds.limit(limit)
+    return ds, None
+
+
 def _pred_to_pandas(p, df: pd.DataFrame):
     kind = p[0]
     if kind == "cmp":
@@ -213,112 +460,3 @@ def _pred_to_pandas(p, df: pd.DataFrame):
     if kind == "not":
         return ~_pred_to_pandas(p[1], df)
     raise SqlError(f"bad predicate node {p!r}")
-
-
-def sql_query(
-    sql: str,
-    resolver: Callable[[str], "object"],
-) -> pd.DataFrame:
-    """Parse + execute one SELECT; ``resolver(table_name)`` returns the
-    backing ``ray.data.Dataset``."""
-    from lucene_solr_ray.stages.relational import rollup
-
-    p = _Parser(_lex(sql))
-    p.take("kw", "select")
-    items = p.select_list()
-    p.take("kw", "from")
-    table = p.take("id")
-    where = None
-    if p.at_kw("where"):
-        p.take()
-        where = p.pred()
-    group_by: List[str] = []
-    if p.at_kw("group"):
-        p.take()
-        p.take("kw", "by")
-        group_by.append(p.take("id"))
-        while p.peek() == ("op", ","):
-            p.take()
-            group_by.append(p.take("id"))
-    having = None
-    if p.at_kw("having"):
-        p.take()
-        having = p.pred()
-    order: List[Tuple[str, bool]] = []
-    if p.at_kw("order"):
-        p.take()
-        p.take("kw", "by")
-        while True:
-            c = p.take("id")
-            asc = True
-            if p.at_kw("asc", "desc"):
-                asc = p.take() == "asc"
-            order.append((c, asc))
-            if p.peek() == ("op", ","):
-                p.take()
-                continue
-            break
-    limit = None
-    if p.at_kw("limit"):
-        p.take()
-        limit = int(p.take("num"))
-    if p.peek()[0] != "eof":
-        raise SqlError(f"trailing tokens: {p.peek()!r}")
-
-    ds = resolver(table)
-    if where is not None:
-        pred = where
-
-        def _filt(t: pa.Table) -> pa.Table:
-            return t.filter(_pred_to_arrow(pred, t))
-
-        ds = ds.map_batches(_filt, batch_format="pyarrow")
-
-    aggs = [it for it in items if it[0] == "agg"]
-    plain = [it for it in items if it[0] == "col"]
-    if aggs:
-        spec = [
-            (fn, col, alias) if fn != "count" else ("count", None, alias)
-            for _, fn, col, alias in aggs
-        ]
-        if group_by:
-            out = rollup(ds, group_by, spec).to_pandas()
-        else:
-            from lucene_solr_ray.stages.relational import stats
-
-            row = stats(ds, spec)
-            out = pd.DataFrame([{a: row[a] for _, _, a in spec}])
-        # project/rename grouped keys per the select list order
-        cols = []
-        for it in items:
-            if it[0] == "col":
-                if it[1] not in group_by:
-                    raise SqlError(
-                        f"column {it[1]!r} not in GROUP BY"
-                    )
-                if it[3] != it[1]:
-                    out = out.rename(columns={it[1]: it[3]})
-                cols.append(it[3])
-            else:
-                cols.append(it[3])
-        out = out[cols]
-    else:
-        cols = [it[1] for it in plain]
-        out = ds.select_columns(cols).to_pandas()
-        renames = {
-            it[1]: it[3] for it in plain if it[3] != it[1]
-        }
-        if renames:
-            out = out.rename(columns=renames)
-        out = out[[it[3] for it in plain]]
-
-    if having is not None:
-        out = out[_pred_to_pandas(having, out)]
-    if order:
-        out = out.sort_values(
-            [c for c, _ in order], ascending=[a for _, a in order],
-            kind="mergesort",
-        )
-    if limit is not None:
-        out = out.head(limit)
-    return out.reset_index(drop=True)
