@@ -30,17 +30,67 @@ __all__ = [
 ]
 
 
+def _token_lists(col: "pa.ChunkedArray"):
+    """(flat_tokens ARROW string array, row_ids np, counts np) of the
+    space-split tokens — Arrow ``split_pattern`` (C kernel), empty/null
+    rows → 0 tokens.  The flat tokens stay an Arrow array on purpose:
+    converting millions of strings to Python objects is the hidden cost
+    that makes "vectorized" token code slower than the loop it replaces;
+    every downstream kernel (``is_in``/``utf8_length``/
+    ``dictionary_encode``) consumes the Arrow array directly."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    nonempty = pc.fill_null(
+        pc.not_equal(arr, pa.scalar("")), False
+    ).to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern(pc.fill_null(arr, ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    raw_counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    counts = np.where(nonempty, raw_counts, 0)
+    flat = toks.flatten()
+    if not nonempty.all():
+        flat = flat.filter(pa.array(np.repeat(nonempty, raw_counts)))
+    row_ids = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return flat, row_ids, counts
+
+
+def _distinct_row_codes(flat: "pa.Array", row_ids: np.ndarray):
+    """Distinct (row, token) occurrences: returns (urow, ucode,
+    dictionary) where ``dictionary`` is the Arrow unique-token array and
+    (urow, ucode) enumerate each row's distinct token codes once.  One
+    C-level ``dictionary_encode`` + one ``np.unique`` over packed int64
+    keys — no per-row Python sets."""
+    import pyarrow.compute as pc
+
+    de = pc.dictionary_encode(flat)
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = max(len(de.dictionary), 1)
+    keys = np.unique(row_ids * k + codes)
+    return keys // k, keys % k, de.dictionary
+
+
 def token_counts(ds, col: str, id_col: str):
-    """(id, n_tokens) with the engine's tokenizer-equivalent counting."""
+    """(id, n_tokens) with the engine's tokenizer-equivalent counting —
+    one Arrow ``split_pattern`` + ``list_value_length`` per batch, no
+    Python loop (this runs over the WHOLE corpus in a training
+    pipeline)."""
+    import pyarrow.compute as pc
 
     def _count(t: pa.Table) -> pa.Table:
-        n = [
-            len(v.split()) if v else 0 for v in t.column(col).to_pylist()
-        ]
+        c = t.column(col)
+        nonempty = pc.fill_null(pc.not_equal(c, pa.scalar("")), False)
+        n = pc.list_value_length(pc.split_pattern(c, " "))
+        n = pc.if_else(nonempty, n, pa.scalar(0, pa.int32()))
         return pa.table(
             {
                 id_col: t.column(id_col),
-                "n_tokens": pa.array(n, pa.int64()),
+                "n_tokens": pc.fill_null(n, 0).cast(pa.int64()),
             }
         )
 
@@ -49,29 +99,47 @@ def token_counts(ds, col: str, id_col: str):
     )
 
 
+#: sorted stopword array for the vectorized is_in membership kernel
+_STOPS_ARRAY = pa.array(sorted(ENGLISH_STOP_WORDS), pa.string())
+
+
 def quality_scores(ds, col: str, id_col: str):
     """Cheap quality heuristics per doc: token count, distinct-token count,
-    stopword ratio, mean token length (round-6 doubles)."""
-    stops = frozenset(ENGLISH_STOP_WORDS)
+    stopword ratio, mean token length (round-6 doubles).
+
+    Fully vectorized: Arrow split + ``is_in``/``utf8_length`` kernels over
+    the flattened token stream (kept as an Arrow array — no Python string
+    objects), per-row reductions via ``np.bincount``, distinct counts via
+    one ``dictionary_encode`` + packed-key ``np.unique`` — byte-identical
+    outputs to the per-row reference implementation."""
+    import pyarrow.compute as pc
 
     def _score(t: pa.Table) -> pa.Table:
-        n_tok, n_uniq, stop_r, avg_len = [], [], [], []
-        for v in t.column(col).to_pylist():
-            toks = v.split() if v else []
-            n = len(toks)
-            n_tok.append(n)
-            n_uniq.append(len(set(toks)))
-            if n:
-                stop_r.append(round(sum(1 for x in toks if x in stops) / n, 6))
-                avg_len.append(round(sum(map(len, toks)) / n, 6))
-            else:
-                stop_r.append(0.0)
-                avg_len.append(0.0)
+        nrows = t.num_rows
+        flat, row_ids, counts = _token_lists(t.column(col))
+        n_tok = counts
+        # stopword hits per row
+        stop_mask = pc.is_in(flat, value_set=_STOPS_ARRAY).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(row_ids[stop_mask], minlength=nrows)
+        # summed codepoint lengths per row
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = np.bincount(row_ids, weights=lens, minlength=nrows)
+        # distinct tokens per row
+        if len(flat):
+            urow, _, _ = _distinct_row_codes(flat, row_ids)
+            n_uniq = np.bincount(urow, minlength=nrows)
+        else:
+            n_uniq = np.zeros(nrows, dtype=np.int64)
+        nz = np.maximum(n_tok, 1).astype(np.float64)
+        stop_r = np.where(n_tok > 0, np.round(n_stop / nz, 6), 0.0)
+        avg_len = np.where(n_tok > 0, np.round(sum_len / nz, 6), 0.0)
         return pa.table(
             {
                 id_col: t.column(id_col),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_uniq": pa.array(n_uniq, pa.int64()),
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+                "n_uniq": pa.array(n_uniq.astype(np.int64)),
                 "stop_ratio": pa.array(stop_r, pa.float64()),
                 "avg_token_len": pa.array(avg_len, pa.float64()),
             }

@@ -38,42 +38,59 @@ def features_selection(ds, text_col: str, label_col: str, id_col: str,
     IG(t) = H(C) − [P(t)·H(C|t) + P(¬t)·H(C|¬t)] over DOCUMENT presence
     (df-based, as FeaturesSelectionStream's igain works per doc).
     Returns (term, ig) ordered (ig desc, term asc)."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     def _explode(t: pa.Table) -> pa.Table:
-        out_term, out_lab = [], []
-        for text, lab in zip(t.column(text_col).to_pylist(),
-                             t.column(label_col).to_pylist()):
-            pos = 1 if lab == positive_label else 0
-            for term in set((text or "").split()):
-                out_term.append(term)
-                out_lab.append(pos)
+        # vectorized per-doc DISTINCT terms: one split +
+        # dictionary_encode + packed-key unique per batch (no Python
+        # token loops, terms stay Arrow)
+        import pyarrow.compute as pc
+
+        from lucene_solr_ray.functions.textstats import (
+            _distinct_row_codes,
+            _token_lists,
+        )
+
+        pos_np = pc.fill_null(
+            pc.equal(t.column(label_col), pa.scalar(positive_label)), False
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, row_ids, _ = _token_lists(t.column(text_col))
+        if len(flat) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "pos": pa.array([], pa.int64())}
+            )
+        ur, uc, dictionary = _distinct_row_codes(flat, row_ids)
         return pa.table(
             {
-                "term": pa.array(out_term, pa.string()),
-                "pos": pa.array(out_lab, pa.int64()),
+                "term": dictionary.take(pa.array(uc)),
+                "pos": pa.array(pos_np[ur]),
             }
         )
 
-    counts = (
+    # per-term (docs-with-term-and-positive, docs-with-term) in ONE
+    # grouped aggregate — the (term, pos) pivot never leaves the cluster
+    counts_ds = (
         ds.select_columns([text_col, label_col])
         .map_batches(_explode, batch_format="pyarrow")
-        .groupby(["term", "pos"])
-        .aggregate(Count(alias_name="df"))
-        .to_pandas()
+        .groupby("term")
+        .aggregate(
+            Sum("pos", alias_name="tp"), Count(alias_name="t_total")
+        )
     )
+    def _lab(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "pos": pc.fill_null(
+                pc.equal(t.column(label_col), pa.scalar(positive_label)),
+                False,
+            ).cast(pa.int64())
+        })
+
     lab = (
         ds.select_columns([label_col])
-        .map_batches(
-            lambda t: pa.table({
-                "pos": pa.array(
-                    [1 if v == positive_label else 0
-                     for v in t.column(label_col).to_pylist()],
-                    pa.int64(),
-                )
-            }),
-            batch_format="pyarrow",
-        )
+        .map_batches(_lab, batch_format="pyarrow")
         .groupby("pos")
         .aggregate(Count(alias_name="n"))
         .to_pandas()
@@ -82,26 +99,38 @@ def features_selection(ds, text_col: str, label_col: str, id_col: str,
     n_neg = int(lab[lab["pos"] == 0]["n"].sum())
     n = n_pos + n_neg
 
-    def h(p: np.ndarray) -> np.ndarray:
-        p = np.clip(p, 1e-12, 1 - 1e-12)
-        return -(p * np.log2(p) + (1 - p) * np.log2(1 - p))
+    def _score(t: pa.Table) -> pa.Table:
+        # IG per term, vectorized over this batch of the grouped table
+        def h(p: np.ndarray) -> np.ndarray:
+            p = np.clip(p, 1e-12, 1 - 1e-12)
+            return -(p * np.log2(p) + (1 - p) * np.log2(1 - p))
 
-    pv = counts.pivot_table(index="term", columns="pos", values="df",
-                            fill_value=0, aggfunc="sum")
-    tp = pv.get(1, pd.Series(0, index=pv.index)).to_numpy(dtype=np.float64)
-    fp = pv.get(0, pd.Series(0, index=pv.index)).to_numpy(dtype=np.float64)
-    t_total = tp + fp
-    h_c = h(np.asarray([n_pos / n]))[0]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        h_t = h(np.where(t_total > 0, tp / np.maximum(t_total, 1), 0.0))
-        rest = n - t_total
-        h_nt = h(
-            np.where(rest > 0, (n_pos - tp) / np.maximum(rest, 1), 0.0)
+        tp = t.column("tp").to_numpy(zero_copy_only=False).astype(
+            np.float64
         )
-    ig = h_c - (t_total / n) * h_t - ((n - t_total) / n) * h_nt
-    out = pd.DataFrame({"term": pv.index.to_numpy(), "ig": ig})
-    out = out.sort_values(["ig", "term"], ascending=[False, True],
-                          kind="mergesort").head(top_n)
+        t_total = t.column("t_total").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        h_c = h(np.asarray([n_pos / n]))[0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h_t = h(np.where(t_total > 0, tp / np.maximum(t_total, 1), 0.0))
+            rest = n - t_total
+            h_nt = h(
+                np.where(rest > 0, (n_pos - tp) / np.maximum(rest, 1), 0.0)
+            )
+        ig = h_c - (t_total / n) * h_t - ((n - t_total) / n) * h_nt
+        return pa.table(
+            {"term": t.column("term"), "ig": pa.array(ig, pa.float64())}
+        )
+
+    # scoring AND the (ig desc, term asc) top-n ranking stay in-cluster —
+    # only top_n rows reach the driver (the vocabulary itself can be big)
+    out = (
+        counts_ds.map_batches(_score, batch_format="pyarrow")
+        .sort(["ig", "term"], descending=[True, False])
+        .limit(top_n)
+        .to_pandas()
+    )
     return out.reset_index(drop=True)
 
 

@@ -388,24 +388,37 @@ def significant_terms(docs, term_col: str, fg_mask_fn,
     n_fg_total, n_bg_total = int(tot["n_fg"]), int(tot["n_bg"])
 
     def _partials(t: pa.Table) -> pa.Table:
-        import collections
+        # vectorized per-doc DISTINCT term counts (this scans the whole
+        # corpus): Arrow split → dictionary_encode → packed-key unique →
+        # bincount per code; terms never become Python objects
+        from lucene_solr_ray.functions.textstats import (
+            _distinct_row_codes,
+            _token_lists,
+        )
 
         fg = fg_mask_fn(t)
-        bg_c: collections.Counter = collections.Counter()
-        fg_c: collections.Counter = collections.Counter()
-        col = t.column(term_col).to_pylist()
-        fgl = fg.to_pylist() if hasattr(fg, "to_pylist") else list(fg)
-        for text, is_fg in zip(col, fgl):
-            toks = set(text.split(" ")) if text else set()
-            bg_c.update(toks)
-            if is_fg:
-                fg_c.update(toks)
-        terms = sorted(bg_c)
+        fgl = fg.to_numpy(zero_copy_only=False) if hasattr(
+            fg, "to_numpy"
+        ) else np.asarray(list(fg), dtype=bool)
+        flat, row_ids, _ = _token_lists(t.column(term_col))
+        if len(flat) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "fg": pa.array([], pa.int64()),
+                 "bg": pa.array([], pa.int64())}
+            )
+        ur, uc, dictionary = _distinct_row_codes(flat, row_ids)
+        k = len(dictionary)
+        bg_n = np.bincount(uc, minlength=k)
+        fg_n = np.bincount(uc[fgl[ur]], minlength=k)
+        srt = pc.sort_indices(dictionary).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         return pa.table(
             {
-                "term": pa.array(terms, pa.string()),
-                "fg": pa.array([fg_c.get(x, 0) for x in terms], pa.int64()),
-                "bg": pa.array([bg_c[x] for x in terms], pa.int64()),
+                "term": dictionary.take(pa.array(srt)),
+                "fg": pa.array(fg_n[srt].astype(np.int64)),
+                "bg": pa.array(bg_n[srt].astype(np.int64)),
             }
         )
 

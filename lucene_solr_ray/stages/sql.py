@@ -403,6 +403,10 @@ def _compile(sql: str, resolver):
         if not group_by:
             from lucene_solr_ray.stages.relational import stats
 
+            if plain:
+                raise SqlError(
+                    f"column {plain[0][1]!r} not in GROUP BY"
+                )
             row = stats(ds, spec)
             out = pd.DataFrame([{a: row[a] for _, _, a in spec}])
             if having is not None:
