@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_topk": fulltext.fetch_topk,
         "suggest_prefix_s": fulltext.suggest_prefix_s,
         "suggest_infix_er": fulltext.suggest_infix_er,
+        "suggest_fuzzy": fulltext.suggest_fuzzy,
+        "suggest_analyzing": fulltext.suggest_analyzing,
         "free_text_suggest_merge": fulltext.free_text_suggest_merge,
         "terms_enum_docs": fulltext.terms_enum_docs,
         "realtime_get_docs": fulltext.realtime_get_docs,
@@ -130,6 +132,8 @@ def oracle_sql() -> dict[str, str]:
         "fetch_topk": fulltext.fetch_topk_sql(),
         "suggest_prefix_s": fulltext.suggest_prefix_s_sql(),
         "suggest_infix_er": fulltext.suggest_infix_er_sql(),
+        "suggest_fuzzy": fulltext.suggest_fuzzy_sql(),
+        "suggest_analyzing": fulltext.suggest_analyzing_sql(),
         "free_text_suggest_merge": fulltext.free_text_suggest_merge_sql(),
         "terms_enum_docs": fulltext.terms_enum_docs_sql(),
         "realtime_get_docs": fulltext.realtime_get_docs_sql(),

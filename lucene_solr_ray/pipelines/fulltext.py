@@ -418,6 +418,78 @@ GROUP BY term ORDER BY weight DESC, term LIMIT 5
 """
 
 
+def suggest_fuzzy(sf_dir: str) -> pa.Table:
+    """FuzzySuggester gate (reference ``lucene/suggest/src/java/org/
+    apache/lucene/search/suggest/analyzing/FuzzySuggester.java``):
+    completions whose prefix is within 1 edit of the key "sma"
+    (nonFuzzyPrefix=1, minFuzzyLength=3, plain Levenshtein);
+    the oracle replays the prefix edit distance with
+    ``MIN(levenshtein(key, substr(term, 1, j)))``."""
+    from lucene_solr_ray.functions.suggest import fuzzy_suggest
+
+    idx = documents_index(sf_dir)
+    rows = fuzzy_suggest(idx, "sma", n=10, max_edits=1,
+                         prefix_length=1, min_fuzzy_length=3)
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "weight": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def suggest_fuzzy_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+),
+tstats AS (SELECT term, COUNT(*) AS ttf FROM tok GROUP BY term),
+cand AS (
+  SELECT t.term, t.ttf,
+    MIN(levenshtein('sma', substr(t.term, 1, g.j))) AS pdist
+  FROM tstats t
+  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) g
+  WHERE substr(t.term, 1, 1) = 's'
+    AND length(t.term) >= length('sma') - 1
+    AND g.j <= length(t.term)
+  GROUP BY t.term, t.ttf
+)
+SELECT term, CAST(ttf AS BIGINT) AS weight FROM cand
+WHERE pdist <= 1 ORDER BY weight DESC, term LIMIT 10
+"""
+
+
+def suggest_analyzing(sf_dir: str) -> pa.Table:
+    """AnalyzingSuggester gate (reference ``analyzing/
+    AnalyzingSuggester.java``): the raw key "The MERG" runs through the
+    index's analyzer (stopword drop + lowercase) before completing — the
+    oracle uses the analyzed form 'so' literally, so a pass proves the
+    analysis happened."""
+    from lucene_solr_ray.functions.suggest import analyzing_suggest
+
+    idx = documents_index(sf_dir)
+    rows = analyzing_suggest(idx, "The SO", n=5)
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "weight": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def suggest_analyzing_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS weight
+FROM tok WHERE term LIKE 'so%'
+GROUP BY term ORDER BY weight DESC, term LIMIT 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # more-like-this (KnnStream) — rows-only (tf·idf term selection + BM25)
 # ---------------------------------------------------------------------------

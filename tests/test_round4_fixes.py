@@ -210,3 +210,84 @@ def test_value_feature_required_efi(ray_session, tmp_path):
         idx, "shared", model, feats, efi={"user_query_boost": 2.0}
     )
     assert len(res) > 0
+
+
+def test_free_text_model_reuse(ray_session):
+    """Build once, look up twice — the corpus is scanned ONCE (the
+    reference FreeTextSuggester.build/lookup split)."""
+    import ray.data
+
+    from lucene_solr_ray.functions.suggest import FreeTextSuggester
+
+    scans = {"n": 0}
+
+    def _counted_read():
+        df = pd.DataFrame({
+            "text": ["a b c", "a b d", "b c d", "a b c d"],
+        })
+        scans["n"] += 1
+        return ray.data.from_pandas(df)
+
+    sug = FreeTextSuggester.build(_counted_read(), "text")
+    assert scans["n"] == 1
+    out1 = sug.lookup("a", n=3)
+    out2 = sug.lookup("b", n=3)
+    assert out1[0] == ("b", 3)
+    assert out2[0] == ("c", 3) and ("d", 1) in out2
+    assert scans["n"] == 1  # no re-read
+
+
+def test_free_text_model_parquet(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_solr_ray.functions.suggest import FreeTextSuggester
+
+    df = pd.DataFrame({"text": ["x y z", "x y", "y z"]})
+    sug = FreeTextSuggester.build(
+        ray.data.from_pandas(df), "text",
+        model_dir=str(tmp_path / "ft_model"),
+    )
+    assert sug.lookup("x", n=2) == [("y", 2)]
+    assert sug.lookup("y", n=2) == [("z", 2)]
+
+
+def test_fuzzy_suggest_prefix_edit_distance():
+    from lucene_solr_ray.functions.suggest import _prefix_edit_distance
+
+    # exact prefix
+    assert _prefix_edit_distance("sma", "small", 1) == 0
+    # one substitution within the prefix
+    assert _prefix_edit_distance("sma", "spark", 1) == 1
+    # far away
+    assert _prefix_edit_distance("sma", "sort", 1) >= 2
+    # brute-force cross-check
+    import itertools
+
+    def brute(key, term, k):
+        import numpy as np
+
+        def lev(a, b):
+            d = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+            d[:, 0] = range(len(a) + 1)
+            d[0, :] = range(len(b) + 1)
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    d[i, j] = min(
+                        d[i - 1, j] + 1, d[i, j - 1] + 1,
+                        d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+            return d[-1, -1]
+
+        return min(
+            lev(key, term[:j])
+            for j in range(1, min(len(term), len(key) + k) + 1)
+        )
+
+    rng = np.random.default_rng(2)
+    alpha = "abc"
+    for _ in range(80):
+        key = "".join(rng.choice(list(alpha), size=rng.integers(1, 5)))
+        term = "".join(rng.choice(list(alpha), size=rng.integers(1, 7)))
+        got = _prefix_edit_distance(key, term, 2)
+        want = brute(key, term, 2)
+        assert (got <= 2) == (want <= 2), (key, term, got, want)
