@@ -1025,6 +1025,159 @@ def span_near_docs_sql() -> str:
 """ + "\nUNION ALL\n".join(selects)
 
 
+def intervals_docs(sf_dir: str) -> pa.Table:
+    """Intervals-query gate, SQL-matched with a positional oracle
+    (reference ``lucene/sandbox/.../intervals/IntervalQuery.java`` +
+    ``IntervalFunction.java``).  Output = (qid, doc_id, n) interval
+    COUNTS (integers — no float-sum ordering hazards):
+
+    - q0 ordered(merge, sort): minimal ordered intervals = mutually
+      nearest ordered pairs (no occurrence of either term strictly
+      between);
+    - q1 maxwidth(2, unordered(fast, key)): adjacent opposite-term
+      pairs;
+    - q2 containing(maxwidth(4, unordered(fast, key)), term(value)):
+      near-windows that contain a 'value' occurrence.
+    """
+    from lucene_solr_ray.search.intervals import Intervals
+    from lucene_solr_ray.search.query import IntervalQuery
+
+    idx = documents_index(sf_dir)
+    sources = [
+        (0, Intervals.ordered("merge", "sort")),
+        (1, Intervals.maxwidth(2, Intervals.unordered("fast", "key"))),
+        (2, Intervals.containing(
+            Intervals.maxwidth(4, Intervals.unordered("fast", "key")),
+            Intervals.term("value"),
+        )),
+    ]
+    # count intervals per doc: run each source through the searcher's
+    # scoring pass with a count-preserving similarity? Simpler and
+    # exact: evaluate per segment via the interval scorer's freq is a
+    # float — instead count via a dedicated map over segments.
+    import ray.data
+
+    items = [
+        {"seg_dir": d, "qid": qid}
+        for d in idx.seg_dirs
+        for qid, _ in sources
+    ]
+    srcmap = {qid: s for qid, s in sources}
+
+    def _count(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from lucene_solr_ray.search.reader import SegmentReader
+
+        out_qid, out_doc, out_n = [], [], []
+        for seg_dir, qid in zip(t.column("seg_dir").to_pylist(),
+                                t.column("qid").to_pylist()):
+            reader = SegmentReader(seg_dir, load_positions=True)
+            src = srcmap[int(qid)]
+            leaf_terms = list(dict.fromkeys(src.leaves()))
+            readers = {}
+            for lt in leaf_terms:
+                pr = reader.positions(lt)
+                if pr is not None:
+                    readers[lt] = pr
+            cand = None
+            dead = False
+            for alts in src.requires():
+                docs = None
+                for lt in alts:
+                    pr = readers.get(lt)
+                    if pr is None:
+                        continue
+                    docs = pr[0] if docs is None else np.union1d(
+                        docs, pr[0]
+                    )
+                if docs is None or len(docs) == 0:
+                    dead = True
+                    break
+                cand = docs if cand is None else np.intersect1d(cand, docs)
+            if dead or cand is None:
+                continue
+            live = reader.live_mask(np.asarray(cand))
+            for d in np.asarray(cand)[live]:
+                pos = {}
+                for lt, (ords, posfn) in readers.items():
+                    i = np.searchsorted(ords, d)
+                    if i < len(ords) and ords[i] == d:
+                        pos[lt] = posfn(int(i))
+                ivs = src.eval(pos)
+                if ivs:
+                    out_qid.append(int(qid))
+                    out_doc.append(int(reader.doc_ids[d]))
+                    out_n.append(len(ivs))
+        return pa.table(
+            {
+                "qid": pa.array(out_qid, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    t = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(_count, batch_format="pyarrow")
+        .sort(["qid", "doc_id"])
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def intervals_docs_sql() -> str:
+    both = "('merge', 'sort')"
+    fk = "('fast', 'key')"
+    return f"""
+WITH pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents WHERE text <> ''
+),
+q0 AS (
+  SELECT a.doc_id, a.p AS s, b.p AS e
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p > a.p
+  WHERE a.term = 'merge' AND b.term = 'sort'
+    AND NOT EXISTS (
+      SELECT 1 FROM pos z WHERE z.doc_id = a.doc_id
+        AND z.term IN {both} AND z.p > a.p AND z.p < b.p
+    )
+),
+q1 AS (
+  SELECT x.doc_id, x.p AS s, y.p AS e
+  FROM pos x JOIN pos y ON y.doc_id = x.doc_id AND y.p = x.p + 1
+  WHERE (x.term = 'fast' AND y.term = 'key')
+     OR (x.term = 'key' AND y.term = 'fast')
+),
+q2w AS (
+  SELECT x.doc_id, x.p AS s, y.p AS e
+  FROM pos x JOIN pos y ON y.doc_id = x.doc_id AND y.p > x.p
+  WHERE ((x.term = 'fast' AND y.term = 'key')
+         OR (x.term = 'key' AND y.term = 'fast'))
+    AND y.p - x.p <= 3
+    AND NOT EXISTS (
+      SELECT 1 FROM pos z WHERE z.doc_id = x.doc_id
+        AND z.term IN {fk} AND z.p > x.p AND z.p < y.p
+    )
+),
+q2 AS (
+  SELECT u.doc_id, u.s, u.e FROM q2w u
+  WHERE EXISTS (
+    SELECT 1 FROM pos v WHERE v.doc_id = u.doc_id
+      AND v.term = 'value' AND v.p BETWEEN u.s AND u.e
+  )
+)
+SELECT 0 AS qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM q0 GROUP BY doc_id
+UNION ALL
+SELECT 1, doc_id, CAST(COUNT(*) AS BIGINT) FROM q1 GROUP BY doc_id
+UNION ALL
+SELECT 2, doc_id, CAST(COUNT(*) AS BIGINT) FROM q2 GROUP BY doc_id
+ORDER BY qid, doc_id
+"""
+
+
 def random_sample_docs(sf_dir: str) -> pa.Table:
     """RandomStream (reference ``solr/solrj/src/java/org/apache/solr/
     client/solrj/io/stream/RandomStream.java``): a seeded pseudo-random

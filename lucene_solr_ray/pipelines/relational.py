@@ -838,6 +838,78 @@ QUERIES["sql_join_orders"] = sql_join_orders
 ORACLES["sql_join_orders"] = SQL_JOIN_SQL
 
 
+# -- taxonomy facets + drill-down/sideways ----------------------------------
+
+def taxonomy_facet_docs(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical taxonomy counts (reference
+    ``FastTaxonomyFacetCounts.java``): documents labeled with the
+    two-level path lang/source; every ancestor prefix counts once per
+    doc."""
+    import pyarrow.compute as pc
+
+    from lucene_solr_ray.stages.facets import taxonomy_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def _path(t: pa.Table) -> pa.Table:
+        p = pc.binary_join_element_wise(
+            t.column("lang"), t.column("source"), "/"
+        )
+        return pa.table({"path": p})
+
+    out = taxonomy_counts(
+        ds.map_batches(_path, batch_format="pyarrow"), "path"
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("path").reset_index(drop=True)
+
+
+TAXONOMY_SQL = """
+SELECT lang AS path, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang || '/' || source, CAST(COUNT(*) AS BIGINT)
+FROM documents GROUP BY lang, source
+ORDER BY path
+"""
+
+QUERIES["taxonomy_facet_docs"] = taxonomy_facet_docs
+ORACLES["taxonomy_facet_docs"] = TAXONOMY_SQL
+
+
+def drill_sideways_docs(sf_dir: str) -> pd.DataFrame:
+    """DrillSideways gate (reference ``DrillSideways.java:69``): drill
+    down on l_returnflag='R' AND l_linestatus='F'; each drilled dim's
+    facet counts are computed with the OTHER filter applied (near-miss
+    counting) in ONE distributed pass; ``__hits__`` carries the fully
+    drilled count."""
+    from lucene_solr_ray.stages.facets import drill_sideways
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    out = drill_sideways(
+        ds, {"l_returnflag": "R", "l_linestatus": "F"}
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["dim", "value"]).reset_index(drop=True)
+
+
+DRILL_SIDEWAYS_SQL = """
+SELECT 'l_returnflag' AS dim, l_returnflag AS value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag
+UNION ALL
+SELECT 'l_linestatus', l_linestatus, CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
+UNION ALL
+SELECT '__hits__', '', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+ORDER BY dim, value
+"""
+
+QUERIES["drill_sideways_docs"] = drill_sideways_docs
+ORACLES["drill_sideways_docs"] = DRILL_SIDEWAYS_SQL
+
+
 # -- pivot facets + field collapsing ----------------------------------------
 
 def pivot_priority_segment(sf_dir: str) -> pd.DataFrame:

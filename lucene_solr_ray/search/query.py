@@ -25,6 +25,7 @@ __all__ = [
     "SpanFirstQuery",
     "SpanNotQuery",
     "SpanOrQuery",
+    "IntervalQuery",
     "PayloadScoreQuery",
     "SynonymQuery",
     "DisjunctionMaxQuery",
@@ -300,6 +301,26 @@ class SpanNearQuery(Query):
         from lucene_solr_ray.index.segment import field_term
 
         return [field_term(self.field, t) for t in self.span_terms]
+
+
+@dataclass(frozen=True)
+class IntervalQuery(Query):
+    """Minimal-interval proximity query (reference ``lucene/sandbox/src/
+    java/org/apache/lucene/search/intervals/IntervalQuery.java``): docs
+    with ≥1 interval of the source; ``freq = Σ 1/(end − start + 1)``
+    (IntervalScorer.java:73) scored with a sim scorer built from every
+    distinct leaf term's stats (buildSimScorer:77-92)."""
+
+    source: object  # lucene_solr_ray.search.intervals.IntervalsSource
+    field: Optional[str] = None
+
+    def terms(self) -> List[str]:
+        from lucene_solr_ray.index.segment import field_term
+
+        return [
+            field_term(self.field, t)
+            for t in dict.fromkeys(self.source.leaves())
+        ]
 
 
 @dataclass(frozen=True)

@@ -48,6 +48,7 @@ from lucene_solr_ray.search.query import (
     MatchNoDocsQuery,
     Occur,
     FunctionScoreQuery,
+    IntervalQuery,
     PayloadScoreQuery,
     PhraseQuery,
     PointRangeQuery,
@@ -127,6 +128,8 @@ class _Eval:
             return ords, np.full(len(ords), dt(boost), dtype=dt)
         if isinstance(q, SpanNearQuery):
             return self._span_near(q, boost)
+        if isinstance(q, IntervalQuery):
+            return self._interval_query(q, boost)
         if isinstance(q, (SpanTermQuery, SpanFirstQuery, SpanNotQuery,
                           SpanOrQuery)):
             return self._span_query(q, boost)
@@ -205,6 +208,65 @@ class _Eval:
         # weight from a Map<Term,TermStates>, so duplicated clause terms
         # (e.g. SpanNear("x","x")) must not double the idf
         for key in dict.fromkeys(keys):
+            idf_acc += float(
+                dt(self.sim.idf_value(self.stats.df.get(key, 0), doc_count))
+            )
+        idf = dt(idf_acc)
+        sc = self.sim.scorer_from_idf(boost, idf, doc_count, sttf)
+        norms = self.reader.norms_for(q.field) if q.field else self.norms
+        return ords, sc.score(freqs, norms[ords])
+
+    def _interval_query(self, q: IntervalQuery, boost: float):
+        """IntervalQuery over the positions blobs: the source's interval
+        algebra (search/intervals.py, ports of the reference
+        IntervalFunction advance rules) runs per candidate doc;
+        freq = Σ 1/(end − start + 1) (IntervalScorer.java:73), scored
+        with the summed distinct-leaf-term idf (buildSimScorer)."""
+        from lucene_solr_ray.index.segment import field_term
+
+        leaf_terms = list(dict.fromkeys(q.source.leaves()))
+        readers = {}
+        for t in leaf_terms:
+            pr = self.reader.positions(field_term(q.field, t))
+            if pr is not None:
+                readers[t] = pr
+        # candidate docs: each requires()-group needs ≥1 of its terms
+        cand = None
+        for alts in q.source.requires():
+            docs = None
+            for t in alts:
+                pr = readers.get(t)
+                if pr is None:
+                    continue
+                docs = pr[0] if docs is None else np.union1d(docs, pr[0])
+            if docs is None or len(docs) == 0:
+                return _EMPTY_I, _EMPTY_F
+            cand = docs if cand is None else np.intersect1d(cand, docs)
+        if cand is None or len(cand) == 0:
+            return _EMPTY_I, _EMPTY_F
+        out_ords: List[int] = []
+        out_freqs: List[float] = []
+        for d in cand:
+            pos = {}
+            for t, (ords, posfn) in readers.items():
+                i = np.searchsorted(ords, d)
+                if i < len(ords) and ords[i] == d:
+                    pos[t] = posfn(int(i))
+            ivs = q.source.eval(pos)
+            if ivs:
+                out_ords.append(int(d))
+                out_freqs.append(
+                    sum(1.0 / (e - s + 1) for s, e in ivs)
+                )
+        if not out_ords:
+            return _EMPTY_I, _EMPTY_F
+        ords = np.asarray(out_ords, dtype=np.int32)
+        freqs = np.asarray(out_freqs, dtype=np.float64)
+        dt = self.sim.out_dtype
+        doc_count, sttf = self.stats.collection_for(q.field)
+        idf_acc = 0.0
+        for t in leaf_terms:
+            key = field_term(q.field, t)
             idf_acc += float(
                 dt(self.sim.idf_value(self.stats.df.get(key, 0), doc_count))
             )

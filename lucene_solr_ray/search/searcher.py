@@ -686,6 +686,7 @@ class Index:
 def _has_phrase(q: Query) -> bool:
     from lucene_solr_ray.search.join import ToParentBlockJoinQuery
     from lucene_solr_ray.search.query import (
+        IntervalQuery,
         PayloadScoreQuery,
         SpanFirstQuery,
         SpanNearQuery,
@@ -696,7 +697,7 @@ def _has_phrase(q: Query) -> bool:
 
     if isinstance(q, (PhraseQuery, SpanNearQuery, SpanTermQuery,
                       SpanFirstQuery, SpanNotQuery, SpanOrQuery,
-                      PayloadScoreQuery)):
+                      PayloadScoreQuery, IntervalQuery)):
         return True
     if isinstance(q, ToParentBlockJoinQuery):
         return _has_phrase(q.child_query)

@@ -291,3 +291,37 @@ def test_fuzzy_suggest_prefix_edit_distance():
         got = _prefix_edit_distance(key, term, 2)
         want = brute(key, term, 2)
         assert (got <= 2) == (want <= 2), (key, term, got, want)
+
+
+def test_taxonomy_and_drill_sideways(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.stages.facets import (
+        drill_down,
+        drill_sideways,
+        taxonomy_counts,
+    )
+
+    df = pd.DataFrame({
+        "place": ["eu/fr", "eu/fr", "eu/de", "us/ca", "us/ny", "eu/fr/paris"],
+        "color": ["red", "blue", "red", "red", "blue", "red"],
+    })
+    ds = ray.data.from_pandas(df)
+    tc = taxonomy_counts(ds, "place").to_pandas()
+    got = dict(zip(tc.path, tc.n))
+    assert got["eu"] == 4 and got["eu/fr"] == 3 and got["eu/fr/paris"] == 1
+    assert got["us"] == 2
+
+    dd = drill_down(ds, {"place": "eu/fr"}).to_pandas()
+    assert len(dd) == 3  # eu/fr x2 + eu/fr/paris (prefix match)
+
+    sw = drill_sideways(
+        ds, {"place": "eu", "color": "red"}
+    ).to_pandas()
+    m = {(r.dim, r.value): r.n for r in sw.itertuples()}
+    # place dim counted under color=red only (raw path values)
+    assert m[("place", "eu/fr")] == 1 and m[("place", "us/ca")] == 1
+    assert m[("place", "eu/fr/paris")] == 1 and m[("place", "eu/de")] == 1
+    # color dim counted under place=eu only
+    assert m[("color", "red")] == 3 and m[("color", "blue")] == 1
+    assert m[("__hits__", "")] == 3
