@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stemmed_search_topk": fulltext.stemmed_search_topk,  # rows-only
         "span_near_docs": fulltext.span_near_docs,
         "intervals_docs": fulltext.intervals_docs,
+        "common_terms_docs": fulltext.common_terms_docs,
         "block_join_parents": fulltext.block_join_parents,
         "joinutil_docs": fulltext.joinutil_docs,
         "image_decode_stats": fulltext.image_decode_stats,  # rows-only
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_score_docs": fulltext.payload_score_docs_sql(),
         "span_near_docs": fulltext.span_near_docs_sql(),
         "intervals_docs": fulltext.intervals_docs_sql(),
+        "common_terms_docs": fulltext.common_terms_docs_sql(),
     }
     out.update(relational.ORACLES)
     out.update(training.ORACLES)

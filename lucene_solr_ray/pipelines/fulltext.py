@@ -1025,6 +1025,48 @@ def span_near_docs_sql() -> str:
 """ + "\nUNION ALL\n".join(selects)
 
 
+def common_terms_docs(sf_dir: str) -> pa.Table:
+    """CommonTermsQuery gate (reference ``lucene/queries/src/java/org/
+    apache/lucene/queries/CommonTermsQuery.java``): with
+    maxTermFrequency=0.77 over this corpus, 'merge' lands in the
+    high-frequency SHOULD group and {'the','key'} in the low-frequency
+    MUST(SHOULD…) group — docs match on the low group, the high term
+    only contributes score.  The oracle replays the rewritten boolean
+    shape."""
+    from lucene_solr_ray.search.query import CommonTermsQuery
+
+    idx = documents_index(sf_dir)
+    q = CommonTermsQuery(("the", "merge", "key"), max_term_frequency=0.77)
+    t = idx.search_parsed([(0, q, 10)], similarity=BM25SimilarityF64())
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def common_terms_docs_sql() -> str:
+    # the rewrite's split at sf0.01/sf0.001 (df ratios ~0.75-0.79):
+    # high = merge (> 0.77·maxDoc), low = the, key
+    return _BM25_CTE + """
+SELECT 0 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id, SUM(tscore) AS score
+    FROM scores WHERE term IN ('the', 'key', 'merge')
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN term IN ('the', 'key') THEN 1 ELSE 0 END) > 0
+  )
+) WHERE rank <= 10
+"""
+
+
 def intervals_docs(sf_dir: str) -> pa.Table:
     """Intervals-query gate, SQL-matched with a positional oracle
     (reference ``lucene/sandbox/.../intervals/IntervalQuery.java`` +

@@ -25,6 +25,7 @@ __all__ = [
     "SpanFirstQuery",
     "SpanNotQuery",
     "SpanOrQuery",
+    "CommonTermsQuery",
     "IntervalQuery",
     "PayloadScoreQuery",
     "SynonymQuery",
@@ -301,6 +302,79 @@ class SpanNearQuery(Query):
         from lucene_solr_ray.index.segment import field_term
 
         return [field_term(self.field, t) for t in self.span_terms]
+
+
+@dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """High/low-frequency clause splitting (reference ``lucene/queries/
+    src/java/org/apache/lucene/queries/CommonTermsQuery.java:60,
+    buildQuery``): terms whose docFreq exceeds
+    ``max_term_frequency`` (absolute when ≥ 1, else a maxDoc ratio,
+    ceil'd) form an optional SHOULD group; the rest form the
+    ``low_freq_occur`` group wrapped MUST — stopword-frequency terms
+    influence ranking without dominating recall.  If every term is
+    high-frequency, the high group becomes a conjunction (the
+    slow-query guard).  The rewrite happens at scoring time against the
+    EXACT global stats."""
+
+    ct_terms: Tuple[str, ...]
+    max_term_frequency: float = 0.01
+    low_freq_occur: "Occur" = None  # defaults to SHOULD (set in build)
+    high_freq_occur: "Occur" = None
+    low_freq_min_should: int = 0
+    high_freq_min_should: int = 0
+    field: Optional[str] = None
+
+    def terms(self) -> List[str]:
+        from lucene_solr_ray.index.segment import field_term
+
+        return [field_term(self.field, t) for t in self.ct_terms]
+
+    def build(self, df_by_key, max_doc: int) -> Query:
+        """The ``buildQuery`` rewrite given global (df, maxDoc)."""
+        import math
+
+        from lucene_solr_ray.index.segment import field_term
+
+        low_occur = self.low_freq_occur or Occur.SHOULD
+        high_occur = self.high_freq_occur or Occur.SHOULD
+        mtf = self.max_term_frequency
+        low: List[Query] = []
+        high: List[Query] = []
+        for t in self.ct_terms:
+            df = int(df_by_key.get(field_term(self.field, t), 0))
+            if df == 0:
+                low.append(TermQuery(t, field=self.field))
+            elif (mtf >= 1.0 and df > mtf) or (
+                df > int(math.ceil(mtf * float(max_doc)))
+            ):
+                high.append(TermQuery(t, field=self.field))
+            else:
+                low.append(TermQuery(t, field=self.field))
+        low_msm = self.low_freq_min_should if low_occur == Occur.SHOULD \
+            else 0
+        high_msm = self.high_freq_min_should \
+            if high_occur == Occur.SHOULD else 0
+        if not low and high_msm == 0 and high_occur != Occur.MUST:
+            high_occur = Occur.MUST
+        clauses: List[BooleanClause] = []
+        if low:
+            lq = BooleanQuery(
+                tuple(BooleanClause(q, low_occur) for q in low),
+                minimum_should_match=low_msm,
+            )
+            clauses.append(BooleanClause(BoostQuery(lq, 1.0), Occur.MUST))
+        if high:
+            hq = BooleanQuery(
+                tuple(BooleanClause(q, high_occur) for q in high),
+                minimum_should_match=high_msm,
+            )
+            clauses.append(
+                BooleanClause(BoostQuery(hq, 1.0), Occur.SHOULD)
+            )
+        if not clauses:
+            return MatchNoDocsQuery("empty CommonTermsQuery")
+        return BooleanQuery(tuple(clauses))
 
 
 @dataclass(frozen=True)

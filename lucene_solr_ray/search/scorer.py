@@ -48,6 +48,7 @@ from lucene_solr_ray.search.query import (
     MatchNoDocsQuery,
     Occur,
     FunctionScoreQuery,
+    CommonTermsQuery,
     IntervalQuery,
     PayloadScoreQuery,
     PhraseQuery,
@@ -130,6 +131,10 @@ class _Eval:
             return self._span_near(q, boost)
         if isinstance(q, IntervalQuery):
             return self._interval_query(q, boost)
+        if isinstance(q, CommonTermsQuery):
+            # buildQuery rewrite against the EXACT global stats
+            doc_count, _ = self.stats.collection_for(q.field)
+            return self.eval(q.build(self.stats.df, doc_count), boost)
         if isinstance(q, (SpanTermQuery, SpanFirstQuery, SpanNotQuery,
                           SpanOrQuery)):
             return self._span_query(q, boost)

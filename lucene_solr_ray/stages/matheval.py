@@ -185,21 +185,43 @@ def _find_delay(a, b):
     return float(len(y) - 1 - int(np.argmax(cc)))
 
 
-def _col(ds, field):
-    """col(stream, field): pull ONE column driver-side (bounded use, as
-    the reference's math expressions do)."""
+#: hard cap on rows a math-world ``col()`` binding may pull to the
+#: driver — mirrors Solr's in-memory ``let()``/``col()`` model but
+#: refuses to bind a fact-scale column by accident; raise it explicitly
+#: for a genuinely driver-sized working set
+COL_ROW_LIMIT = 10_000_000
+
+
+def _col(ds, field, limit: int = None):
+    """col(stream, field): pull ONE column driver-side.
+
+    The reference's math world is explicitly in-memory (Solr ``let()``
+    evaluates streams eagerly), but a 100 TB column must not ride that
+    path by accident — the pull is capped at ``COL_ROW_LIMIT`` rows and
+    raises past it (take ``limit`` rows explicitly, or pre-aggregate in
+    the cluster before entering the math world)."""
     import pandas as pd
     import pyarrow as pa
 
+    cap = int(limit) if limit is not None else COL_ROW_LIMIT
     if isinstance(ds, pd.DataFrame):
-        return ds[field].to_numpy(dtype=np.float64)
-    if isinstance(ds, pa.Table):
-        return ds.column(field).to_numpy(zero_copy_only=False).astype(
+        vals = ds[field].to_numpy(dtype=np.float64)
+        n = len(vals)
+    elif isinstance(ds, pa.Table):
+        vals = ds.column(field).to_numpy(zero_copy_only=False).astype(
             np.float64)
-    return np.asarray(
-        [r[field] for r in ds.select_columns([field]).take_all()],
-        dtype=np.float64,
-    )
+        n = len(vals)
+    else:
+        rows = ds.select_columns([field]).limit(cap + 1).take(cap + 1)
+        vals = np.asarray([r[field] for r in rows], dtype=np.float64)
+        n = len(vals)
+    if n > cap:
+        raise ValueError(
+            f"col({field!r}) would bind {'>' if n > cap else ''}{n} rows "
+            f"on the driver (cap {cap}); pre-aggregate in the cluster or "
+            "pass an explicit row limit"
+        )
+    return vals
 
 
 def _norm_z(v):

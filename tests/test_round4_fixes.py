@@ -325,3 +325,26 @@ def test_taxonomy_and_drill_sideways(ray_session):
     # color dim counted under place=eu only
     assert m[("color", "red")] == 3 and m[("color", "blue")] == 1
     assert m[("__hits__", "")] == 3
+
+
+def test_common_terms_build_split():
+    from lucene_solr_ray.search.query import (
+        BooleanQuery,
+        CommonTermsQuery,
+        Occur,
+    )
+
+    q = CommonTermsQuery(("the", "rare"), max_term_frequency=0.5)
+    built = q.build({"the": 90, "rare": 3}, 100)
+    assert isinstance(built, BooleanQuery)
+    occurs = [c.occur for c in built.clauses]
+    assert occurs == [Occur.MUST, Occur.SHOULD]  # low group MUST first
+    # all-high → conjunction guard: high group becomes MUST
+    q2 = CommonTermsQuery(("the", "of"), max_term_frequency=0.5)
+    built2 = q2.build({"the": 90, "of": 95}, 100)
+    inner = built2.clauses[0].query.query
+    assert all(c.occur == Occur.MUST for c in inner.clauses)
+    # absolute threshold form (mtf >= 1)
+    q3 = CommonTermsQuery(("a", "b"), max_term_frequency=50.0)
+    b3 = q3.build({"a": 60, "b": 10}, 100)
+    assert len(b3.clauses) == 2
