@@ -31,30 +31,42 @@ def entry() -> Any:
 # unchanged and stays covered by pytest).  Keep this list in sync when
 # adding gates: new gates belong near the front.
 _PRIORITY: list[str] = [
-    # -- never driver-verified (round-2 verdict) --------------------------
-    "sql_orders", "evaluator_exprs", "pivot_priority_segment",
-    "collapse_orders", "gather_nodes_orders", "interval_facet_orders",
-    "grouped_percentiles_orders", "ann_ivf_topk", "winnow_docs",
-    "features_selection_docs", "text_logit_docs",
-    # -- round-1-only (fell outside the round-2 window) -------------------
-    "dedup_exact", "token_count_docs", "quality_docs", "fingerprint_docs",
-    "ann_cosine_topk", "minhash_pairs", "simhash_pairs", "langid_docs",
-    "embedding_neardups", "ann_lsh_topk",
-    "sliding_windows", "urp_clean_parts", "distinct_quantiles",
-    "hll_partkeys", "eval_props", "facet_price_ranges", "json_facet_brands",
-    # -- round-3 additions (inserted here as they land) -------------------
-    "geo_polygon_docs", "nb_classify_docs", "ltr_rerank_docs",
-    "ltr_trees_docs", "dv_update_then_sort", "indexsort_topk",
-    "payload_score_docs", "score_nodes_parts", "classify_stream_docs",
-    "expr_sort_orders", "math_stats_lineitem",
-    # -- flagship + paths touched this round ------------------------------
+    # -- new round-4 gates (never driver-verified) ------------------------
+    "common_terms_docs", "intervals_docs", "taxonomy_facet_docs",
+    "drill_sideways_docs", "sql_select_limit", "sql_join_orders",
+    "suggest_fuzzy", "suggest_analyzing",
+    # -- round-4-changed paths (re-verify after the rework) ---------------
+    "sql_orders", "span_near_docs", "free_text_suggest_merge",
+    "suggest_infix_er", "suggest_prefix_s", "innerjoin_revenue",
+    "hashjoin_orders_customer", "token_count_docs", "quality_docs",
+    "features_selection_docs", "significant_terms_en",
+    "delete_then_search", "dv_update_then_sort", "realtime_get_docs",
+    "expr_sort_orders", "ltr_rerank_docs", "math_stats_lineitem",
+    # -- flagship core (always in the window) -----------------------------
     "bm25_topk", "term_stats", "doc_norms", "phrase_topk",
-    "delete_then_search", "span_near_docs", "block_join_parents",
-    "numeric_range_topk", "sortfield_topk", "geo_distance_docs",
-    "rollup_lineitem", "innerjoin_revenue", "stats_orders",
-    "timeseries_events", "significant_terms_en", "session_windows",
-    "textprofile_dedup", "knn_classify_docs", "mlt_doc0",
-    "field_wildcard_docs", "grouped_topk", "hit_counts",
+    # -- stalest greens (last driver-verified r1/r2) rotate back in -------
+    "fetch_topk", "multifield_topk", "terms_enum_docs", "mlt_doc0",
+    "textprofile_dedup", "knn_classify_docs", "field_wildcard_docs",
+    "grouped_topk", "hit_counts", "stats_orders", "timeseries_events",
+    "session_windows", "joinutil_docs", "random_sample_docs",
+    "topic_pull_docs", "percolate_docs", "highlight_merge",
+    "spell_corrections", "term_vectors_docs", "export_sorted_docs",
+    "geo_distance_docs",
+    # ---- 50-slot window boundary (everything below is behind it) --------
+    # r3-verified stable greens
+    "evaluator_exprs", "pivot_priority_segment", "collapse_orders",
+    "gather_nodes_orders", "interval_facet_orders",
+    "grouped_percentiles_orders", "winnow_docs", "dedup_exact",
+    "fingerprint_docs", "ann_cosine_topk", "langid_docs",
+    "sliding_windows", "urp_clean_parts", "distinct_quantiles",
+    "eval_props", "facet_price_ranges", "json_facet_brands",
+    "geo_polygon_docs", "nb_classify_docs", "ltr_trees_docs",
+    "indexsort_topk", "payload_score_docs", "score_nodes_parts",
+    "classify_stream_docs", "sortfield_topk", "numeric_range_topk",
+    "block_join_parents", "rollup_lineitem",
+    # rows-only gates (can never turn green; pytest-covered)
+    "ann_ivf_topk", "text_logit_docs", "minhash_pairs", "simhash_pairs",
+    "embedding_neardups", "ann_lsh_topk", "hll_partkeys",
 ]
 
 
