@@ -34,7 +34,7 @@ _PRIORITY: list[str] = [
     # -- new round-4 gates (never driver-verified) ------------------------
     "common_terms_docs", "intervals_docs", "taxonomy_facet_docs",
     "drill_sideways_docs", "sql_select_limit", "sql_join_orders",
-    "suggest_fuzzy", "suggest_analyzing",
+    "suggest_fuzzy", "suggest_analyzing", "indexsort_multi_topk",
     # -- round-4-changed paths (re-verify after the rework) ---------------
     "sql_orders", "span_near_docs", "free_text_suggest_merge",
     "suggest_infix_er", "suggest_prefix_s", "innerjoin_revenue",
@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_trees_docs": fulltext.ltr_trees_docs,
         "dv_update_then_sort": fulltext.dv_update_then_sort,
         "indexsort_topk": fulltext.indexsort_topk,
+        "indexsort_multi_topk": fulltext.indexsort_multi_topk,
         "payload_score_docs": fulltext.payload_score_docs,
     }
     # -- Solr streaming-expression algebra (SURVEY §2.9) ------------------
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "ltr_trees_docs": fulltext.ltr_trees_docs_sql(),
         "dv_update_then_sort": fulltext.dv_update_then_sort_sql(),
         "indexsort_topk": fulltext.indexsort_topk_sql(),
+        "indexsort_multi_topk": fulltext.indexsort_multi_topk_sql(),
         "payload_score_docs": fulltext.payload_score_docs_sql(),
         "span_near_docs": fulltext.span_near_docs_sql(),
         "intervals_docs": fulltext.intervals_docs_sql(),

@@ -148,6 +148,16 @@ def _read_shard_columns(shard: Dict, columns: List[str]):
     return t.slice(off, shard["row_end"] - shard["row_start"])
 
 
+def _norm_index_sort(index_sort) -> Optional[List[tuple]]:
+    """Normalize ``(field, desc)`` | ``[(field, desc), ...]`` to a list."""
+    if not index_sort:
+        return None
+    seq = list(index_sort)
+    if seq and isinstance(seq[0], str):  # single (field, desc) pair
+        return [(seq[0], bool(seq[1]))]
+    return [(f, bool(d)) for f, d in seq]
+
+
 class _BuildShard:
     """One call = one shard → one committed segment dir + manifest row."""
 
@@ -176,7 +186,7 @@ class _BuildShard:
         self.with_offsets = with_offsets
         self.field_analyzers = dict(field_analyzers or {})
         self.numeric_fields = dict(numeric_fields or {})
-        self.index_sort = tuple(index_sort) if index_sort else None
+        self.index_sort = _norm_index_sort(index_sort)
         self.with_payloads = with_payloads
 
     def __call__(self, batch):
@@ -195,7 +205,7 @@ class _BuildShard:
         if self.id_col:
             cols = [self.id_col] + cols
         if self.index_sort:
-            cols.append(self.index_sort[0])
+            cols.extend(f for f, _ in self.index_sort)
         t = _read_shard_columns(shard, list(dict.fromkeys(cols)))
         if self.id_col:
             doc_ids = t.column(self.id_col).to_pylist()
@@ -204,17 +214,20 @@ class _BuildShard:
                 range(shard["doc_base"], shard["doc_base"] + len(t))
             )
         if self.index_sort and len(t):
-            # IndexWriterConfig.setIndexSort (IndexWriterConfig.java:465):
-            # rows are laid down in comparator order (value, then the
-            # query-time doc_id-ascending tiebreak) so ord order == sort
-            # order and collectors can terminate early.  doc_ids ride with
-            # their rows — only the within-segment ordinal changes.
-            fld, desc = self.index_sort
-            vals = t.column(fld).to_numpy(zero_copy_only=False)
-            vals = vals.astype(np.float64)
-            perm = np.lexsort(
-                (np.asarray(doc_ids), -vals if desc else vals)
-            )
+            # IndexWriterConfig.setIndexSort (IndexWriterConfig.java:465)
+            # takes a multi-field Sort: rows are laid down in comparator
+            # order (field values in order, then the query-time
+            # doc_id-ascending tiebreak) so ord order == sort order and
+            # collectors can terminate early.  doc_ids ride with their
+            # rows — only the within-segment ordinal changes.  Per-key
+            # ordinal codes (np.unique inverse) make descending order
+            # type-agnostic: strings sort like SortedDocValues ordinals.
+            keys = [np.asarray(doc_ids)]
+            for fld, desc in reversed(self.index_sort):
+                v = t.column(fld).to_numpy(zero_copy_only=False)
+                codes = np.unique(v, return_inverse=True)[1]
+                keys.append(-codes if desc else codes)
+            perm = np.lexsort(tuple(keys))
             t = t.take(perm)
             doc_ids = [doc_ids[i] for i in perm]
         texts = t.column(self.text_col).to_pylist()
@@ -258,8 +271,20 @@ class _BuildShard:
             "segment_id": shard["segment_id"],
             "stats": seg.stats,
             **(
-                {"index_sort": {"field": self.index_sort[0],
-                                "desc": bool(self.index_sort[1])}}
+                {"index_sort": {
+                    "fields": [
+                        {"field": f, "desc": bool(d)}
+                        for f, d in self.index_sort
+                    ],
+                    # legacy single-field keys only when unambiguous —
+                    # a single-field early-termination check must NOT
+                    # fire against a multi-field sort (tie order differs)
+                    **(
+                        {"field": self.index_sort[0][0],
+                         "desc": bool(self.index_sort[0][1])}
+                        if len(self.index_sort) == 1 else {}
+                    ),
+                }}
                 if self.index_sort else {}
             ),
             **({"default_field": self.text_col} if self.extra_fields else {}),
@@ -305,15 +330,18 @@ def build_index(
     numeric_fields: Optional[Dict[str, str]] = None,
     block_align_col: Optional[str] = None,
     concurrency: Optional[int] = None,
-    index_sort: Optional[tuple] = None,
+    index_sort: Optional[tuple | Sequence[tuple]] = None,
     with_payloads: bool = False,
 ) -> Dict:
     """Build (or resume) an index over corpus Parquet; returns the manifest.
 
-    ``index_sort=(column, descending)`` lays each segment down in sort
-    order (IndexWriterConfig.setIndexSort) — ``search_by_field`` on the
-    same (field, direction) then early-terminates per segment.  The column
-    must also be a stored/numeric column for query-time value reads.
+    ``index_sort=(column, descending)`` — or a multi-field
+    ``[(col1, desc1), (col2, desc2), ...]``, mirroring the multi-field
+    ``Sort`` that ``IndexWriterConfig.setIndexSort``
+    (IndexWriterConfig.java:465) accepts — lays each segment down in
+    comparator order; ``search_by_field``/``search_by_fields`` on a
+    matching sort then early-terminates per segment.  Sort columns must
+    also be stored/numeric columns for query-time value reads.
     Incompatible with ``block_align_col`` (sorting would tear blocks).
 
     Ray must already be initialised by the caller (driver contract).

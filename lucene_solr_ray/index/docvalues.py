@@ -129,6 +129,26 @@ def read_docmeta_column(
     return out, True
 
 
+def read_docmeta_column_raw(
+    seg_dir: str, column: str
+) -> Tuple[np.ndarray, bool]:
+    """One docmeta column in its NATIVE dtype (strings stay strings) with
+    any DV overlay applied — the multi-field sort path needs non-numeric
+    sort keys, which the float64-casting ``read_docmeta_column`` cannot
+    carry.  Overlays only ever exist for numeric fields."""
+    vals = (
+        pq.read_table(os.path.join(seg_dir, "docmeta.parquet"),
+                      columns=[column])
+        .column(column).to_numpy(zero_copy_only=False)
+    )
+    ov = segment_dv_overlay(seg_dir, column)
+    if ov is None:
+        return vals, False
+    out = vals.copy() if not vals.flags.writeable else vals
+    out[ov[0]] = ov[1].astype(out.dtype)
+    return out, True
+
+
 def docmeta_with_overlays(seg_dir: str) -> pa.Table:
     """Full docmeta with every field's DV overlay baked in (merge path:
     the reference rewrites doc values on merge and drops the update

@@ -2030,6 +2030,58 @@ SELECT 0 AS qid, doc_id, rank, n_chars FROM (
 """
 
 
+def indexsort_multi_topk(sf_dir: str) -> pa.Table:
+    """Multi-field index-time sort gate (``IndexWriterConfig.setIndexSort``
+    with a multi-field ``Sort``, IndexWriterConfig.java:465): segments laid
+    down in (lang ASC, n_chars DESC, doc_id ASC) comparator order;
+    ``search_by_fields`` on the full matching sort early-terminates per
+    segment and must equal the exhaustive comparator."""
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+    from lucene_solr_ray.search.searcher import search_by_fields
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(
+        _CACHE_ROOT, f"documents_isortmf_v{FORMAT_VERSION}_{key}"
+    )
+    if read_latest_manifest(out) is None:
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            text_col="text",
+            id_col="doc_id",
+            stored_cols=["lang", "n_chars"],
+            index_sort=[("lang", False), ("n_chars", True)],
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    t = search_by_fields(
+        Index(out), {0: "batch"},
+        [("lang", False), ("n_chars", True)], k=12,
+    )
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "lang": t.column("sort_0"),
+            "n_chars": pa.array(
+                t.column("sort_1").to_numpy().astype(np.int64)
+            ),
+        }
+    )
+
+
+def indexsort_multi_topk_sql() -> str:
+    return """
+SELECT 0 AS qid, doc_id, rank, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+    ROW_NUMBER() OVER (ORDER BY lang ASC, n_chars DESC, doc_id) AS rank
+  FROM documents WHERE list_contains(string_split(text, ' '), 'batch')
+) WHERE rank <= 12
+"""
+
+
 def field_wildcard_docs(sf_dir: str) -> pa.Table:
     """Field-scoped wildcard over the ``lang`` keyword field:
     docs whose lang starts with 'e' (constant-score rewrite)."""

@@ -897,6 +897,172 @@ def search_by_field(
     )
 
 
+def multi_field_topk_ords(
+    reader, ords: np.ndarray, key_vals: List[np.ndarray],
+    sort_fields: List[tuple], k: int, overlaid: bool = False,
+) -> np.ndarray:
+    """Top-``k`` matching ords by a multi-field comparator (values in
+    order, then ascending doc_id).
+
+    Early termination follows ``TopFieldCollector.canEarlyTerminate``
+    (reference ``search/TopFieldCollector.java``): when the query sort is
+    a PREFIX of the segment's recorded ``index_sort`` fields, ord order IS
+    comparator order and the first ``k`` matching ords are the answer.
+    As in the reference, a proper-prefix match breaks ties in index order
+    (the remaining index-sort keys), not doc_id.  DV overlays on any key
+    void the physical-order guarantee."""
+    isort = reader.meta.get("index_sort") or {}
+    seg_fields = isort.get("fields")
+    if seg_fields is None and "field" in isort:  # legacy single-field meta
+        seg_fields = [{"field": isort["field"], "desc": bool(isort["desc"])}]
+    want = [{"field": f, "desc": bool(d)} for f, d in sort_fields]
+    if (
+        not overlaid
+        and seg_fields is not None
+        and seg_fields[: len(want)] == want
+    ):
+        return ords[:k]
+    keys = [reader.doc_ids[ords]]
+    for (_, desc), vals in zip(reversed(sort_fields), reversed(key_vals)):
+        codes = np.unique(vals[ords], return_inverse=True)[1]
+        keys.append(-codes if desc else codes)
+    order = np.lexsort(tuple(keys))[:k]
+    return ords[order]
+
+
+def _pa_sort_type(dtype) -> "pa.DataType":
+    if dtype.kind in ("U", "O", "S"):
+        return pa.string()
+    if dtype.kind == "f":
+        return pa.float64()
+    return pa.int64()
+
+
+class _MultiFieldSortFn:
+    """Per-segment matching + top-k by a multi-field docmeta comparator
+    (TopFieldCollector over a multi-field ``Sort``)."""
+
+    def __init__(self, parsed, stats, sort_fields: List[tuple]):
+        self.parsed = parsed
+        self.stats = stats
+        self.sort_fields = [(f, bool(d)) for f, d in sort_fields]
+        self.need_pos = any(_has_phrase(q) for _, q, _ in parsed)
+        self._readers: Dict[str, SegmentReader] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from lucene_solr_ray.index.docvalues import read_docmeta_column_raw
+        from lucene_solr_ray.search.reader import reader_cache_key
+        from lucene_solr_ray.search.scorer import score_segment
+
+        rows = []
+        key_dtypes = [np.dtype(np.float64)] * len(self.sort_fields)
+        for seg_dir, seg_ord in zip(
+            batch.column("seg_dir").to_pylist(),
+            batch.column("seg_ord").to_pylist(),
+        ):
+            rkey = reader_cache_key(seg_dir)
+            reader = self._readers.get(rkey)
+            if reader is None:
+                reader = SegmentReader(seg_dir, load_positions=self.need_pos)
+                self._readers[rkey] = reader
+            key_vals, overlaid = [], False
+            for f, _ in self.sort_fields:
+                v, ov = read_docmeta_column_raw(seg_dir, f)
+                key_vals.append(v)
+                overlaid = overlaid or ov
+            key_dtypes = [v.dtype for v in key_vals]
+            for qid, q, k in self.parsed:
+                ords, _ = score_segment(reader, q, self.stats)
+                sel = multi_field_topk_ords(
+                    reader, ords, key_vals, self.sort_fields, k,
+                    overlaid=overlaid,
+                )
+                for o in sel:
+                    row = {"qid": qid,
+                           "doc_id": int(reader.doc_ids[o]),
+                           "seg_ord": seg_ord}
+                    for i, vals in enumerate(key_vals):
+                        v = vals[o]
+                        row[f"sort_{i}"] = (
+                            v.item() if hasattr(v, "item") else v
+                        )
+                    rows.append(row)
+        fields = [("qid", pa.int64()), ("doc_id", pa.int64()),
+                  ("seg_ord", pa.int32())]
+        for i, dt in enumerate(key_dtypes):
+            fields.append((f"sort_{i}", _pa_sort_type(dt)))
+        return pa.Table.from_pylist(rows, schema=pa.schema(fields))
+
+
+def search_by_fields(
+    index: "Index",
+    queries,
+    sort_fields: List[tuple],
+    k: int = 10,
+    analyzer: Optional[StandardAnalyzer] = None,
+) -> pa.Table:
+    """Multi-field sort search (``Sort`` with several ``SortField``s,
+    reference ``IndexWriterConfig.setIndexSort`` +
+    ``TopFieldCollector``): match with the query, rank by
+    ``[(field, descending), ...]`` over docmeta columns (strings sort
+    lexically, like SortedDocValues ordinals), final tie ascending
+    doc_id.  Segments whose recorded index sort has the query sort as a
+    prefix early-terminate per segment.  Output columns: qid, rank,
+    doc_id, sort_0..sort_n (one per sort field)."""
+    import ray.data
+
+    parser = index.make_parser(analyzer)
+    items = (
+        sorted(queries.items()) if isinstance(queries, dict)
+        else list(enumerate(queries))
+    )
+    parsed = [(qid, parser.parse(s), k) for qid, s in items]
+    patterns: List[Query] = []
+    for _, q, _ in parsed:
+        _collect_patterns(q, patterns)
+    terms = sorted({t for _, q, _ in parsed for t in q.terms()})
+    stats, exp = index.collect_stats(terms, patterns)
+    if patterns:
+        parsed = [(qid, rewrite_query(q, exp), kk) for qid, q, kk in parsed]
+    seg_items = [
+        {"seg_dir": d, "seg_ord": i} for i, d in enumerate(index.seg_dirs)
+    ]
+    rows = (
+        ray.data.from_items(seg_items, override_num_blocks=len(seg_items))
+        .map_batches(
+            _MultiFieldSortFn(parsed, stats, sort_fields),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    by_q: Dict[int, List[dict]] = {qid: [] for qid, _, _ in parsed}
+    for r in rows:
+        by_q[r["qid"]].append(r)
+    out = []
+    for qid, _, kk in parsed:
+        rs = by_q.get(qid, [])
+        # multi-pass stable sorts, last key first → lexicographic order
+        rs.sort(key=lambda r: r["doc_id"])
+        for i, (_, desc) in reversed(list(enumerate(sort_fields))):
+            rs.sort(key=lambda r, i=i: r[f"sort_{i}"], reverse=bool(desc))
+        for rank, r in enumerate(rs[:kk]):
+            row = {"qid": qid, "rank": rank, "doc_id": r["doc_id"]}
+            for i in range(len(sort_fields)):
+                row[f"sort_{i}"] = r[f"sort_{i}"]
+            out.append(row)
+    fields = [("qid", pa.int64()), ("rank", pa.int32()),
+              ("doc_id", pa.int64())]
+    for i in range(len(sort_fields)):
+        ex = out[0][f"sort_{i}"] if out else ""
+        fields.append((
+            f"sort_{i}",
+            pa.string() if isinstance(ex, str)
+            else pa.float64() if isinstance(ex, float)
+            else pa.int64(),
+        ))
+    return pa.Table.from_pylist(out, schema=pa.schema(fields))
+
+
 class _CountFn:
     """Per-segment match counting (TotalHits with COMPLETE accounting —
     ``search/TotalHits.java`` relation EQUAL_TO; the pruned path's

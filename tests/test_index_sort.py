@@ -62,7 +62,11 @@ def test_sorted_build_layout_and_meta(ray_session, corpus, tmp_path):
     for d in idx.seg_dirs:
         with open(os.path.join(d, "segment.json")) as f:
             meta = json.load(f)
-        assert meta["index_sort"] == {"field": "prio", "desc": True}
+        assert meta["index_sort"]["field"] == "prio"
+        assert meta["index_sort"]["desc"] is True
+        assert meta["index_sort"]["fields"] == [
+            {"field": "prio", "desc": True}
+        ]
         dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
         v = dm.column("prio").to_numpy()
         ids = dm.column("doc_id").to_numpy()
@@ -134,3 +138,96 @@ def test_index_sort_rejects_block_align(ray_session, corpus, tmp_path):
     with pytest.raises(ValueError, match="incompatible"):
         build_index(corpus, str(tmp_path / "x"), text_col="text",
                     index_sort=("prio", True), block_align_col="prio")
+
+
+@pytest.fixture(scope="module")
+def corpus_mf(tmp_path_factory):
+    """Corpus with a string + numeric sort-key pair (duplicates in both)."""
+    rng = np.random.default_rng(23)
+    n = 150
+    words = ["merge", "sort", "batch", "alpha", "beta"]
+    langs = ["de", "en", "fr", "it"]
+    p = str(tmp_path_factory.mktemp("isortmf") / "docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([
+                " ".join(rng.choice(words, size=rng.integers(3, 9)))
+                for _ in range(n)
+            ]),
+            "lang": pa.array([str(rng.choice(langs)) for _ in range(n)]),
+            "prio": pa.array(rng.integers(0, 12, size=n), pa.int64()),
+        }),
+        p,
+    )
+    return p
+
+
+def test_multi_field_sorted_vs_unsorted_identity(
+    ray_session, corpus_mf, tmp_path
+):
+    """search_by_fields over a multi-field-sorted index (early-terminating
+    on the full-sort prefix) is byte-identical to the exhaustive
+    comparator over an unsorted index — string + numeric keys, both
+    directions, doc_id tiebreak."""
+    from lucene_solr_ray.search.searcher import search_by_fields
+
+    def _b(out, **kw):
+        return build_index(
+            corpus_mf, out, text_col="text", id_col="doc_id",
+            stored_cols=["lang", "prio"], docs_per_segment=50, **kw
+        )
+
+    plain = str(tmp_path / "plain")
+    srt = str(tmp_path / "srt")
+    sort = [("lang", False), ("prio", True)]
+    _b(plain)
+    _b(srt, index_sort=sort)
+    # layout: lang ascending; prio non-increasing within lang; doc_id
+    # ascending within (lang, prio)
+    for d in Index(srt).seg_dirs:
+        with open(os.path.join(d, "segment.json")) as f:
+            meta = json.load(f)
+        assert meta["index_sort"]["fields"] == [
+            {"field": "lang", "desc": False},
+            {"field": "prio", "desc": True},
+        ]
+        assert "field" not in meta["index_sort"]  # no ambiguous legacy key
+        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
+        tup = list(zip(
+            dm.column("lang").to_pylist(),
+            [-v for v in dm.column("prio").to_pylist()],
+            dm.column("doc_id").to_pylist(),
+        ))
+        assert tup == sorted(tup)
+    queries = {0: "merge", 1: "merge sort", 2: "batch"}
+    a = search_by_fields(Index(plain), queries, sort, k=9)
+    b = search_by_fields(Index(srt), queries, sort, k=9)
+    assert a.equals(b)
+    # single-field query sort = a PREFIX of the index sort: the early-
+    # terminated result's key values match the exhaustive top-k keys
+    # (ties beyond the prefix follow index order, as in the reference)
+    a1 = search_by_fields(Index(plain), queries, [("lang", False)], k=9)
+    b1 = search_by_fields(Index(srt), queries, [("lang", False)], k=9)
+    assert a1.column("sort_0").equals(b1.column("sort_0"))
+    # a NON-prefix query sort must not early-terminate and stays identical
+    rev = [("prio", True), ("lang", False)]
+    a2 = search_by_fields(Index(plain), queries, rev, k=9)
+    b2 = search_by_fields(Index(srt), queries, rev, k=9)
+    assert a2.equals(b2)
+
+
+def test_multi_field_single_field_legacy_path(ray_session, corpus, tmp_path):
+    """search_by_fields with ONE field agrees with search_by_field."""
+    from lucene_solr_ray.search.searcher import search_by_fields
+
+    srt = str(tmp_path / "srt_one")
+    _build(corpus, srt, index_sort=("prio", True))
+    queries = {0: "merge", 1: "batch"}
+    a = search_by_field(Index(srt), queries, "prio", descending=True, k=6)
+    b = search_by_fields(Index(srt), queries, [("prio", True)], k=6)
+    assert a.column("doc_id").equals(b.column("doc_id"))
+    np.testing.assert_allclose(
+        a.column("sort_value").to_numpy(),
+        b.column("sort_0").to_numpy().astype(np.float64),
+    )
