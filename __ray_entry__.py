@@ -35,6 +35,7 @@ _PRIORITY: list[str] = [
     "common_terms_docs", "intervals_docs", "taxonomy_facet_docs",
     "drill_sideways_docs", "sql_select_limit", "sql_join_orders",
     "suggest_fuzzy", "suggest_analyzing", "indexsort_multi_topk",
+    "unified_highlight_docs",
     # -- round-4-changed paths (re-verify after the rework) ---------------
     "sql_orders", "span_near_docs", "free_text_suggest_merge",
     "suggest_infix_er", "suggest_prefix_s", "innerjoin_revenue",
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topic_pull_docs": fulltext.topic_pull_docs,
         "percolate_docs": fulltext.percolate_docs,
         "highlight_merge": fulltext.highlight_merge,
+        "unified_highlight_docs": fulltext.unified_highlight_docs,
         "spell_corrections": fulltext.spell_corrections,
         "term_vectors_docs": fulltext.term_vectors_docs,
         "export_sorted_docs": fulltext.export_sorted_docs,
@@ -169,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "topic_pull_docs": fulltext.topic_pull_docs_sql(),
         "percolate_docs": fulltext.percolate_docs_sql(),
         "highlight_merge": fulltext.highlight_merge_sql(),
+        "unified_highlight_docs": fulltext.unified_highlight_docs_sql(),
         "spell_corrections": fulltext.spell_corrections_sql(),
         "term_vectors_docs": fulltext.term_vectors_docs_sql(),
         "export_sorted_docs": fulltext.export_sorted_docs_sql(),

@@ -19,7 +19,10 @@ import numpy as np
 
 from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
 
-__all__ = ["best_passage", "highlight", "highlight_batch"]
+__all__ = [
+    "best_passage", "highlight", "highlight_batch",
+    "PassageScorer", "UnifiedHighlighter", "unified_highlight_batch",
+]
 
 
 def best_passage(
@@ -102,6 +105,203 @@ def highlight_batch(ds, text_col: str, term_weights: Dict[str, float],
         return t.append_column(out_col, pa.array(snips, pa.string()))
 
     return ds.map_batches(_hl, batch_format="pyarrow")
+
+
+class PassageScorer:
+    """Passage ranking formula (reference ``lucene/highlighter/src/java/
+    org/apache/lucene/search/uhighlight/PassageScorer.java``): BM25-shaped
+    term weight with document length approximating the collection, tf
+    saturation per passage, and a position norm that prefers passages
+    near the start of the document."""
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75,
+                 pivot: float = 87.0) -> None:
+        self.k1, self.b, self.pivot = k1, b, pivot
+
+    def weight(self, content_length: int, total_term_freq: int) -> float:
+        num_docs = 1.0 + content_length / self.pivot
+        return (self.k1 + 1.0) * float(
+            np.log(1.0 + (num_docs + 0.5) / (total_term_freq + 0.5))
+        )
+
+    def tf(self, freq: int, passage_len: int) -> float:
+        norm = self.k1 * ((1.0 - self.b) + self.b * passage_len / self.pivot)
+        return freq / (freq + norm)
+
+    def norm(self, passage_start: int) -> float:
+        return 1.0 + 1.0 / float(np.log(self.pivot + passage_start))
+
+
+class Passage:
+    """One selected passage: char span, score, and match char spans."""
+
+    __slots__ = ("start", "end", "score", "matches")
+
+    def __init__(self, start: int, end: int) -> None:
+        self.start, self.end = start, end
+        self.score = 0.0
+        self.matches: List[Tuple[int, int]] = []
+
+
+def _sentence_spans(text: str) -> List[Tuple[int, int]]:
+    """Sentence boundaries in the ``BreakIterator.getSentenceInstance``
+    role: a break after [.!?]+ (plus closing quotes/brackets) followed by
+    whitespace, and after blank lines.  A dictionary-free approximation of
+    the ICU default rules the reference uses."""
+    import re
+
+    spans, start = [], 0
+    for m in re.finditer(r"[.!?]+[\"')\]]*\s+|\n{2,}", text):
+        spans.append((start, m.end()))
+        start = m.end()
+    if start < len(text):
+        spans.append((start, len(text)))
+    return spans or [(0, 0)]
+
+
+class UnifiedHighlighter:
+    """Passage highlighting with the reference's UnifiedHighlighter
+    semantics (``lucene/highlighter/.../uhighlight/UnifiedHighlighter.java``
+    + ``FieldHighlighter.java`` + ``DefaultPassageFormatter.java``):
+
+    - the text is divided into candidate passages by a pluggable break
+      iterator — sentences by default, or ``fixed_tokens=N`` chunks (the
+      reference's BreakIterator is equally pluggable);
+    - each passage containing a match scores
+      ``norm(start) * Σ_t weight(t) * tf(freq_t, passage_len)`` with the
+      ``PassageScorer`` formula;
+    - the top ``max_passages`` passages (score desc, start asc) are
+      emitted in DOCUMENT order, joined with an ellipsis when
+      non-contiguous, matches wrapped in ``pre``/``post`` tags;
+    - with no match at all the first passage is returned untagged (the
+      no-highlight summary path).
+    """
+
+    def __init__(
+        self,
+        analyzer: Optional[StandardAnalyzer] = None,
+        max_passages: int = 1,
+        pre: str = "<b>",
+        post: str = "</b>",
+        ellipsis: str = "... ",
+        fixed_tokens: Optional[int] = None,
+        scorer: Optional[PassageScorer] = None,
+        max_length: int = 10_000,
+    ) -> None:
+        self.analyzer = analyzer or StandardAnalyzer()
+        self.max_passages = max_passages
+        self.pre, self.post, self.ellipsis = pre, post, ellipsis
+        self.fixed_tokens = fixed_tokens
+        self.scorer = scorer or PassageScorer()
+        self.max_length = max_length
+
+    def _breaks(self, text: str, offs) -> List[Tuple[int, int]]:
+        if self.fixed_tokens is None:
+            return _sentence_spans(text)
+        n, w = len(offs), self.fixed_tokens
+        spans = []
+        for i in range(0, n, w):
+            last = min(i + w, n) - 1
+            spans.append((offs[i][1], offs[last][2]))
+        return spans or [(0, 0)]
+
+    def passages(
+        self, text: str, terms: Dict[str, float] | Sequence[str]
+    ) -> List[Passage]:
+        """Top passages in document order (FieldHighlighter.highlight
+        OffsetsEnum walk + priority queue)."""
+        from lucene_solr_ray.analysis.analyzer import lowercase
+        from lucene_solr_ray.analysis.tokenizer import tokenize_with_offsets
+
+        text = text[: self.max_length]
+        tset = set(terms)
+        offs = tokenize_with_offsets(text)
+        spans = self._breaks(text, offs)
+        toks = [(lowercase(t), s, e) for t, s, e in offs]
+        # per-term total freq in the content (the reference reads
+        # totalTermFreq from the index; per-doc content is this engine's
+        # scoring unit here)
+        ttf: Dict[str, int] = {}
+        for t, _, _ in toks:
+            if t in tset:
+                ttf[t] = ttf.get(t, 0) + 1
+        if not ttf:
+            p = Passage(*spans[0])
+            return [p]
+        weights = {
+            t: self.scorer.weight(len(text), f) for t, f in ttf.items()
+        }
+        cands: List[Passage] = []
+        ti = 0
+        for ps, pe in spans:
+            freqs: Dict[str, int] = {}
+            matches: List[Tuple[int, int]] = []
+            while ti < len(toks) and toks[ti][1] < pe:
+                t, s, e = toks[ti]
+                if s >= ps and t in tset:
+                    freqs[t] = freqs.get(t, 0) + 1
+                    matches.append((s, e))
+                ti += 1
+            if not freqs:
+                continue
+            p = Passage(ps, pe)
+            plen = pe - ps
+            p.score = self.scorer.norm(ps) * sum(
+                weights[t] * self.scorer.tf(f, plen)
+                for t, f in freqs.items()
+            )
+            p.matches = matches
+            cands.append(p)
+        cands.sort(key=lambda p: (-p.score, p.start))
+        sel = sorted(cands[: self.max_passages], key=lambda p: p.start)
+        return sel
+
+    def format(self, text: str, passages: List[Passage]) -> str:
+        """DefaultPassageFormatter.append: ellipsis between non-contiguous
+        passages, overlapping matches merged, tags around matches."""
+        out, pos = [], -1
+        for p in passages:
+            if pos >= 0 and p.start > pos:
+                out.append(self.ellipsis)
+            pos = p.start
+            end = -1
+            for s, e in p.matches:
+                if s < end:  # overlapping match: extend
+                    continue
+                out.append(text[pos:s])
+                out.append(self.pre + text[s:e] + self.post)
+                pos, end = e, e
+            out.append(text[pos:p.end])
+            pos = p.end
+        return "".join(out)
+
+    def highlight(
+        self, text: str, terms: Dict[str, float] | Sequence[str]
+    ) -> str:
+        text = text[: self.max_length]
+        return self.format(text, self.passages(text, terms))
+
+
+def unified_highlight_batch(
+    ds, text_col: str, terms: Sequence[str], out_col: str = "snippet",
+    **hl_kwargs,
+):
+    """map_batches UnifiedHighlighter stage: the highlighter (analyzer,
+    scorer) is built once per actor, applied per batch."""
+    import pyarrow as pa
+
+    class _UH:
+        def __init__(self) -> None:
+            self.hl = UnifiedHighlighter(**hl_kwargs)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            snips = [
+                self.hl.highlight(v or "", terms)
+                for v in t.column(text_col).to_pylist()
+            ]
+            return t.append_column(out_col, pa.array(snips, pa.string()))
+
+    return ds.map_batches(_UH, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def highlight_from_index(

@@ -1600,6 +1600,118 @@ FROM win ORDER BY doc_id
 """
 
 
+def unified_highlight_docs(sf_dir: str) -> pa.Table:
+    """UnifiedHighlighter gate (reference ``lucene/highlighter/.../
+    uhighlight/UnifiedHighlighter.java`` + ``PassageScorer.java``): top-2
+    passages per doc for 'merge' among doc_id < 150, 12-token break
+    iterator (the corpus has no sentence punctuation; the reference's
+    BreakIterator is pluggable), real PassageScorer formula
+    (k1=1.2 b=0.75 pivot=87, position norm), passages in document order,
+    <b>-tagged matches.  The SQL oracle replays the formula exactly."""
+    import ray.data
+
+    from lucene_solr_ray.functions.highlight import UnifiedHighlighter
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).filter(expr="doc_id < 150")
+
+    class _UH:
+        def __init__(self):
+            self.hl = UnifiedHighlighter(max_passages=2, fixed_tokens=12)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rows = []
+            for did, txt in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            ):
+                ps = self.hl.passages(txt or "", ["merge"])
+                if not ps or not ps[0].matches:
+                    continue
+                for p in ps:
+                    rows.append({
+                        "doc_id": did,
+                        "p_start": p.start,
+                        "score": round(p.score, 4),
+                        "snippet": self.hl.format(txt, [p]),
+                    })
+            return pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [("doc_id", pa.int64()), ("p_start", pa.int64()),
+                     ("score", pa.float64()), ("snippet", pa.string())]
+                ),
+            )
+
+    out = ds.map_batches(
+        _UH, batch_format="pyarrow", concurrency=(1, 4)
+    ).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_id", "p_start"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def unified_highlight_docs_sql() -> str:
+    # PassageScorer replay: weight=(k1+1)*ln(1+(1+len/pivot+0.5)/(ttf+.5)),
+    # tf=freq/(freq+k1*((1-b)+b*plen/pivot)), norm=1+1/ln(pivot+start);
+    # 12-token chunks over the single-space corpus make char offsets a
+    # prefix-join length
+    return """
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE doc_id < 150
+),
+m AS (
+  SELECT * FROM d WHERE list_contains(toks, 'merge')
+),
+chunks AS (
+  SELECT doc_id, text, toks, n,
+         unnest(range(CAST(CEIL(n / 12.0) AS BIGINT))) AS i
+  FROM m
+),
+scored AS (
+  SELECT doc_id,
+    list_slice(toks, i * 12 + 1, LEAST((i + 1) * 12, n)) AS sl,
+    CASE WHEN i = 0 THEN 0
+         ELSE len(array_to_string(list_slice(toks, 1, i * 12), ' ')) + 1
+    END AS p_start,
+    len(array_to_string(list_slice(toks, 1, LEAST((i + 1) * 12, n)), ' '))
+      - CASE WHEN i = 0 THEN 0
+             ELSE len(array_to_string(list_slice(toks, 1, i * 12), ' ')) + 1
+        END AS p_len,
+    len(list_filter(sl, x -> x = 'merge')) AS freq,
+    len(list_filter(toks, x -> x = 'merge')) AS ttf,
+    len(text) AS clen
+  FROM chunks
+),
+withscore AS (
+  SELECT doc_id, sl, p_start,
+    (1 + 1 / LN(87.0 + p_start))
+      * (2.2 * LN(1 + ((1 + clen / 87.0) + 0.5) / (ttf + 0.5)))
+      * (freq / (freq + 1.2 * (0.25 + 0.75 * p_len / 87.0))) AS score
+  FROM scored WHERE freq > 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, p_start ASC
+  ) AS rk
+  FROM withscore
+)
+SELECT doc_id, p_start, ROUND(score, 4) AS score,
+  array_to_string(
+    list_transform(
+      sl, x -> CASE WHEN x = 'merge' THEN '<b>merge</b>' ELSE x END
+    ), ' '
+  ) AS snippet
+FROM ranked WHERE rk <= 2
+ORDER BY doc_id, p_start
+"""
+
+
 def spell_corrections(sf_dir: str) -> pa.Table:
     """DirectSpellChecker gate: corrections for misspelled query terms,
     ranked (edit distance asc, df desc, term asc).  SQL-matched via

@@ -348,3 +348,59 @@ def test_common_terms_build_split():
     q3 = CommonTermsQuery(("a", "b"), max_term_frequency=50.0)
     b3 = q3.build({"a": 60, "b": 10}, 100)
     assert len(b3.clauses) == 2
+
+
+def test_unified_highlighter_sentences_and_format():
+    from lucene_solr_ray.functions.highlight import (
+        PassageScorer,
+        UnifiedHighlighter,
+        _sentence_spans,
+    )
+
+    text = ("The merge ran fast. Nothing here at all. "
+            "Another merge happened with merge twice! Trailing words.")
+    spans = _sentence_spans(text)
+    assert len(spans) == 4
+    assert text[spans[0][0]:spans[0][1]].startswith("The merge")
+    # two passages, document order, ellipsis between non-contiguous
+    hl = UnifiedHighlighter(max_passages=2)
+    out = hl.highlight(text, ["merge"])
+    assert out.index("The <b>merge</b>") == 0
+    assert "... " in out  # sentence 2 (no match) skipped
+    assert out.count("<b>merge</b>") == 3
+    assert "Nothing here" not in out
+    # the two-match sentence outranks the one-match sentence
+    ps = hl.passages(text, ["merge"])
+    assert len(ps) == 2 and ps[0].start < ps[1].start
+    assert ps[1].score < ps[0].score or len(ps[1].matches) >= len(
+        ps[0].matches
+    )
+    # no-match → first passage, untagged (summary path)
+    out2 = UnifiedHighlighter().highlight(text, ["absent"])
+    assert out2 == "The merge ran fast. " and "<b>" not in out2
+    # PassageScorer: position norm prefers early passages
+    sc = PassageScorer()
+    assert sc.norm(0) > sc.norm(500)
+    # tf saturates with passage length
+    assert sc.tf(2, 50) > sc.tf(2, 500)
+
+
+def test_unified_highlighter_fixed_tokens_matches_scorer():
+    import numpy as np
+
+    from lucene_solr_ray.functions.highlight import (
+        PassageScorer,
+        UnifiedHighlighter,
+    )
+
+    text = " ".join(["pad"] * 10 + ["merge"] + ["pad"] * 13 + ["merge",
+                                                               "merge"])
+    hl = UnifiedHighlighter(max_passages=2, fixed_tokens=12)
+    ps = hl.passages(text, ["merge"])
+    assert len(ps) == 2
+    sc = PassageScorer()
+    for p in ps:
+        plen = p.end - p.start
+        freq = len(p.matches)
+        want = sc.norm(p.start) * sc.weight(len(text), 3) * sc.tf(freq, plen)
+        assert np.isclose(p.score, want)
