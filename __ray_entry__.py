@@ -35,7 +35,7 @@ _PRIORITY: list[str] = [
     "common_terms_docs", "intervals_docs", "taxonomy_facet_docs",
     "drill_sideways_docs", "sql_select_limit", "sql_join_orders",
     "suggest_fuzzy", "suggest_analyzing", "indexsort_multi_topk",
-    "unified_highlight_docs",
+    "unified_highlight_docs", "soft_delete_then_search",
     # -- round-4-changed paths (re-verify after the rework) ---------------
     "sql_orders", "span_near_docs", "free_text_suggest_merge",
     "suggest_infix_er", "suggest_prefix_s", "innerjoin_revenue",
@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multifield_topk": fulltext.multifield_topk,
         "field_wildcard_docs": fulltext.field_wildcard_docs,
         "delete_then_search": fulltext.delete_then_search,
+        "soft_delete_then_search": fulltext.soft_delete_then_search,
         "numeric_range_topk": fulltext.numeric_range_topk,
         "stemmed_search_topk": fulltext.stemmed_search_topk,  # rows-only
         "span_near_docs": fulltext.span_near_docs,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_topk": fulltext.multifield_topk_sql(),
         "field_wildcard_docs": fulltext.field_wildcard_docs_sql(),
         "delete_then_search": fulltext.delete_then_search_sql(),
+        "soft_delete_then_search": fulltext.soft_delete_then_search_sql(),
         "numeric_range_topk": fulltext.numeric_range_topk_sql(),
         "phrase_topk": fulltext.phrase_topk_sql(),
         "random_sample_docs": fulltext.random_sample_docs_sql(),

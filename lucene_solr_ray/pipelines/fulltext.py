@@ -1909,6 +1909,96 @@ def delete_then_search_sql() -> str:
     return _BM25_CTE + "\nUNION ALL\n".join(selects)
 
 
+def soft_delete_then_search(sf_dir: str) -> pa.Table:
+    """Soft-deletes gate (``IndexWriter.softUpdateDocument`` marker +
+    ``SoftDeletesDirectoryReaderWrapper``): soft-delete every doc
+    containing 'window'; the WRAPPED view (qids 0-2) excludes them with
+    hard-delete-identical scores, the UNWRAPPED view (qid 3) still sees
+    every doc — both against one index."""
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+    from lucene_solr_ray.index.softdeletes import soft_delete_by_query
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(
+        _CACHE_ROOT, f"documents_softdel_v{FORMAT_VERSION}_{key}"
+    )
+    if read_latest_manifest(out) is None:
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            text_col="text",
+            id_col="doc_id",
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    # idempotent: re-running unions to the same soft set
+    soft_delete_by_query(out, "window")
+    idx = Index(out)
+    wrapped = idx.search(
+        {0: "merge", 1: "fast OR slow", 2: "sort AND batch"},
+        k=10, similarity=BM25SimilarityF64(), respect_soft_deletes=True,
+    )
+    unwrapped = idx.search(
+        {3: "merge"}, k=10, similarity=BM25SimilarityF64(),
+    )
+    t = pa.concat_tables([wrapped, unwrapped])
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": pa.array(
+                (t.column("rank").to_numpy() + 1).astype(np.int64)
+            ),
+            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+        }
+    )
+
+
+def soft_delete_then_search_sql() -> str:
+    # wrapped view = hard-delete result shape; unwrapped view = plain BM25
+    specs = [
+        (0, ["merge"], [["merge"]]),
+        (1, ["fast", "slow"], [["fast", "slow"]]),
+        (2, ["sort", "batch"], [["sort"], ["batch"]]),
+    ]
+    selects = []
+    for qid, all_terms, groups in specs:
+        in_list = ", ".join(f"'{t}'" for t in sorted(all_terms))
+        having = " AND ".join(
+            "SUM(CASE WHEN term IN ({}) THEN 1 ELSE 0 END) > 0".format(
+                ", ".join(f"'{t}'" for t in g)
+            )
+            for g in groups
+        )
+        selects.append(
+            f"""
+  SELECT {qid} AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM (
+      SELECT doc_id, SUM(tscore) AS score
+      FROM scores WHERE term IN ({in_list})
+        AND doc_id NOT IN (
+          SELECT doc_id FROM tok WHERE term = 'window'
+        )
+      GROUP BY doc_id
+      HAVING {having}
+    )
+  ) WHERE rank <= 10"""
+        )
+    selects.append(
+        """
+  SELECT 3 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM (
+      SELECT doc_id, SUM(tscore) AS score
+      FROM scores WHERE term = 'merge' GROUP BY doc_id
+    )
+  ) WHERE rank <= 10"""
+    )
+    return _BM25_CTE + "\nUNION ALL\n".join(selects)
+
+
 def dv_update_then_sort(sf_dir: str) -> pa.Table:
     """In-place numeric DocValues update gate
     (``IndexWriter.updateNumericDocValue``, IndexWriter.java:1683): build

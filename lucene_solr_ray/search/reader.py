@@ -112,7 +112,8 @@ def _list_views(col: pa.ChunkedArray) -> Tuple[np.ndarray, np.ndarray]:
 
 class SegmentReader:
     def __init__(self, seg_dir: str, load_positions: bool = False,
-                 del_gen: Optional[int] = None) -> None:
+                 del_gen: Optional[int] = None,
+                 respect_soft_deletes: bool = False) -> None:
         self.seg_dir = seg_dir
         with open(os.path.join(seg_dir, "segment.json")) as f:
             self.meta = json.load(f)
@@ -217,6 +218,19 @@ class SegmentReader:
             )
         else:
             self.deleted_ords = np.empty(0, dtype=np.int64)
+        # soft deletes stay VISIBLE unless the caller opts into the
+        # SoftDeletesDirectoryReaderWrapper role (reference ``lucene/core/
+        # .../index/SoftDeletesDirectoryReaderWrapper.java``: the wrapper
+        # folds the soft-deletes field into liveDocs; unwrapped readers
+        # still see the docs)
+        self.soft_deleted_ords = np.empty(0, dtype=np.int64)
+        if respect_soft_deletes:
+            from lucene_solr_ray.index.softdeletes import soft_deleted_ords
+
+            so = soft_deleted_ords(seg_dir)
+            if len(so):
+                self.soft_deleted_ords = so
+                self.deleted_ords = np.union1d(self.deleted_ords, so)
         self.has_deletes = len(self.deleted_ords) > 0
 
     def points(self, field: str):

@@ -393,11 +393,13 @@ class _SearchFn:
         stats: GlobalStats,
         sim: "BM25Similarity",
         need_positions: bool,
+        respect_soft_deletes: bool = False,
     ):
         self.queries = queries
         self.stats = stats
         self.sim = sim
         self.need_positions = need_positions
+        self.respect_soft_deletes = respect_soft_deletes
         self._readers: Dict[str, SegmentReader] = {}
 
     def _reader(self, seg_dir: str) -> SegmentReader:
@@ -406,10 +408,17 @@ class _SearchFn:
         # cache key includes the COMMITTED live-docs/DV generations: a
         # delete or DV update committed between searches must not serve a
         # stale cached reader (and an uncommitted sidecar must not bust it)
-        key = reader_cache_key(seg_dir)
+        key = (reader_cache_key(seg_dir), self.respect_soft_deletes)
+        if self.respect_soft_deletes:
+            from lucene_solr_ray.index.softdeletes import committed_soft_gen
+
+            key = key + (committed_soft_gen(seg_dir),)
         r = self._readers.get(key)
         if r is None:
-            r = SegmentReader(seg_dir, load_positions=self.need_positions)
+            r = SegmentReader(
+                seg_dir, load_positions=self.need_positions,
+                respect_soft_deletes=self.respect_soft_deletes,
+            )
             self._readers[key] = r
         return r
 
@@ -530,9 +539,14 @@ class Index:
         analyzer: Optional[StandardAnalyzer] = None,
         similarity: Optional[BM25Similarity] = None,
         concurrency: Optional[int] = None,
+        respect_soft_deletes: bool = False,
     ) -> pa.Table:
         """Parse + run a batch of query strings; returns
-        (qid, rank, doc_id, score) sorted by (qid, rank)."""
+        (qid, rank, doc_id, score) sorted by (qid, rank).
+        ``respect_soft_deletes=True`` searches through the
+        SoftDeletesDirectoryReaderWrapper view (soft-deleted docs
+        excluded); the default sees them, as the reference's unwrapped
+        reader does."""
         parser = self.make_parser(analyzer)
         if isinstance(queries, dict):
             items = sorted(queries.items())
@@ -540,7 +554,8 @@ class Index:
             items = list(enumerate(queries))
         parsed = [(qid, parser.parse(s), k) for qid, s in items]
         return self.search_parsed(
-            parsed, similarity=similarity, concurrency=concurrency
+            parsed, similarity=similarity, concurrency=concurrency,
+            respect_soft_deletes=respect_soft_deletes,
         )
 
     def collect_stats(
@@ -621,6 +636,7 @@ class Index:
         parsed: List[Tuple[int, Query, int]],
         similarity: Optional[BM25Similarity] = None,
         concurrency: Optional[int] = None,
+        respect_soft_deletes: bool = False,
     ) -> pa.Table:
         import ray.data
 
@@ -672,7 +688,8 @@ class Index:
             kwargs["concurrency"] = concurrency
             batch_size = max(1, nseg // concurrency)
         res = ds.map_batches(
-            _SearchFn(parsed, stats, sim, need_pos),
+            _SearchFn(parsed, stats, sim, need_pos,
+                      respect_soft_deletes=respect_soft_deletes),
             batch_format="pyarrow",
             batch_size=batch_size,
             **kwargs,

@@ -404,3 +404,91 @@ def test_unified_highlighter_fixed_tokens_matches_scorer():
         freq = len(p.matches)
         want = sc.norm(p.start) * sc.weight(len(text), 3) * sc.tf(freq, plen)
         assert np.isclose(p.score, want)
+
+
+def test_soft_deletes_lifecycle(ray_session, tmp_path):
+    """soft delete → wrapper visibility → retention policy → merge
+    reclaim (SoftDeletesRetentionMergePolicy composition)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.softdeletes import (
+        apply_soft_deletes_policy,
+        soft_delete_by_query,
+        soft_deleted_ords,
+        soft_update_documents,
+    )
+    from lucene_solr_ray.search.searcher import Index
+
+    docs = {
+        0: "keep alpha", 1: "drop beta", 2: "drop retainme",
+        3: "keep gamma", 4: "drop beta retainme",
+    }
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[i] for i in sorted(docs)]),
+        }),
+        p,
+    )
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                docs_per_segment=3)
+    soft_delete_by_query(out, "drop")
+    idx = Index(out)
+    # unwrapped reader still sees soft-deleted docs
+    plain = set(idx.search({0: "beta"}, k=10)
+                .column("doc_id").to_pylist())
+    assert plain == {1, 4}
+    # wrapped view excludes them
+    wrapped = idx.search({0: "beta"}, k=10, respect_soft_deletes=True)
+    assert wrapped.num_rows == 0
+    w2 = set(idx.search({0: "keep"}, k=10, respect_soft_deletes=True)
+             .column("doc_id").to_pylist())
+    assert w2 == {0, 3}
+    # retention policy: soft docs matching 'retainme' stay soft, the
+    # rest harden into real tombstones
+    apply_soft_deletes_policy(out, retention_query="retainme")
+    idx2 = Index(out)
+    # hardened: doc 1 invisible even unwrapped; retained 2,4 visible
+    after = set(idx2.search({0: "beta OR retainme"}, k=10)
+                .column("doc_id").to_pylist())
+    assert after == {2, 4}
+    # and still excluded under the wrapper
+    aw = idx2.search({0: "retainme"}, k=10, respect_soft_deletes=True)
+    assert aw.num_rows == 0
+    total_soft = sum(
+        len(soft_deleted_ords(d)) for d in idx2.seg_dirs
+    )
+    assert total_soft == 2  # docs 2 and 4 stay soft
+
+
+def test_soft_update_documents(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.softdeletes import soft_update_documents
+    from lucene_solr_ray.search.searcher import Index
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["old text", "other words", "more stuff"]),
+        }),
+        p,
+    )
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id")
+    soft_update_documents(out, [0], ["new text"])
+    idx = Index(out)
+    # wrapped view: only the replacement matches 'text'
+    hits = idx.search({0: "text"}, k=10, respect_soft_deletes=True)
+    assert hits.column("doc_id").to_pylist() == [0]
+    assert hits.num_rows == 1
+    # unwrapped: both the soft-deleted original and the replacement
+    both = idx.search({0: "text"}, k=10)
+    assert sorted(both.column("doc_id").to_pylist()) == [0, 0]
