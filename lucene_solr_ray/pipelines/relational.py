@@ -1269,3 +1269,62 @@ FROM lineitem
 
 QUERIES["math_stats_lineitem"] = math_stats_lineitem
 ORACLES["math_stats_lineitem"] = MATH_STATS_SQL
+
+
+def math_tests_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Significance-test / distribution evaluator gate (reference
+    ``solr/solrj/.../io/eval/`` TTestEvaluator, MadEvaluator,
+    EmpiricalDistributionEvaluator + CumulativeProbabilityEvaluator):
+    a ``let()`` program compares l_quantity across return flags with the
+    Welch t statistic, plus MAD and the empirical CDF at 25 — every
+    output replayed exactly in SQL."""
+    from lucene_solr_ray.stages.matheval import let_eval
+
+    t = _read(sf_dir, "lineitem",
+              ["l_quantity", "l_returnflag"]).to_pandas()
+    a = t[t.l_returnflag == "A"]
+    r = t[t.l_returnflag == "R"]
+    out = let_eval({
+        "qa": a["l_quantity"].to_numpy(dtype="float64"),
+        "qr": r["l_quantity"].to_numpy(dtype="float64"),
+        "qall": t["l_quantity"].to_numpy(dtype="float64"),
+        "tt": "ttest(qa, qr)",
+        "mad_q": "mad(qall)",
+        "ed": "empiricalDistribution(qall)",
+        "cdf25": "cumulativeProbability(ed, 25)",
+    })
+    return pd.DataFrame([{
+        "t_stat": round(float(out["tt"]["t-statistic"]), 6),
+        "mad_q": round(float(out["mad_q"]), 6),
+        "cdf25": round(float(out["cdf25"]), 6),
+    }])
+
+
+MATH_TESTS_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS f, AVG(l_quantity) AS m,
+         VAR_SAMP(l_quantity) AS v, COUNT(*) AS n
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+),
+w AS (
+  SELECT (a.m - r.m) / SQRT(a.v / a.n + r.v / r.n) AS t_stat
+  FROM (SELECT * FROM g WHERE f = 'A') a,
+       (SELECT * FROM g WHERE f = 'R') r
+),
+med AS (SELECT MEDIAN(l_quantity) AS md FROM lineitem),
+madv AS (
+  SELECT MEDIAN(ABS(l_quantity - med.md)) AS mad_q
+  FROM lineitem, med
+),
+cdf AS (
+  SELECT SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END)
+           / CAST(COUNT(*) AS DOUBLE) AS cdf25
+  FROM lineitem
+)
+SELECT ROUND(w.t_stat, 6) AS t_stat, ROUND(madv.mad_q, 6) AS mad_q,
+       ROUND(cdf.cdf25, 6) AS cdf25
+FROM w, madv, cdf
+"""
+
+QUERIES["math_tests_lineitem"] = math_tests_lineitem
+ORACLES["math_tests_lineitem"] = MATH_TESTS_SQL

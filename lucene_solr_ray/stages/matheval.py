@@ -141,6 +141,10 @@ def _regress(x, y) -> Dict[str, float]:
 
 
 def _predict(model, x):
+    if isinstance(model, dict) and model.get("type") == "spline":
+        from lucene_solr_ray.stages.mathml import _spline_predict
+
+        return _spline_predict(model, x)
     slope, intercept = model["slope"], model["intercept"]
     if isinstance(x, (int, float)):
         return slope * x + intercept
@@ -350,6 +354,11 @@ MATH_FUNCS: Dict[str, Callable] = {
         (x for x in a if x is not None
          and not (isinstance(x, float) and math.isnan(x))), None),
 }
+
+# clustering / Markov / distribution / significance-test / DSP families
+from lucene_solr_ray.stages.mathml import ML_FUNCS as _ML_FUNCS  # noqa: E402
+
+MATH_FUNCS.update(_ML_FUNCS)
 
 
 def _run(node, env: Dict[str, Any]):
