@@ -3,8 +3,10 @@
 The Solr URP factories re-expressed as composable vectorized
 ``map_batches`` stages (reference
 ``solr/core/src/java/org/apache/solr/update/processor/`` — ~60 factories;
-implemented here: 20 of the text/value mutators a corpus-prep pipeline
-uses):
+implemented here: 30 covering the text/value mutators, multivalued
+subsetters (first/last/min/max/uniq), type parsers (date/number/boolean
++ schemaless guessing), langid/URL/TTL enrichment, template rendering,
+field renaming, and the stateless-script escape hatch):
 
 =============================  ==========================================
 reference factory               here
@@ -60,6 +62,16 @@ __all__ = [
     "min_value",
     "max_value",
     "dedupe_values",
+    "first_value",
+    "last_value",
+    "parse_boolean",
+    "template_field",
+    "rename_fields",
+    "langid_field",
+    "doc_expiration",
+    "url_classify",
+    "add_schema_fields",
+    "script_stage",
 ]
 
 Stage = Callable[[pa.Table], pa.Table]
@@ -288,3 +300,184 @@ def dedupe_values(col: str, sep: str = " ") -> Stage:
             vals.append(sep.join(seen))
         return _set(t, col, pa.array(vals, pa.string()))
     return s
+
+
+def first_value(col: str) -> Stage:
+    """``FirstFieldValueUpdateProcessorFactory`` — keep the first element
+    of a multivalued (list) column."""
+    def s(t: pa.Table) -> pa.Table:
+        return _set(t, col, pc.list_element(t.column(col), 0))
+    return s
+
+
+def last_value(col: str) -> Stage:
+    """``LastFieldValueUpdateProcessorFactory`` — last element via the
+    list offsets (pyarrow's list_element only takes scalar indices)."""
+    def s(t: pa.Table) -> pa.Table:
+        arr = t.column(col).combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array(
+                [], type=arr.type
+            )
+        if not len(arr):
+            return t
+        off = arr.offsets.to_numpy(zero_copy_only=False)
+        idx = off[1:] - 1  # last element of each row; empty row → off[i]-1
+        valid = off[1:] > off[:-1]
+        taken = arr.values.take(
+            pa.array([int(i) if v else 0 for i, v in zip(idx, valid)])
+        )
+        out = pa.array(
+            [taken[i].as_py() if v else None
+             for i, v in enumerate(valid)],
+            type=arr.type.value_type,
+        )
+        return _set(t, col, out)
+    return s
+
+
+def parse_boolean(col: str, out: Optional[str] = None,
+                  true_values=("true", "yes", "on", "1"),
+                  false_values=("false", "no", "off", "0")) -> Stage:
+    """``ParseBooleanFieldUpdateProcessorFactory``: case-insensitive
+    true/false vocabularies; unparseable values become null."""
+    tv = frozenset(v.lower() for v in true_values)
+    fv = frozenset(v.lower() for v in false_values)
+
+    def s(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t.column(col))
+        ist = pc.is_in(low, value_set=pa.array(sorted(tv)))
+        isf = pc.is_in(low, value_set=pa.array(sorted(fv)))
+        arr = pc.if_else(ist, True, pc.if_else(isf, False, None))
+        return _set(t, out or col, arr)
+    return s
+
+
+def template_field(out: str, template: str) -> Stage:
+    """``TemplateUpdateProcessorFactory``: render ``${field}``
+    placeholders from row values (vectorized as a join of the literal
+    segments and the referenced columns)."""
+    parts = re.split(r"\$\{([A-Za-z0-9_]+)\}", template)
+    # parts alternate: literal, field, literal, field, ..., literal
+
+    def s(t: pa.Table) -> pa.Table:
+        pieces = []
+        for i, seg in enumerate(parts):
+            if i % 2 == 0:
+                pieces.append(pa.array([seg] * t.num_rows, pa.string()))
+            else:
+                pieces.append(pc.cast(t.column(seg), pa.string()))
+        arr = pc.binary_join_element_wise(*pieces, "")
+        return _set(t, out, arr)
+    return s
+
+
+def rename_fields(pattern: str, replacement: str) -> Stage:
+    """``FieldNameMutatingUpdateProcessorFactory``: regex-rename columns."""
+    rx = re.compile(pattern)
+
+    def s(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [rx.sub(replacement, c) for c in t.column_names]
+        )
+    return s
+
+
+def langid_field(col: str, out: str = "lang") -> Stage:
+    """``LangDetectLanguageIdentifierUpdateProcessorFactory`` role: set a
+    language field from the trigram classifier.  The profile model
+    compiles lazily ONCE per worker process and is shared by every batch
+    the closure sees (the factory's langid model reuse)."""
+    holder = {}
+
+    def s(t: pa.Table) -> pa.Table:
+        stage = holder.get("m")
+        if stage is None:
+            from lucene_solr_ray.functions.textstats import LangIdStage
+
+            stage = holder["m"] = LangIdStage()
+        langs = pa.array(
+            [stage._classify(v or "")[0]
+             for v in t.column(col).to_pylist()],
+            pa.string(),
+        )
+        return _set(t, out, langs)
+    return s
+
+
+def doc_expiration(ttl_col: str, now: str, expire_col: str = "_expire_at_",
+                   drop_expired: bool = True) -> Stage:
+    """``DocExpirationUpdateProcessorFactory``: compute the expiration
+    timestamp from a per-doc TTL-seconds column relative to ``now``
+    (ISO timestamp string — passed in, never wall-clock, so reruns are
+    deterministic) and drop already-expired docs."""
+    import numpy as np
+
+    now_ts = np.datetime64(now, "us")
+
+    def s(t: pa.Table) -> pa.Table:
+        ttl = t.column(ttl_col).to_numpy(zero_copy_only=False).astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[us]")
+        exp = now_ts + ttl
+        t = _set(t, expire_col, pa.array(exp, pa.timestamp("us")))
+        if drop_expired:
+            t = t.filter(pa.array(exp > now_ts))
+        return t
+    return s
+
+
+def url_classify(col: str) -> Stage:
+    """``URLClassifyProcessorFactory``: derive url_length / url_levels /
+    url_domain / url_canonical from a URL column."""
+    def s(t: pa.Table) -> pa.Table:
+        from urllib.parse import urlsplit, urlunsplit
+
+        lengths, levels, domains, canon = [], [], [], []
+        for v in t.column(col).to_pylist():
+            v = v or ""
+            sp = urlsplit(v)
+            path = sp.path or "/"
+            lengths.append(len(v))
+            levels.append(max(0, len([p for p in path.split("/") if p])))
+            domains.append(sp.hostname or "")
+            canon.append(urlunsplit(
+                (sp.scheme.lower(), (sp.netloc or "").lower(),
+                 path.rstrip("/") or "/", sp.query, "")
+            ))
+        t = _set(t, "url_length", pa.array(lengths, pa.int64()))
+        t = _set(t, "url_levels", pa.array(levels, pa.int64()))
+        t = _set(t, "url_domain", pa.array(domains, pa.string()))
+        return _set(t, "url_canonical", pa.array(canon, pa.string()))
+    return s
+
+
+def add_schema_fields(cols: Optional[List[str]] = None) -> Stage:
+    """``AddSchemaFieldsUpdateProcessorFactory`` (schemaless type
+    guessing): cast a string column to int64 or float64 when EVERY
+    non-null value parses; otherwise leave it a string."""
+    def s(t: pa.Table) -> pa.Table:
+        targets = cols or [
+            f.name for f in t.schema if pa.types.is_string(f.type)
+        ]
+        for c in targets:
+            if c not in t.column_names or not pa.types.is_string(
+                t.schema.field(c).type
+            ):
+                continue
+            arr = t.column(c)
+            for typ in (pa.int64(), pa.float64()):
+                try:
+                    cast = pc.cast(arr, typ)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    continue
+                t = _set(t, c, cast)
+                break
+        return t
+    return s
+
+
+def script_stage(fn: Callable[[pa.Table], pa.Table]) -> Stage:
+    """``StatelessScriptUpdateProcessorFactory``: a user batch transform
+    slotted into the chain."""
+    return fn

@@ -492,3 +492,80 @@ def test_soft_update_documents(ray_session, tmp_path):
     # unwrapped: both the soft-deleted original and the replacement
     both = idx.search({0: "text"}, k=10)
     assert sorted(both.column("doc_id").to_pylist()) == [0, 0]
+
+
+def test_urp_new_factories(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.stages import urp
+
+    t = pa.table({
+        "vals": [[3, 1], [7], [2, 9, 5]],
+        "flag": ["Yes", "off", "maybe"],
+        "a": ["x", "y", "z"],
+        "num": ["10", "20", "30"],
+        "mixed": ["1.5", "oops", "2"],
+        "url": ["https://Ex.COM/a/b/c?q=1#frag", "http://h.io/", ""],
+        "ttl": [3600, 1, 7200],
+    })
+    ds = ray.data.from_arrow(t)
+    out = urp.chain(ds, [
+        urp.first_value("vals"),
+        urp.parse_boolean("flag", out="flag_b"),
+        urp.template_field("tpl", "id-${a}-${num}"),
+        urp.add_schema_fields(["num", "mixed"]),
+        urp.url_classify("url"),
+        urp.rename_fields(r"^a$", "alpha"),
+    ]).to_arrow_refs()
+    import ray as _ray
+
+    r = pa.concat_tables([_ray.get(x) for x in out])
+    assert r.column("vals").to_pylist() == [3, 7, 2]
+    assert r.column("flag_b").to_pylist() == [True, False, None]
+    assert r.column("tpl").to_pylist() == [
+        "id-x-10", "id-y-20", "id-z-30"
+    ]
+    assert r.schema.field("num").type == pa.int64()    # all parse
+    assert r.schema.field("mixed").type == pa.string()  # one bad value
+    assert r.column("url_domain").to_pylist() == ["ex.com", "h.io", ""]
+    assert r.column("url_levels").to_pylist() == [3, 0, 0]
+    assert r.column("url_canonical").to_pylist()[0] == \
+        "https://ex.com/a/b/c?q=1"
+    assert "alpha" in r.column_names and "a" not in r.column_names
+
+
+def test_urp_expiration_and_langid(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.stages import urp
+
+    t = pa.table({
+        "text": ["the quick brown fox jumps over the lazy dog and runs",
+                 "der schnelle braune fuchs springt und das ist ein haus"],
+        "ttl": [-5, 3600],
+    })
+    r = urp.chain(ray.data.from_arrow(t), [
+        urp.doc_expiration("ttl", now="2026-01-01T00:00:00"),
+        urp.langid_field("text"),
+    ]).take_all()
+    # the expired row (negative ttl) was dropped
+    assert len(r) == 1
+    assert r[0]["lang"] in ("de", "en")
+    assert r[0]["ttl"] == 3600
+
+
+def test_urp_last_value_and_script(ray_session):
+    import pyarrow as pa
+
+    from lucene_solr_ray.stages import urp
+
+    t = pa.table({"vals": [[3, 1, 8], [7]]})
+    out = urp.last_value("vals")(t)
+    assert out.column("vals").to_pylist() == [8, 7]
+    double = urp.script_stage(
+        lambda tt: tt.set_column(0, "vals", pa.array(
+            [v * 2 for v in tt.column("vals").to_pylist()]))
+    )
+    assert double(out).column("vals").to_pylist() == [16, 14]
