@@ -21,12 +21,26 @@ from lucene_solr_ray.stages import relational as R
 __all__ = ["QUERIES", "ORACLES"]
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
+def _read(sf_dir: str, table: str, columns=None,
+          rows_per_block: int = 25_000):
+    """Column-pruned parquet read with row-count-scaled block splitting.
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    )
+    The synthetic tables are single-row-group files, so Ray's default
+    read plan emits ONE block and every downstream map_batches runs as a
+    single task (measured: the whole innerjoin stage serialized on one
+    core).  ``override_num_blocks`` splits the read into ~25k-row blocks
+    capped at 2×CPUs — at real scale (many files / many row groups) the
+    default plan already fans out and the override is a no-op guardrail."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    meta = pq.read_metadata(path)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n = max(1, min(cpus * 2, meta.num_rows // rows_per_block))
+    kwargs = {"override_num_blocks": n} if n > meta.num_row_groups else {}
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
 # -- RollupStream over lineitem (TPC-H Q1 shape) ----------------------------

@@ -245,19 +245,17 @@ def hash_join(
 
     small_ref = ray.put(small)
 
-    class _Probe:
-        def __init__(self):
-            self.small = ray.get(small_ref)
+    # STATELESS tasks, not an actor pool: the build side is an object-store
+    # ref — ray.get in a task on the same node is a zero-copy plasma read,
+    # so there is nothing for an actor to amortize, and pool startup was
+    # measured at ~2s of the 4.4s bench stage (round 4); on a multi-node
+    # cluster the ref ships to each node once either way
+    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(
+            ray.get(small_ref), how=how, left_on=on, right_on=right_on or on
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(
-                self.small, how=how, left_on=on, right_on=right_on or on
-            )
-
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return ds.map_batches(
-        _Probe, batch_format="pandas", concurrency=(1, cpus)
-    )
+    return ds.map_batches(_probe, batch_format="pandas")
 
 
 #: below this many RIGHT-side rows the join broadcasts (build-small /
