@@ -11,10 +11,10 @@ to arrow/numpy kernels applied per batch — no per-row Python.
     evaluate(ds, {"total": "add(price, mul(tax, price))",
                   "flag":  "if(gt(qty, 10), 1, 0)"})
 
-Implemented evaluators (41): add sub mult div mod pow abs neg sqrt cbrt
+Implemented evaluators (45): add sub mult div mod pow abs neg sqrt cbrt
 log log10 exp ceil floor round sin cos tan asin acos atan sinh cosh tanh
-min max eq gt gte lt lte and or not if val copyof concat upper lower
-length.
+min max eq neq gt gte lt lte and or eor not if val copyof concat upper
+lower length analyze.
 """
 
 from __future__ import annotations
@@ -106,8 +106,11 @@ _UNARY = {
 _BINARY = {
     "sub": np.subtract, "div": np.divide, "mod": np.mod,
     "pow": np.power,
-    "eq": np.equal, "gt": np.greater, "gte": np.greater_equal,
+    "eq": np.equal, "neq": np.not_equal,
+    "gt": np.greater, "gte": np.greater_equal,
     "lt": np.less, "lte": np.less_equal,
+    # ExclusiveOrEvaluator
+    "eor": np.logical_xor,
 }
 
 _VARIADIC = {
@@ -169,12 +172,24 @@ def _run(node, t: pa.Table):
         return np.char.str_len(np.asarray(a[0]).astype(str)).astype(
             np.int64
         )
+    if fn == "analyze":
+        # AnalyzeEvaluator: run the indexing analyzer over a text field,
+        # return the token list per tuple (analyzer built once per worker)
+        global _ANALYZER
+        if _ANALYZER is None:
+            from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+
+            _ANALYZER = StandardAnalyzer()
+        return [_ANALYZER.analyze(str(v)) for v in np.asarray(a[0])]
     raise EvalError(f"unknown evaluator {fn!r}")
 
 
+_ANALYZER = None
+
 _KNOWN = (
     set(_UNARY) | set(_BINARY) | set(_VARIADIC)
-    | {"if", "val", "copyof", "concat", "upper", "lower", "length"}
+    | {"if", "val", "copyof", "concat", "upper", "lower", "length",
+       "analyze"}
 )
 
 

@@ -569,3 +569,25 @@ def test_urp_last_value_and_script(ray_session):
             [v * 2 for v in tt.column("vals").to_pylist()]))
     )
     assert double(out).column("vals").to_pylist() == [16, 14]
+
+
+def test_evaluator_additions(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.stages.evaluators import evaluate
+
+    t = pa.table({
+        "a": [1.0, 2.0, 3.0],
+        "b": [1.0, 5.0, 3.0],
+        "text": ["The Quick FOX", "and the dog", "Running Fast"],
+    })
+    rows = evaluate(ray.data.from_arrow(t), {
+        "ne": "neq(a, b)",
+        "x": "eor(gt(a, 2), gt(b, 2))",
+        "toks": "analyze(text)",
+    }).take_all()
+    assert [r["ne"] for r in rows] == [False, True, False]
+    assert [r["x"] for r in rows] == [False, True, False]
+    assert rows[0]["toks"] == ["the", "quick", "fox"]
+    assert rows[2]["toks"] == ["running", "fast"]
