@@ -31,16 +31,12 @@ def _read(sf_dir: str, table: str, columns=None,
     core).  ``override_num_blocks`` splits the read into ~25k-row blocks
     capped at 2×CPUs — at real scale (many files / many row groups) the
     default plan already fans out and the override is a no-op guardrail."""
-    import ray
-    import ray.data
-    import pyarrow.parquet as pq
+    from lucene_solr_ray.sources.parquet import split_read
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    meta = pq.read_metadata(path)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    n = max(1, min(cpus * 2, meta.num_rows // rows_per_block))
-    kwargs = {"override_num_blocks": n} if n > meta.num_row_groups else {}
-    return ray.data.read_parquet(path, columns=columns, **kwargs)
+    return split_read(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns,
+        rows_per_block=rows_per_block,
+    )
 
 
 # -- RollupStream over lineitem (TPC-H Q1 shape) ----------------------------

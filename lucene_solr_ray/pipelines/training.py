@@ -18,10 +18,13 @@ __all__ = ["QUERIES", "ORACLES"]
 
 
 def _docs(sf_dir: str):
-    import ray.data
+    # heavy text rows: split into ~256-doc blocks so shingle/signature
+    # stages parallelize even off single-row-group files
+    from lucene_solr_ray.sources.parquet import split_read
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    return split_read(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"], rows_per_block=256,
     )
 
 
@@ -115,7 +118,10 @@ def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
     queries = np.asarray(qdf.column("embedding").to_pylist(), dtype=np.float64)
     qids = np.asarray(qdf.column("vec_id").to_pylist(), dtype=np.int64)
 
-    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    from lucene_solr_ray.sources.parquet import split_read
+
+    ds = split_read(emb_path, columns=["vec_id", "embedding"],
+                    rows_per_block=256)
     out = ann.brute_force_topk(
         ds, queries, qids, "embedding", "vec_id", k=_ANN_K
     )
@@ -179,9 +185,11 @@ def langid_docs(sf_dir: str) -> pd.DataFrame:
 def embedding_neardups(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
-    ds = ray.data.read_parquet(
+    from lucene_solr_ray.sources.parquet import split_read
+
+    ds = split_read(
         os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
+        columns=["vec_id", "embedding"], rows_per_block=256,
     )
     out = dedup.embedding_near_dups(
         ds, "embedding", "vec_id", threshold=0.5
@@ -204,7 +212,10 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     qdf = qt.slice(0, _ANN_NQ)
     queries = np.asarray(qdf.column("embedding").to_pylist(), dtype=np.float64)
     qids = np.asarray(qdf.column("vec_id").to_pylist(), dtype=np.int64)
-    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    from lucene_solr_ray.sources.parquet import split_read
+
+    ds = split_read(emb_path, columns=["vec_id", "embedding"],
+                    rows_per_block=256)
     out = ann.lsh_topk(ds, queries, qids, "embedding", "vec_id", k=_ANN_K)
     out["cosine"] = out["cosine"].round(6)
     return out.reset_index(drop=True)
@@ -279,9 +290,11 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
 
     from lucene_solr_ray.functions.ann import build_ivf_index, ivf_topk
 
-    ds = ray.data.read_parquet(
+    from lucene_solr_ray.sources.parquet import split_read
+
+    ds = split_read(
         os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
+        columns=["vec_id", "embedding"], rows_per_block=256,
     )
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["embedding"])
