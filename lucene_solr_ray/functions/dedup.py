@@ -9,6 +9,9 @@
   is the reference's lossier cousin, ``TextProfileSignature.java:39-117``).
 - :func:`simhash_groups` — 64-bit simhash + banded grouping for
   hamming-near duplicates.
+- :func:`ngram_jaccard_pairs` — EXACT word-k-gram Jaccard pairs with a
+  stop-gram df cap, one gram-partitioned shuffle (the dedup family's
+  exact-similarity entry; minhash is its sketched cousin).
 - :func:`embedding_near_dups` — cosine-over-threshold pairs on an
   embedding column (brute-force blockwise; see functions/ann.py for top-k).
 
@@ -39,6 +42,7 @@ __all__ = [
     "simhash64_batch",
     "simhash_groups",
     "ngram_jaccard",
+    "ngram_jaccard_pairs",
     "embedding_near_dups",
 ]
 
@@ -962,3 +966,137 @@ def text_profile_dedup(ds, col: str, id_col: str,
         .aggregate(Min(id_col, alias_name="keep_id"),
                    Count(alias_name="n_dups"))
     )
+
+
+def ngram_jaccard_pairs(ds, col: str, id_col: str, k: int = 3,
+                        threshold: float = 0.5, max_gram_df: int = 64):
+    """EXACT word-k-gram Jaccard near-dup pairs, distributed.
+
+    The Jaccard space is the set of distinct word k-grams per doc, with
+    a STOP-GRAM cap: grams appearing in more than ``max_gram_df`` docs
+    are excluded from the space entirely (from both intersections and
+    set sizes — boilerplate grams otherwise make every pair a candidate
+    and a single hot gram's pair count is quadratic).  Within the capped
+    space the similarity is exact, so a SQL oracle can replay it.
+
+    Shape (one all-to-all): distinct (doc, gram) rows → ONE
+    gram-hash-partitioned shuffle; each partition lexsorts its grams,
+    drops over-cap segments, and emits both size contributions and
+    triangular pair rows; tiny (id_a, id_b) count + size joins (the
+    size-aware ``inner_join`` broadcasts the dimension-sized size table)
+    finish the job.  Same scale profile as ``minhash_lsh_pairs`` with
+    exact instead of sketched similarity — use minhash when the gram
+    space itself is too hot to shuffle.
+    """
+    import ray.data
+
+    from ray.data.aggregate import Count, Sum
+
+    def _grams(t: pa.Table) -> pa.Table:
+        ids_out, grams_out = [], []
+        for did, txt in zip(
+            t.column(id_col).to_pylist(), t.column(col).to_pylist()
+        ):
+            toks = (txt or "").split()
+            if len(toks) < k:
+                continue
+            seen = {
+                " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+            }
+            ids_out.extend([did] * len(seen))
+            grams_out.extend(sorted(seen))
+        return pa.table({
+            "doc": pa.array(ids_out, pa.int64()),
+            "gram": pa.array(grams_out, pa.string()),
+        })
+
+    g = ds.map_batches(_grams, batch_format="pyarrow")
+    nrows = g.count()
+    if nrows == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+    nparts = _pair_partitions(nrows)
+
+    def _part(t: pa.Table) -> pa.Table:
+        # deterministic across worker processes (Python's str hash is
+        # per-process salted and would tear gram groups apart)
+        h = pd.util.hash_array(
+            np.asarray(t.column("gram").to_pylist(), dtype=object)
+        ).astype(np.uint64)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(nparts)).astype(np.int64))
+        )
+
+    def _emit(group: pa.Table) -> pa.Table:
+        grams = np.asarray(group.column("gram").to_pylist(), dtype=object)
+        ids = group.column("doc").to_numpy()
+        order = np.argsort(grams, kind="mergesort")
+        gs, ids_s = grams[order], ids[order]
+        n = len(gs)
+        kind, a, b = [], [], []
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and gs[j + 1] == gs[i]:
+                j += 1
+            m = j - i + 1
+            if m <= max_gram_df:
+                seg = np.sort(ids_s[i:j + 1])
+                for x in range(m):          # size contributions
+                    kind.append(0)
+                    a.append(int(seg[x]))
+                    b.append(0)
+                for x in range(m):          # triangular pairs
+                    for y in range(x + 1, m):
+                        kind.append(1)
+                        a.append(int(seg[x]))
+                        b.append(int(seg[y]))
+            i = j + 1
+        return pa.table({
+            "kind": pa.array(kind, pa.int8()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+        })
+
+    parts = g.map_batches(_part, batch_format="pyarrow")
+    emitted = parts.groupby("_part").map_groups(
+        _emit, batch_format="pyarrow"
+    )
+    emitted = emitted.materialize()
+    sizes = (
+        emitted.filter(expr="kind == 0")
+        .groupby("a").aggregate(Count(alias_name="n"))
+    )
+    inter = (
+        emitted.filter(expr="kind == 1")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="i"))
+    )
+    from lucene_solr_ray.stages.relational import inner_join
+
+    j1 = inner_join(
+        inter.rename_columns({"a": "id_a", "b": "id_b"}),
+        sizes.rename_columns({"a": "sid", "n": "n_a"}),
+        on="id_a", right_on="sid",
+    )
+    j2 = inner_join(
+        j1,
+        sizes.rename_columns({"a": "sid2", "n": "n_b"}),
+        on="id_b", right_on="sid2",
+    )
+
+    def _jacc(t: pa.Table) -> pa.Table:
+        inter_n = t.column("i").to_numpy().astype(np.float64)
+        na = t.column("n_a").to_numpy().astype(np.float64)
+        nb = t.column("n_b").to_numpy().astype(np.float64)
+        jac = inter_n / (na + nb - inter_n)
+        out = pa.table({
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "jaccard": pa.array(np.round(jac, 6)),
+        })
+        return out.filter(pa.array(jac >= threshold))
+
+    return j2.map_batches(_jacc, batch_format="pyarrow")

@@ -149,6 +149,55 @@ FROM ranked WHERE rnk <= {_ANN_K} ORDER BY qid, rnk
 """
 
 
+def ngram_jaccard_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs over doc_id < 300 with the
+    stop-gram df cap — the SQL oracle replays the capped gram space and
+    the exact similarity (dedup family: the n-gram Jaccard entry)."""
+    ds = _docs(sf_dir).filter(expr="doc_id < 300")
+    out = dedup.ngram_jaccard_pairs(
+        ds, "text", "doc_id", k=3, threshold=0.35, max_gram_df=64
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE doc_id < 300 AND text <> ''
+),
+g0 AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i + 1, i + 3), ' ') AS gram
+  FROM (
+    SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+    FROM toks WHERE len(t) >= 3
+  )
+),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+keep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 64),
+gk AS (SELECT g.* FROM g JOIN keep USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM gk GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
 # -- rows-only ops (non-SQL-expressible; pytest carries the oracles) ---------
 
 def minhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -227,6 +276,7 @@ QUERIES = {
     "quality_docs": quality_docs,
     "fingerprint_docs": fingerprint_docs,
     "ann_cosine_topk": ann_cosine_topk,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
     "minhash_pairs": minhash_pairs,
     "simhash_pairs": simhash_pairs,
     "langid_docs": langid_docs,
@@ -240,6 +290,7 @@ ORACLES = {
     "quality_docs": QUALITY_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_SQL,
+    "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
 }
 
 

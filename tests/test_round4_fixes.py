@@ -591,3 +591,49 @@ def test_evaluator_additions(ray_session):
     assert [r["x"] for r in rows] == [False, True, False]
     assert rows[0]["toks"] == ["the", "quick", "fox"]
     assert rows[2]["toks"] == ["running", "fast"]
+
+
+def test_ngram_jaccard_pairs_identity_and_cap(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.functions.dedup import (
+        ngram_jaccard,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(29)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    base = [" ".join(rng.choice(words, 12)) for _ in range(30)]
+    texts = list(base)
+    texts[7] = base[3]                       # exact dup
+    texts[9] = base[3] + " beta"             # near dup
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        df = ngram_jaccard_pairs(
+            ds, "text", "doc_id", k=3, threshold=0.3, max_gram_df=1000
+        ).to_pandas()
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    # identical output regardless of block layout
+    assert a.equals(b)
+    got = {(r.id_a, r.id_b): r.jaccard for r in a.itertuples()}
+    assert got[(3, 7)] == 1.0
+    # spot-check against the scalar oracle (no df cap binding here)
+    assert abs(got[(3, 9)] - ngram_jaccard(base[3], texts[9], 3)) < 1e-6
+    # every emitted pair respects the threshold
+    assert (a["jaccard"] >= 0.3).all()
+    # the stop-gram cap shrinks/empties the result (shared grams exceed
+    # the tiny cap, so the pair space collapses)
+    capped = ray.data.from_arrow(t)
+    small = ngram_jaccard_pairs(
+        capped, "text", "doc_id", k=3, threshold=0.3, max_gram_df=1
+    ).to_pandas()
+    assert len(small) <= len(a)
