@@ -848,6 +848,43 @@ QUERIES["sql_join_orders"] = sql_join_orders
 ORACLES["sql_join_orders"] = SQL_JOIN_SQL
 
 
+def sql_expr_lineitem(sf_dir: str) -> pd.DataFrame:
+    """SQL scalar expressions in SELECT and aggregate arguments
+    (the second half of the reference's Calcite projection support,
+    ``SolrRules.java`` project rules): arithmetic compiles to one fused
+    Arrow map_batches; the SAME SQL text runs verbatim through DuckDB."""
+    from lucene_solr_ray.stages.sql import sql_query
+
+    out = sql_query(SQL_EXPR_TEXT, lambda name: _read(sf_dir, name))
+    out["n"] = out["n"].astype("int64")
+    out["revenue"] = out["revenue"].round(4)
+    out["avg_net"] = out["avg_net"].round(4)
+    return out.reset_index(drop=True)
+
+
+SQL_EXPR_TEXT = (
+    "SELECT l_returnflag, COUNT(*) AS n, "
+    "SUM(l_extendedprice * (1 - l_discount)) AS revenue, "
+    "AVG(l_extendedprice * (1 - l_discount) / l_quantity) AS avg_net "
+    "FROM lineitem WHERE l_quantity > 5 "
+    "GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+
+SQL_EXPR_SQL = SQL_EXPR_TEXT.replace(
+    "COUNT(*) AS n", "CAST(COUNT(*) AS BIGINT) AS n"
+).replace(
+    "SUM(l_extendedprice * (1 - l_discount)) AS revenue",
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue",
+).replace(
+    "AVG(l_extendedprice * (1 - l_discount) / l_quantity) AS avg_net",
+    "ROUND(AVG(l_extendedprice * (1 - l_discount) / l_quantity), 4) "
+    "AS avg_net",
+)
+
+QUERIES["sql_expr_lineitem"] = sql_expr_lineitem
+ORACLES["sql_expr_lineitem"] = SQL_EXPR_SQL
+
+
 # -- taxonomy facets + drill-down/sideways ----------------------------------
 
 def taxonomy_facet_docs(sf_dir: str) -> pd.DataFrame:

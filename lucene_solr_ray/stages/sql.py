@@ -47,9 +47,9 @@ class SqlError(ValueError):
 
 
 _TOKEN = re.compile(
-    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_0-9]+)?|\*)"
-    r"|(?P<op><=|>=|<>|!=|=|<|>|\(|\)|,))"
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_0-9]+)?)"
+    r"|(?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|\(|\)|,))"
 )
 
 _KEYWORDS = {
@@ -128,20 +128,60 @@ class _Parser:
             self.take()
             self.take("op", "(")
             col = None
-            if self.peek() == ("id", "*"):
+            if self.peek() == ("op", "*"):
                 self.take()
             else:
-                col = _split_qual(self.take("id"))[1]
+                node = self.expr()
+                col = node[1] if node[0] == "colref" else node
             self.take("op", ")")
+            suffix = col if isinstance(col, str) else "expr"
             alias = self._alias() or (
-                f"{v}_{col}" if col else v
+                f"{v}_{suffix}" if col is not None else v
             )
             if v != "count" and col is None:
                 raise SqlError(f"{v.upper()} requires a column")
             return ("agg", v, col, alias)
-        col = _split_qual(self.take("id"))[1]
-        alias = self._alias() or col
-        return ("col", col, None, alias)
+        node = self.expr()
+        if node[0] == "colref":
+            alias = self._alias() or node[1]
+            return ("col", node[1], None, alias)
+        alias = self._alias()
+        if alias is None:
+            raise SqlError("expression select items need an AS alias")
+        return ("expr", node, None, alias)
+
+    # scalar expressions -----------------------------------------------------
+    def expr(self):
+        left = self.term()
+        while self.peek() in (("op", "+"), ("op", "-")):
+            op = self.take()
+            left = ("bin", op, left, self.term())
+        return left
+
+    def term(self):
+        left = self.factor()
+        while self.peek() in (("op", "*"), ("op", "/")):
+            op = self.take()
+            left = ("bin", op, left, self.factor())
+        return left
+
+    def factor(self):
+        k, v = self.peek()
+        if (k, v) == ("op", "-"):
+            self.take()
+            return ("neg", self.factor())
+        if (k, v) == ("op", "("):
+            self.take()
+            node = self.expr()
+            self.take("op", ")")
+            return node
+        if k == "num":
+            self.take()
+            return ("numlit", float(v) if "." in v else int(v))
+        if k == "id":
+            self.take()
+            return ("colref", _split_qual(v)[1])
+        raise SqlError(f"expected expression, got {v!r}")
 
     def _alias(self) -> Optional[str]:
         if self.at_kw("as"):
@@ -187,16 +227,55 @@ class _Parser:
         op = self.take("op")
         if op not in ("=", "<>", "!=", "<", "<=", ">", ">="):
             raise SqlError(f"bad comparison operator {op!r}")
+        neg = False
+        if self.peek() == ("op", "-"):
+            self.take()
+            neg = True
         k, v = self.peek()
         if k == "num":
             self.take()
             lit = float(v) if "." in v else int(v)
-        elif k == "str":
+            if neg:
+                lit = -lit
+        elif k == "str" and not neg:
             self.take()
             lit = v
         else:
             raise SqlError(f"expected literal, got {v!r}")
         return ("cmp", _split_qual(col)[1], op, lit)
+
+
+def _expr_to_arrow(node, t: pa.Table):
+    kind = node[0]
+    if kind == "numlit":
+        return pa.scalar(node[1])
+    if kind == "colref":
+        return t.column(node[1])
+    if kind == "neg":
+        return pc.negate(_expr_to_arrow(node[1], t))
+    if kind == "bin":
+        _, op, l, r = node
+        lv, rv = _expr_to_arrow(l, t), _expr_to_arrow(r, t)
+        if op == "/":
+            # SQL '/' is float division (pyarrow divides ints integrally)
+            lv = pc.cast(lv, pa.float64())
+            rv = pc.cast(rv, pa.float64())
+        return {
+            "+": pc.add, "-": pc.subtract,
+            "*": pc.multiply, "/": pc.divide,
+        }[op](lv, rv)
+    raise SqlError(f"bad expression node {node!r}")
+
+
+def _expr_cols(node, out: set) -> set:
+    if node[0] == "colref":
+        out.add(node[1])
+    elif node[0] == "neg":
+        _expr_cols(node[1], out)
+    elif node[0] == "bin":
+        _expr_cols(node[2], out)
+        _expr_cols(node[3], out)
+    return out
 
 
 def _pred_to_arrow(p, t: pa.Table):
@@ -347,7 +426,17 @@ def _compile(sql: str, resolver):
 
     # prune at the read: only columns the query references leave storage
     # (select_columns over a parquet read projects into the scan)
-    referenced = {it[2] or it[1] for it in items if it[1] or it[2]}
+    referenced = set()
+    for it in items:
+        if it[0] == "col":
+            referenced.add(it[1])
+        elif it[0] == "expr":
+            _expr_cols(it[1], referenced)
+        elif it[0] == "agg":
+            if isinstance(it[2], str):
+                referenced.add(it[2])
+            elif it[2] is not None:
+                _expr_cols(it[2], referenced)
     referenced |= set(group_by)
     if where is not None:
         _pred_cols(where, referenced)
@@ -392,6 +481,39 @@ def _compile(sql: str, resolver):
         ds = _prune(ds)
     if where is not None:
         ds = _filter_ds(ds, where)
+
+    # materialize scalar select/agg-argument expressions as derived
+    # columns (one fused vectorized map_batches; the reference's Calcite
+    # projections compile to SelectStream evaluators the same way)
+    derived: List[Tuple[str, tuple]] = []
+    norm_items = []
+    for it in items:
+        if it[0] == "expr":
+            derived.append((it[3], it[1]))
+            norm_items.append(("col", it[3], None, it[3]))
+        elif it[0] == "agg" and it[2] is not None \
+                and not isinstance(it[2], str):
+            tmp = f"_agg_expr_{len(derived)}"
+            derived.append((tmp, it[2]))
+            norm_items.append(("agg", it[1], tmp, it[3]))
+        else:
+            norm_items.append(it)
+    items = norm_items
+    if derived:
+        def _derive(t: pa.Table) -> pa.Table:
+            for name, node in derived:
+                arr = _expr_to_arrow(node, t)
+                if isinstance(arr, pa.Scalar):
+                    arr = pa.array([arr.as_py()] * t.num_rows)
+                if name in t.column_names:
+                    t = t.set_column(
+                        t.schema.get_field_index(name), name, arr
+                    )
+                else:
+                    t = t.append_column(name, arr)
+            return t
+
+        ds = ds.map_batches(_derive, batch_format="pyarrow")
 
     aggs = [it for it in items if it[0] == "agg"]
     plain = [it for it in items if it[0] == "col"]

@@ -637,3 +637,34 @@ def test_ngram_jaccard_pairs_identity_and_cap(ray_session):
         capped, "text", "doc_id", k=3, threshold=0.3, max_gram_df=1
     ).to_pandas()
     assert len(small) <= len(a)
+
+
+def test_sql_scalar_expressions(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.stages.sql import SqlError, sql_query
+
+    df = pd.DataFrame({
+        "a": np.array([1, 2, 3, 4], dtype=np.int64),
+        "b": np.array([10.0, 20.0, 30.0, 40.0]),
+        "g": ["x", "y", "x", "y"],
+    })
+    resolver = lambda n: ray.data.from_pandas(df)  # noqa: E731
+    out = sql_query("SELECT a, b * 2 + 1 AS c FROM t ORDER BY a", resolver)
+    assert out["c"].tolist() == [21.0, 41.0, 61.0, 81.0]
+    # '/' is float division even on ints (DuckDB semantics)
+    out2 = sql_query("SELECT a / 2 AS h FROM t ORDER BY h", resolver)
+    assert out2["h"].tolist() == [0.5, 1.0, 1.5, 2.0]
+    # expressions inside aggregates + grouped
+    out3 = sql_query(
+        "SELECT g, SUM(a * b) AS s FROM t GROUP BY g ORDER BY g", resolver
+    )
+    assert out3["s"].tolist() == [1.0 * 10 + 3 * 30, 2.0 * 20 + 4 * 40]
+    # unary minus + parens + negative literal in WHERE
+    out4 = sql_query(
+        "SELECT -(a - 5) AS m FROM t WHERE a > -10 ORDER BY m", resolver
+    )
+    assert out4["m"].tolist() == [1, 2, 3, 4]
+    # expression items require an alias
+    with pytest.raises(SqlError, match="AS alias"):
+        sql_query("SELECT a + b FROM t", resolver)
