@@ -185,6 +185,114 @@ def _effective_inputs(seg_dirs: List[str]):
     return docmetas, in_metas, dels, eff_stats
 
 
+def _shared_index_sort(in_metas: List[Dict]) -> Optional[List[Dict]]:
+    """The common ``index_sort`` fields list when EVERY input segment was
+    laid down with the identical sort, else None (a mixed merge cannot
+    preserve any sort)."""
+    sorts = []
+    for im in in_metas:
+        isort = im.get("index_sort") or {}
+        fields = isort.get("fields")
+        if fields is None and "field" in isort:
+            fields = [{"field": isort["field"],
+                       "desc": bool(isort["desc"])}]
+        if not fields:
+            return None
+        sorts.append(fields)
+    return sorts[0] if all(s == sorts[0] for s in sorts) else None
+
+
+def remap_postings_rows(postings: pa.Table, ord_map: np.ndarray,
+                        norm_for_field) -> pa.Table:
+    """Rewrite a postings table under an ARBITRARY (non-monotonic) ordinal
+    permutation — the sorted-merge DocMap (reference
+    ``MergeState.DocMap`` built by ``MultiSorter.sort`` when
+    ``IndexWriterConfig.getIndexSort`` is set).  Per term: decode, map
+    ords, re-sort ascending, and permute freqs plus the per-OCCURRENCE
+    positions/offsets/payloads blobs to match the new doc order.  Full
+    O(postings) re-encode — sorted merges pay this in the reference too."""
+    from lucene_solr_ray.index.postings_codec import (
+        decode_postings,
+        encode_postings,
+    )
+    from lucene_solr_ray.index.segment import FIELD_SEP, POSTINGS_SCHEMA
+
+    has_off = "offsets" in postings.schema.names
+    has_pay = "payloads" in postings.schema.names
+    terms = postings.column("term").to_pylist()
+    blocks = postings.column("blocks").to_pylist()
+    poss = postings.column("positions").to_pylist()
+    offs = (postings.column("offsets").to_pylist() if has_off
+            else [None] * postings.num_rows)
+    pays = (postings.column("payloads").to_pylist() if has_pay
+            else [None] * postings.num_rows)
+    out = {"term": [], "df": [], "ttf": [], "blocks": [], "positions": [],
+           "offsets": [], "payloads": []}
+    for term, blob, posblob, offblob, payblob in zip(
+        terms, blocks, poss, offs, pays
+    ):
+        ords, freqs = decode_postings(blob)
+        new_ords = ord_map[ords.astype(np.int64)]
+        perm = np.argsort(new_ords, kind="mergesort")
+        sorted_ords = new_ords[perm]
+        sorted_freqs = freqs[perm]
+        fld = term.split(FIELD_SEP, 1)[0] if FIELD_SEP in term else None
+        norms = norm_for_field(fld)
+        out["term"].append(term)
+        out["df"].append(len(sorted_ords))
+        out["ttf"].append(int(sorted_freqs.sum()))
+        out["blocks"].append(
+            encode_postings(sorted_ords, sorted_freqs,
+                            norms[sorted_ords])
+        )
+        if freqs.sum() and (posblob is not None or offblob is not None
+                            or payblob is not None):
+            # occurrence-level gather: doc i's occurrence slice moves as
+            # one unit to its new position
+            starts = np.zeros(len(freqs), dtype=np.int64)
+            np.cumsum(freqs[:-1], out=starts[1:])
+            pf = freqs[perm].astype(np.int64)
+            occ = np.repeat(starts[perm], pf) + (
+                np.arange(int(pf.sum()))
+                - np.repeat(np.cumsum(pf) - pf, pf)
+            )
+        else:
+            occ = None
+        if posblob is not None:
+            vals = np.frombuffer(posblob or b"", dtype="<i4")
+            out["positions"].append(
+                vals[occ].tobytes() if occ is not None else posblob
+            )
+        else:
+            out["positions"].append(None)
+        if offblob is not None:
+            pairs = np.frombuffer(offblob or b"", dtype="<i4").reshape(-1, 2)
+            out["offsets"].append(
+                pairs[occ].tobytes() if occ is not None else offblob
+            )
+        else:
+            out["offsets"].append(None)
+        if payblob is not None:
+            pvals = np.frombuffer(payblob or b"", dtype="<f4")
+            out["payloads"].append(
+                pvals[occ].tobytes() if occ is not None else payblob
+            )
+        else:
+            out["payloads"].append(None)
+    return pa.table(
+        {
+            "term": pa.array(out["term"], pa.string()),
+            "df": pa.array(np.asarray(out["df"], dtype=np.int32)),
+            "ttf": pa.array(np.asarray(out["ttf"], dtype=np.int64)),
+            "blocks": pa.array(out["blocks"], pa.binary()),
+            "positions": pa.array(out["positions"], type=pa.binary()),
+            "offsets": pa.array(out["offsets"], type=pa.binary()),
+            "payloads": pa.array(out["payloads"], type=pa.binary()),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+
+
 def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
     """Execute one merge spec → new committed segment dir; returns its meta.
     Pure function of the input segment dirs (deterministic, idempotent).
@@ -221,6 +329,42 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         tables.append(t)
     postings = _merge_postings_rows(tables, bases)
     points = _merge_points(seg_dirs, bases, dels)
+
+    # sorted merge (MultiSorter.sort + MergeState.DocMap): when every
+    # input shares one index_sort whose key columns ride docmeta, lay the
+    # merged segment down in comparator order so it keeps the sort marker
+    # and collectors can still early-terminate after the merge.  Costs a
+    # full O(postings) re-encode — only sorted inputs pay it.
+    shared_sort = _shared_index_sort(in_metas)
+    if shared_sort is not None and all(
+        f["field"] in docmeta.column_names for f in shared_sort
+    ):
+        from lucene_solr_ray.index.deletes import _compacted_norm_lookup
+
+        keys = [docmeta.column("doc_id").to_numpy()]
+        for f in reversed(shared_sort):
+            v = docmeta.column(f["field"]).to_numpy(zero_copy_only=False)
+            codes = np.unique(v, return_inverse=True)[1]
+            keys.append(-codes if f["desc"] else codes)
+        perm = np.lexsort(tuple(keys))
+        if not np.array_equal(perm, np.arange(len(perm))):
+            docmeta = docmeta.take(perm)
+            ord_map = np.empty(len(perm), dtype=np.int64)
+            ord_map[perm] = np.arange(len(perm))
+            postings = remap_postings_rows(
+                postings, ord_map, _compacted_norm_lookup(docmeta)
+            )
+            if points is not None:
+                points = points.set_column(
+                    points.schema.get_field_index("ord"), "ord",
+                    pa.array(
+                        ord_map[points.column("ord").to_numpy()].astype(
+                            points.schema.field("ord").type.to_pandas_dtype()
+                        )
+                    ),
+                )
+    else:
+        shared_sort = None
     # top-level stats sum the inputs' EFFECTIVE stats (post-compaction):
     # for multi-field segments those cover the default field only (the
     # collection stats BM25's avgdl derives from), while Σ over the merged
@@ -250,6 +394,17 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         "segment_id": new_id,
         "stats": stats,
         "lineage": {"merged_from": list(spec_ids)},
+        **(
+            {"index_sort": {
+                "fields": shared_sort,
+                **(
+                    {"field": shared_sort[0]["field"],
+                     "desc": bool(shared_sort[0]["desc"])}
+                    if len(shared_sort) == 1 else {}
+                ),
+            }}
+            if shared_sort is not None else {}
+        ),
     }
     df_field = next(
         (im.get("default_field") for im in in_metas

@@ -231,3 +231,52 @@ def test_multi_field_single_field_legacy_path(ray_session, corpus, tmp_path):
         a.column("sort_value").to_numpy(),
         b.column("sort_0").to_numpy().astype(np.float64),
     )
+
+
+def test_sorted_merge_preserves_index_sort(ray_session, corpus_mf, tmp_path):
+    """Merging sorted segments keeps comparator order + the index_sort
+    marker (MultiSorter.sort semantics): post-merge searches stay
+    byte-identical to an unsorted index and still early-terminate."""
+    from lucene_solr_ray.index.merge import merge_until_done
+    from lucene_solr_ray.search.searcher import search_by_fields
+
+    sort = [("lang", False), ("prio", True)]
+
+    def _b(out, **kw):
+        return build_index(
+            corpus_mf, out, text_col="text", id_col="doc_id",
+            stored_cols=["lang", "prio"], docs_per_segment=40, **kw
+        )
+
+    plain = str(tmp_path / "plain")
+    srt = str(tmp_path / "srt")
+    _b(plain)
+    _b(srt, index_sort=sort)
+    assert len(Index(srt).seg_dirs) >= 3
+    from lucene_solr_ray.index.merge_policy import TieredMergePolicy
+
+    merge_until_done(srt, policy=TieredMergePolicy(segs_per_tier=1.0))
+    idx = Index(srt)
+    assert len(idx.seg_dirs) < 3  # something merged
+    for d in idx.seg_dirs:
+        with open(os.path.join(d, "segment.json")) as f:
+            meta = json.load(f)
+        assert meta["index_sort"]["fields"] == [
+            {"field": "lang", "desc": False},
+            {"field": "prio", "desc": True},
+        ]
+        dm = pq.read_table(os.path.join(d, "docmeta.parquet"))
+        tup = list(zip(
+            dm.column("lang").to_pylist(),
+            [-v for v in dm.column("prio").to_pylist()],
+            dm.column("doc_id").to_pylist(),
+        ))
+        assert tup == sorted(tup)
+    queries = {0: "merge", 1: "merge sort", 2: "batch"}
+    a = search_by_fields(Index(plain), queries, sort, k=9)
+    b = search_by_fields(idx, queries, sort, k=9)
+    assert a.equals(b)
+    # BM25 results also identical (positions/norms survived the remap)
+    pa_ = Index(plain).search(queries, k=8)
+    pb_ = idx.search(queries, k=8)
+    assert pa_.equals(pb_)
