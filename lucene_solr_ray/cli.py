@@ -85,6 +85,32 @@ def main(argv=None) -> int:
     dl.add_argument("--index", required=True)
     dl.add_argument("--query", required=True)
 
+    sd = sub.add_parser(
+        "soft-delete",
+        help="soft-delete docs matching a query (visible to unwrapped "
+             "readers; search with --respect-soft-deletes to exclude)",
+    )
+    sd.add_argument("--index", required=True)
+    sd.add_argument("--query", required=True)
+    sd.add_argument("--harden", action="store_true",
+                    help="apply the retention policy now: soft deletes "
+                         "NOT matching --retain become hard tombstones")
+    sd.add_argument("--retain", default=None,
+                    help="retention query for --harden")
+
+    hl = sub.add_parser(
+        "highlight",
+        help="UnifiedHighlighter passages for query terms over a corpus "
+             "parquet column",
+    )
+    hl.add_argument("--input", required=True)
+    hl.add_argument("--text-col", default="content")
+    hl.add_argument("--terms", required=True,
+                    help="comma-separated query terms")
+    hl.add_argument("--max-passages", type=int, default=1)
+    hl.add_argument("--fixed-tokens", type=int, default=None)
+    hl.add_argument("--limit", type=int, default=10)
+
     sq = sub.add_parser("sql", help="run a SQL subset over parquet tables")
     sq.add_argument("--tables", required=True,
                     help="directory containing <name>.parquet tables")
@@ -124,6 +150,45 @@ def main(argv=None) -> int:
             "doc_count": manifest["doc_count"],
             "live_doc_count": manifest["live_doc_count"],
         }))
+    elif args.cmd == "soft-delete":
+        from lucene_solr_ray.index.softdeletes import (
+            apply_soft_deletes_policy,
+            soft_delete_by_query,
+        )
+
+        manifest = soft_delete_by_query(args.index, args.query)
+        if args.harden:
+            manifest = apply_soft_deletes_policy(
+                args.index, retention_query=args.retain
+            )
+        print(json.dumps({
+            "generation": manifest["generation"],
+            "soft_deleted": int(sum(
+                s.get("soft_del_count", 0) for s in manifest["segments"]
+            )),
+            "hard_deleted": int(sum(
+                s.get("del_count", 0) for s in manifest["segments"]
+            )),
+        }))
+    elif args.cmd == "highlight":
+        import ray.data
+
+        from lucene_solr_ray.functions.highlight import (
+            unified_highlight_batch,
+        )
+
+        terms = [t for t in args.terms.split(",") if t]
+        ds = ray.data.read_parquet(args.input)
+        out = unified_highlight_batch(
+            ds, args.text_col, terms,
+            max_passages=args.max_passages,
+            fixed_tokens=args.fixed_tokens,
+        ).limit(args.limit)
+        for row in out.take(args.limit):
+            print(json.dumps({
+                k: v for k, v in row.items()
+                if k == "snippet" or not isinstance(v, str) or len(v) < 200
+            }, default=str))
     elif args.cmd == "sql":
         import os as _os
 
