@@ -346,6 +346,29 @@ def _dist_enumerated(values, probs=None) -> Dict:
     return {"type": "enumerated", "values": v, "probs": p / p.sum()}
 
 
+def _dist_gamma(shape, scale) -> Dict:
+    return {"type": "gamma", "shape": float(shape), "scale": float(scale)}
+
+
+def _dist_lognormal(scale, shape) -> Dict:
+    """logNormalDistribution(scale, shape): commons-math parameter order
+    — scale = mean of the log, shape = std of the log."""
+    return {"type": "lognormal", "mu": float(scale), "sigma": float(shape)}
+
+
+def _dist_weibull(shape, scale) -> Dict:
+    return {"type": "weibull", "shape": float(shape), "scale": float(scale)}
+
+
+def _dist_triangular(lo, mode, hi) -> Dict:
+    return {"type": "triangular", "lo": float(lo), "mode": float(mode),
+            "hi": float(hi)}
+
+
+def _dist_geometric(p) -> Dict:
+    return {"type": "geometric", "p": float(p)}
+
+
 def _dist_zipf(size, exponent) -> Dict:
     n, s = int(size), float(exponent)
     w = np.arange(1, n + 1, dtype=np.float64) ** (-s)
@@ -374,6 +397,9 @@ def _probability(dist, x, x2=None) -> float:
     if t == "enumerated":
         sel = np.isclose(dist["values"], float(x))
         return float(dist["probs"][sel].sum())
+    if t == "geometric":
+        kk, p = int(x), dist["p"]
+        return float(p * (1.0 - p) ** kk) if kk >= 0 else 0.0
     raise EvalError(f"probability() undefined for {t}; use "
                     "cumulativeProbability or the two-arg range form")
 
@@ -403,6 +429,30 @@ def _cumulative(dist, x) -> float:
         return float(np.searchsorted(v, x, side="right") / len(v))
     if t == "enumerated":
         return float(dist["probs"][dist["values"] <= x].sum())
+    if t == "gamma":
+        if x <= 0:
+            return 0.0
+        return _gammainc_lower(dist["shape"], x / dist["scale"])
+    if t == "lognormal":
+        if x <= 0:
+            return 0.0
+        return _norm_cdf((math.log(x) - dist["mu"]) / dist["sigma"])
+    if t == "weibull":
+        if x <= 0:
+            return 0.0
+        return 1.0 - math.exp(-((x / dist["scale"]) ** dist["shape"]))
+    if t == "triangular":
+        lo, mo, hi = dist["lo"], dist["mode"], dist["hi"]
+        if x <= lo:
+            return 0.0
+        if x >= hi:
+            return 1.0
+        if x <= mo:
+            return (x - lo) ** 2 / ((hi - lo) * (mo - lo))
+        return 1.0 - (hi - x) ** 2 / ((hi - lo) * (hi - mo))
+    if t == "geometric":
+        k = math.floor(x)
+        return 1.0 - (1.0 - dist["p"]) ** (k + 1) if k >= 0 else 0.0
     raise EvalError(f"cumulativeProbability undefined for {t}")
 
 
@@ -435,6 +485,17 @@ def _sample(model, n=1, seed=0):
         return rng.choice(model["values"], size=n)
     if t == "enumerated":
         return rng.choice(model["values"], size=n, p=model["probs"])
+    if t == "gamma":
+        return rng.gamma(model["shape"], model["scale"], size=n)
+    if t == "lognormal":
+        return rng.lognormal(model["mu"], model["sigma"], size=n)
+    if t == "weibull":
+        return model["scale"] * rng.weibull(model["shape"], size=n)
+    if t == "triangular":
+        return rng.triangular(model["lo"], model["mode"], model["hi"],
+                              size=n)
+    if t == "geometric":
+        return (rng.geometric(model["p"], size=n) - 1).astype(np.float64)
     raise EvalError(f"sample() undefined for {t}")
 
 
@@ -696,6 +757,11 @@ ML_FUNCS = {
     "empiricalDistribution": _dist_empirical,
     "enumeratedDistribution": _dist_enumerated,
     "zipFDistribution": _dist_zipf,
+    "gammaDistribution": _dist_gamma,
+    "logNormalDistribution": _dist_lognormal,
+    "weibullDistribution": _dist_weibull,
+    "triangularDistribution": _dist_triangular,
+    "geometricDistribution": _dist_geometric,
     "probability": _probability,
     "cumulativeProbability": _cumulative,
     # significance tests

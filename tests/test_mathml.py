@@ -259,3 +259,40 @@ def test_let_composition_with_ml_world():
     })
     assert math.isclose(out["c"], 0.5, rel_tol=1e-12)
     assert abs(out["t"]["p-value"] - 1.0) < 1e-9
+
+
+def test_more_distributions():
+    # gamma: shape=1, scale=θ is exponential → CDF = 1 - e^(-x/θ)
+    g = math_eval("gammaDistribution(1.0, 2.0)", {})
+    assert math.isclose(
+        math_eval("cumulativeProbability(g, 4)", {"g": g}),
+        1 - math.exp(-2), rel_tol=1e-10,
+    )
+    # lognormal: CDF at the scale point e^mu is 0.5
+    ln = math_eval("logNormalDistribution(1.0, 0.5)", {})
+    assert math.isclose(
+        math_eval("cumulativeProbability(l, %r)" % math.exp(1.0),
+                  {"l": ln}), 0.5, rel_tol=1e-10,
+    )
+    # weibull shape=1 is exponential
+    w = math_eval("weibullDistribution(1.0, 3.0)", {})
+    assert math.isclose(
+        math_eval("cumulativeProbability(w, 3)", {"w": w}),
+        1 - math.exp(-1), rel_tol=1e-10,
+    )
+    # triangular: CDF at the mode of a symmetric triangle is 0.5
+    tr = math_eval("triangularDistribution(0, 5, 10)", {})
+    assert math_eval("cumulativeProbability(t, 5)", {"t": tr}) == 0.5
+    assert math_eval("cumulativeProbability(t, 0)", {"t": tr}) == 0.0
+    assert math_eval("cumulativeProbability(t, 10)", {"t": tr}) == 1.0
+    # geometric (failures before first success): pmf + CDF consistency
+    ge = math_eval("geometricDistribution(0.25)", {})
+    pmf0 = math_eval("probability(g, 0)", {"g": ge})
+    assert math.isclose(pmf0, 0.25, rel_tol=1e-12)
+    cdf2 = math_eval("cumulativeProbability(g, 2)", {"g": ge})
+    want = sum(0.25 * 0.75 ** k for k in range(3))
+    assert math.isclose(cdf2, want, rel_tol=1e-12)
+    # sampling moments (gamma mean = k*θ)
+    s = math_eval("sample(g2, 40000)", {"g2": math_eval(
+        "gammaDistribution(3.0, 2.0)", {})})
+    assert abs(float(np.mean(s)) - 6.0) < 0.1
