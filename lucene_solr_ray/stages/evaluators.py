@@ -172,6 +172,14 @@ def _run(node, t: pa.Table):
         return np.char.str_len(np.asarray(a[0]).astype(str)).astype(
             np.int64
         )
+    if fn in _TEMPORAL:
+        # temporal evaluators (io/eval/TemporalEvaluatorYear.java etc.):
+        # field of a timestamp column, vectorized via the pandas datetime
+        # accessor
+        import pandas as pd
+
+        idx = pd.DatetimeIndex(np.asarray(a[0]))
+        return _TEMPORAL[fn](idx).to_numpy().astype(np.int64)
     if fn == "analyze":
         # AnalyzeEvaluator: run the indexing analyzer over a text field,
         # return the token list per tuple (analyzer built once per worker)
@@ -186,8 +194,18 @@ def _run(node, t: pa.Table):
 
 _ANALYZER = None
 
+_TEMPORAL = {
+    "year": lambda i: i.year, "month": lambda i: i.month,
+    "day": lambda i: i.day, "dayOfYear": lambda i: i.dayofyear,
+    "hour": lambda i: i.hour, "minute": lambda i: i.minute,
+    "second": lambda i: i.second,
+    "week": lambda i: i.isocalendar().week,
+    "quarter": lambda i: i.quarter,
+    "epoch": lambda i: i.asi8 // 10 ** 6,  # millis, as the reference
+}
+
 _KNOWN = (
-    set(_UNARY) | set(_BINARY) | set(_VARIADIC)
+    set(_UNARY) | set(_BINARY) | set(_VARIADIC) | set(_TEMPORAL)
     | {"if", "val", "copyof", "concat", "upper", "lower", "length",
        "analyze"}
 )

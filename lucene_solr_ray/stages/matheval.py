@@ -140,11 +140,42 @@ def _regress(x, y) -> Dict[str, float]:
             "RSquared": r * r, "N": float(n)}
 
 
+def _pairwise_distance(m) -> np.ndarray:
+    """distance(matrix): euclidean distance matrix of the ROWS
+    (DistanceEvaluator's default measure)."""
+    a = _mat(m)
+    d2 = (
+        (a ** 2).sum(axis=1)[:, None]
+        + (a ** 2).sum(axis=1)[None, :]
+        - 2.0 * (a @ a.T)
+    )
+    return np.sqrt(np.maximum(d2, 0.0))
+
+
+def _knn_predict(model, x):
+    xs, ys, k = model["x"], model["y"], model["k"]
+    q = np.asarray(x, dtype=np.float64)
+    if q.ndim == 0:
+        q = q.reshape(1, 1)
+    elif q.ndim == 1:
+        q = q.reshape(-1, 1) if xs.shape[1] == 1 else q.reshape(1, -1)
+    out = np.empty(q.shape[0])
+    for i, row in enumerate(q):
+        d = np.sqrt(((xs - row) ** 2).sum(axis=1))
+        nn = np.argsort(d, kind="mergesort")[:k]
+        out[i] = float(ys[nn].mean())
+    return float(out[0]) if out.shape[0] == 1 and np.isscalar(x) or (
+        out.shape[0] == 1 and isinstance(x, (int, float))
+    ) else out
+
+
 def _predict(model, x):
     if isinstance(model, dict) and model.get("type") == "spline":
         from lucene_solr_ray.stages.mathml import _spline_predict
 
         return _spline_predict(model, x)
+    if isinstance(model, dict) and model.get("type") == "knnRegress":
+        return _knn_predict(model, x)
     slope, intercept = model["slope"], model["intercept"]
     if isinstance(x, (int, float)):
         return slope * x + intercept
@@ -306,9 +337,31 @@ MATH_FUNCS: Dict[str, Callable] = {
     "sumColumns": lambda m: _mat(m).sum(axis=0),
     "percentile": _percentile,
     "describe": _describe,
-    "correlation": lambda a, b: float(np.corrcoef(_vec(a), _vec(b))[0, 1]),
-    "covariance": lambda a, b: float(
-        np.cov(_vec(a), _vec(b), ddof=1)[0, 1]),
+    # corr/cov are overloaded like the reference: two vectors → scalar,
+    # one matrix → column correlation/covariance matrix
+    "correlation": lambda a, b=None: (
+        np.corrcoef(_mat(a), rowvar=False)
+        if b is None else float(np.corrcoef(_vec(a), _vec(b))[0, 1])
+    ),
+    "covariance": lambda a, b=None: (
+        np.cov(_mat(a), rowvar=False, ddof=1)
+        if b is None else float(np.cov(_vec(a), _vec(b), ddof=1)[0, 1])
+    ),
+    "corr": lambda a, b=None: (
+        np.corrcoef(_mat(a), rowvar=False)
+        if b is None else float(np.corrcoef(_vec(a), _vec(b))[0, 1])
+    ),
+    "cov": lambda a, b=None: (
+        np.cov(_mat(a), rowvar=False, ddof=1)
+        if b is None else float(np.cov(_vec(a), _vec(b), ddof=1)[0, 1])
+    ),
+    "distance": lambda m: _pairwise_distance(m),
+    "knnRegress": lambda x, y, k=3: {
+        "type": "knnRegress",
+        "x": _mat(x) if np.asarray(x).ndim == 2 else
+        _vec(x).reshape(-1, 1),
+        "y": _vec(y), "k": int(k),
+    },
     "regress": _regress,
     "olsRegress": _regress,
     "predict": _predict,
@@ -328,6 +381,8 @@ MATH_FUNCS: Dict[str, Callable] = {
     # time series
     "movingAvg": lambda v, w: _moving(v, w, np.mean),
     "movingMedian": lambda v, w: _moving(v, w, np.median),
+    "movingMAD": lambda v, w: _moving(
+        v, w, lambda a: np.median(np.abs(a - np.median(a)))),
     "expMovingAvg": _ema,
     "diff": lambda v, lag=1: _vec(v)[int(lag):] - _vec(v)[:-int(lag)],
     "lerp": lambda x, y, p: float(np.interp(float(p), _vec(x), _vec(y))),

@@ -296,3 +296,50 @@ def test_more_distributions():
     s = math_eval("sample(g2, 40000)", {"g2": math_eval(
         "gammaDistribution(3.0, 2.0)", {})})
     assert abs(float(np.mean(s)) - 6.0) < 0.1
+
+
+def test_matrix_overloads_and_knn_regress(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    # corr/cov matrix overloads
+    rng = np.random.default_rng(31)
+    m = rng.normal(size=(50, 3))
+    C = math_eval("correlation(m)", {"m": m})
+    assert C.shape == (3, 3)
+    np.testing.assert_allclose(np.diag(C), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(C, np.corrcoef(m, rowvar=False))
+    V = math_eval("cov(m)", {"m": m})
+    np.testing.assert_allclose(V, np.cov(m, rowvar=False, ddof=1))
+    s = math_eval("correlation(a, b)", {"a": m[:, 0], "b": m[:, 1]})
+    assert isinstance(s, float)
+    # pairwise distance matrix
+    pts = np.array([[0.0, 0.0], [3.0, 4.0]])
+    D = math_eval("distance(p)", {"p": pts})
+    assert math.isclose(D[0, 1], 5.0, rel_tol=1e-12) and D[0, 0] == 0.0
+    # movingMAD
+    out = math_eval("movingMAD(v, 3)", {"v": np.array([1., 2., 3., 100.])})
+    assert out.tolist() == [1.0, 1.0]
+    # knnRegress + predict: exact on a linear function with k=1
+    x = np.arange(20, dtype=np.float64)
+    y = 3.0 * x + 1.0
+    model = math_eval("knnRegress(x, y, 1)", {"x": x, "y": y})
+    assert math_eval("predict(m2, 7)", {"m2": model}) == 22.0
+    preds = math_eval("predict(m2, q)", {"m2": model,
+                                         "q": np.array([2.0, 5.0])})
+    np.testing.assert_allclose(preds, [7.0, 16.0])
+    # temporal per-tuple evaluators over a timestamp column
+    from lucene_solr_ray.stages.evaluators import evaluate
+
+    t = pa.table({"ts": pa.array(
+        np.array(["2026-03-05T10:20:30", "2025-12-31T23:59:59"],
+                 dtype="datetime64[us]"))})
+    rows = evaluate(ray.data.from_arrow(t), {
+        "y": "year(ts)", "mo": "month(ts)", "d": "day(ts)",
+        "doy": "dayOfYear(ts)", "h": "hour(ts)", "q": "quarter(ts)",
+    }).take_all()
+    assert [r["y"] for r in rows] == [2026, 2025]
+    assert [r["mo"] for r in rows] == [3, 12]
+    assert [r["doy"] for r in rows] == [64, 365]
+    assert [r["h"] for r in rows] == [10, 23]
+    assert [r["q"] for r in rows] == [1, 4]
