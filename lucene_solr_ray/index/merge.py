@@ -315,6 +315,7 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
     docmeta = pa.concat_tables(docmetas)
 
     # term-aligned merge WITHOUT codec work: within-block deltas are
+    # (sorted inputs take the sorted-merge path below instead)
     # invariant under the ordinal rebase, so each term's merged posting
     # list is its input blobs concatenated with block headers patched by
     # the segment's doc base (postings_codec.concat_postings); df/ttf are
@@ -477,6 +478,12 @@ def merge_segments_sharded(
 
     seg_dirs = [os.path.join(index_dir, segment_dir_name(s)) for s in spec_ids]
     docmetas, in_metas, dels, eff_stats = _effective_inputs(seg_dirs)
+    if _shared_index_sort(in_metas) is not None:
+        # sorted inputs need the global comparator permutation; the
+        # term-sharded concat shortcut cannot preserve index_sort, so the
+        # single-task sorted path handles them (the reference's sorted
+        # merges likewise forgo bulk-merge optimizations)
+        return merge_segments(index_dir, spec_ids, new_id)
     bases: List[int] = []
     base = 0
     for dm in docmetas:
