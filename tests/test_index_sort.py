@@ -280,3 +280,42 @@ def test_sorted_merge_preserves_index_sort(ray_session, corpus_mf, tmp_path):
     pa_ = Index(plain).search(queries, k=8)
     pb_ = idx.search(queries, k=8)
     assert pa_.equals(pb_)
+
+
+def test_sorted_merge_with_deletes(ray_session, corpus_mf, tmp_path):
+    """Tombstoned sorted segments compact THEN resort on merge; results
+    equal an unsorted index with the same deletes."""
+    from lucene_solr_ray.index.deletes import delete_by_query
+    from lucene_solr_ray.index.merge import merge_until_done
+    from lucene_solr_ray.index.merge_policy import TieredMergePolicy
+    from lucene_solr_ray.search.searcher import search_by_fields
+
+    sort = [("lang", False), ("prio", True)]
+
+    def _b(out, **kw):
+        return build_index(
+            corpus_mf, out, text_col="text", id_col="doc_id",
+            stored_cols=["lang", "prio"], docs_per_segment=40, **kw
+        )
+
+    plain = str(tmp_path / "plain")
+    srt = str(tmp_path / "srt")
+    _b(plain)
+    _b(srt, index_sort=sort)
+    delete_by_query(plain, "beta")
+    delete_by_query(srt, "beta")
+    # merge BOTH: reclaiming tombstones compacts collection stats, so an
+    # unmerged control would score with different doc counts
+    merge_until_done(plain, policy=TieredMergePolicy(segs_per_tier=1.0))
+    merge_until_done(srt, policy=TieredMergePolicy(segs_per_tier=1.0))
+    idx = Index(srt)
+    for d in idx.seg_dirs:
+        with open(os.path.join(d, "segment.json")) as f:
+            meta = json.load(f)
+        if meta.get("lineage", {}).get("merged_from"):
+            assert "index_sort" in meta  # marker survived the compaction
+    queries = {0: "merge", 1: "batch"}
+    a = search_by_fields(Index(plain), queries, sort, k=9)
+    b = search_by_fields(idx, queries, sort, k=9)
+    assert a.equals(b)
+    assert Index(plain).search(queries, k=8).equals(idx.search(queries, k=8))
