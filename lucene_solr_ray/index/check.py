@@ -118,6 +118,47 @@ def check_segment(seg_dir: str) -> Dict:
             if dords[0] < 0 or dords[-1] >= n_docs:
                 errors.append("deletes: ord out of range")
 
+    # soft-deletes sidecar (round 4): sorted, in-range, disjoint from
+    # hard tombstones (a doc cannot be both — softUpdateDocument never
+    # soft-deletes an already hard-deleted doc)
+    from lucene_solr_ray.index.softdeletes import latest_soft_file
+
+    soft_file = latest_soft_file(seg_dir)
+    if soft_file is not None:
+        sords = pq.read_table(
+            os.path.join(seg_dir, soft_file)
+        ).column("ord").to_numpy()
+        if len(sords):
+            if (np.diff(sords) <= 0).any():
+                errors.append("soft-deletes: ords not strictly ascending")
+            if sords[0] < 0 or sords[-1] >= n_docs:
+                errors.append("soft-deletes: ord out of range")
+            if del_file is not None and len(dords) and np.intersect1d(
+                sords, dords
+            ).size:
+                errors.append(
+                    "soft-deletes: overlap with hard tombstones"
+                )
+
+    # index_sort marker (round 4): docmeta rows must actually be in the
+    # recorded comparator order
+    isort = meta.get("index_sort") or {}
+    sort_fields = isort.get("fields") or (
+        [{"field": isort["field"], "desc": bool(isort["desc"])}]
+        if "field" in isort else []
+    )
+    if sort_fields and all(
+        f["field"] in dm.schema.names for f in sort_fields
+    ):
+        keys = [dm.column("doc_id").to_numpy()]
+        for f in reversed(sort_fields):
+            v = dm.column(f["field"]).to_numpy(zero_copy_only=False)
+            codes = np.unique(v, return_inverse=True)[1]
+            keys.append(-codes if f["desc"] else codes)
+        perm = np.lexsort(tuple(keys))
+        if not np.array_equal(perm, np.arange(len(perm))):
+            errors.append("index_sort: docmeta not in comparator order")
+
     # numeric points (round 2): per-field values ascending, ords in range
     pts_path = os.path.join(seg_dir, "points.parquet")
     if os.path.exists(pts_path):

@@ -668,3 +668,50 @@ def test_sql_scalar_expressions(ray_session):
     # expression items require an alias
     with pytest.raises(SqlError, match="AS alias"):
         sql_query("SELECT a + b FROM t", resolver)
+
+
+def test_checkindex_soft_deletes_and_sort_marker(ray_session, tmp_path):
+    import os
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.check import check_segment
+    from lucene_solr_ray.index.softdeletes import soft_delete_by_query
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(
+                ["drop token"] * 5 + ["keep token"] * 15
+            ),
+            "prio": pa.array(list(range(20)), pa.int64()),
+        }), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                stored_cols=["prio"], index_sort=("prio", True))
+    soft_delete_by_query(out, "drop")
+    seg = os.path.join(out, sorted(
+        d for d in os.listdir(out) if d.startswith("seg_")
+    )[0])
+    r = check_segment(seg)
+    assert r["ok"], r["errors"]
+    # corrupt: out-of-range soft ord
+    pq.write_table(
+        pa.table({"ord": pa.array([3, 999], pa.int32())}),
+        os.path.join(seg, "softdel-9.parquet"),
+    )
+    r2 = check_segment(seg)
+    assert not r2["ok"]
+    assert any("soft-deletes" in e for e in r2["errors"])
+    os.remove(os.path.join(seg, "softdel-9.parquet"))
+    # corrupt: break the recorded comparator order
+    dm = pq.read_table(os.path.join(seg, "docmeta.parquet"))
+    idx0 = dm.schema.get_field_index("prio")
+    vals = dm.column("prio").to_pylist()
+    vals[0], vals[-1] = vals[-1], vals[0]
+    pq.write_table(
+        dm.set_column(idx0, "prio", pa.array(vals, pa.int64())),
+        os.path.join(seg, "docmeta.parquet"),
+    )
+    r3 = check_segment(seg)
+    assert any("comparator order" in e for e in r3["errors"])
