@@ -1375,3 +1375,49 @@ FROM w, madv, cdf
 
 QUERIES["math_tests_lineitem"] = math_tests_lineitem
 ORACLES["math_tests_lineitem"] = MATH_TESTS_SQL
+
+
+def temporal_events(sf_dir: str) -> pd.DataFrame:
+    """Temporal evaluator gate (reference ``io/eval/TemporalEvaluator*``):
+    year/month/day/hour/dayOfYear columns derived per tuple with the
+    vectorized evaluator compiler, then a distributed per-(month, hour)
+    rollup — DuckDB replays the date parts."""
+    from ray.data.aggregate import Count, Sum
+
+    from lucene_solr_ray.stages.evaluators import evaluate
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    ds = evaluate(ds, {
+        "y": "year(ts)", "mo": "month(ts)", "d": "day(ts)",
+        "h": "hour(ts)", "doy": "dayOfYear(ts)",
+    })
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        return t.append_column("v_c", cents)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["y", "mo", "h"])
+        .aggregate(Count(alias_name="n"), Sum("v_c", alias_name="sum_v_c"),
+                   Sum("doy", alias_name="sum_doy"))
+        .to_pandas()
+    )
+    for c in ("n", "sum_v_c", "sum_doy"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["y", "mo", "h"]).reset_index(drop=True)
+
+
+TEMPORAL_EVENTS_SQL = """
+SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+       CAST(EXTRACT(month FROM ts) AS BIGINT) AS mo,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_v_c,
+       CAST(SUM(EXTRACT(doy FROM ts)) AS BIGINT) AS sum_doy
+FROM events GROUP BY 1, 2, 3 ORDER BY y, mo, h
+"""
+
+QUERIES["temporal_events"] = temporal_events
+ORACLES["temporal_events"] = TEMPORAL_EVENTS_SQL

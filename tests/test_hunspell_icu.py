@@ -131,3 +131,41 @@ def test_viterbi_segmenter():
     lex2 = {"京": 1.0, "都": 1.0, "京都": 1.5}
     seg2 = ViterbiSegmenter(lex2)
     assert [w for w, _ in seg2.segment("京都")] == ["京都"]  # tie → longer
+
+
+def test_viterbi_fuzz_reconstruction():
+    """Property: concatenated tokens always reconstruct the input, char
+    starts are consistent, and total cost is <= the all-unknown cost."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    lex = {"ab": 1.0, "abc": 1.4, "bc": 1.1, "cab": 0.9, "a": 3.0,
+           "b": 3.0, "c": 3.0}
+    seg = ViterbiSegmenter(lex, unk_cost=8.0)
+    alphabet = list("abcxyz")
+    for _ in range(300):
+        n = int(rng.integers(0, 18))
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        toks = seg.segment(text)
+        assert "".join(w for w, _ in toks) == text
+        pos = 0
+        cost = 0.0
+        for w, s in toks:
+            assert s == pos
+            pos += len(w)
+            cost += lex.get(w, 8.0)
+        assert cost <= 8.0 * len(text) + 1e-9
+
+
+def test_hunspell_stem_never_invents_words():
+    """Property: every stem returned is an actual dictionary word."""
+    import numpy as np
+
+    d = HunspellDictionary(AFF, DIC)
+    rng = np.random.default_rng(43)
+    pieces = ["walk", "box", "carry", "run", "re", "un", "s", "es", "ed",
+              "ied", "d", "happy", "cat", "xyz"]
+    for _ in range(400):
+        w = "".join(rng.choice(pieces, size=rng.integers(1, 4)))
+        for s in d.stem(w):
+            assert s in d.words
