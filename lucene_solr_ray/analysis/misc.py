@@ -25,6 +25,7 @@ __all__ = [
     "LimitTokenCountFilter", "KeepWordFilter", "FingerprintFilter",
     "HyphenatedWordsFilter", "KeywordRepeatFilter", "CommonGramsFilter",
     "CodepointCountFilter", "ApostropheFilter", "NormalizationFilter",
+    "ClassicFilter", "TurkishLowerCaseFilter", "EnglishMinimalStemFilter",
     # WordDelimiterGraphFilter flag constants
     "GENERATE_WORD_PARTS", "GENERATE_NUMBER_PARTS", "CATENATE_WORDS",
     "CATENATE_NUMBERS", "CATENATE_ALL", "PRESERVE_ORIGINAL",
@@ -388,4 +389,83 @@ CustomAnalyzer._OFFSET_SAFE = CustomAnalyzer._OFFSET_SAFE + (
     DecimalDigitFilter, CapitalizationFilter, ApostropheFilter,
     CodepointCountFilter, KeepWordFilter, NormalizationFilter,
     RemoveDuplicatesTokenFilter,
+)
+
+
+class ClassicFilter(TokenFilter):
+    """``ClassicFilterFactory`` (reference ``analysis/standard/
+    ClassicFilter.java``): strips a trailing possessive ``'s`` and
+    removes the dots from acronym-shaped tokens (``I.B.M.`` -> ``IBM``).
+    The reference keys off ClassicTokenizer token TYPES; this stream
+    carries no types, so the shape tests stand in: an acronym is
+    single letters separated by dots."""
+
+    def apply(self, stream):
+        import re
+
+        acro = re.compile(r"^(?:[A-Za-z]\.)+[A-Za-z]?\.?$")
+        out = []
+        for t, p in stream:
+            if t.endswith("'s") or t.endswith("\u2019s"):
+                t = t[:-2]
+            elif acro.match(t):
+                t = t.replace(".", "")
+            if t:
+                out.append((t, p))
+        return out
+
+
+class TurkishLowerCaseFilter(TokenFilter):
+    """``TurkishLowerCaseFilterFactory`` (reference ``analysis/tr/
+    TurkishLowerCaseFilter.java``): Turkish-aware casing — dotted
+    capital I (U+0130) lowers to ``i``, dotless ``I`` lowers to
+    ``\u0131`` (dotless i), and ``I`` followed by COMBINING DOT ABOVE
+    (U+0307) lowers to ``i`` with the combining dot consumed."""
+
+    def apply(self, stream):
+        out = []
+        for t, p in stream:
+            buf = []
+            i = 0
+            while i < len(t):
+                ch = t[i]
+                if ch == "\u0130":
+                    buf.append("i")
+                elif ch == "I":
+                    if i + 1 < len(t) and t[i + 1] == "\u0307":
+                        buf.append("i")
+                        i += 1  # consume the combining dot
+                    else:
+                        buf.append("\u0131")
+                else:
+                    buf.append(ch.lower())
+                i += 1
+            out.append(("".join(buf), p))
+        return out
+
+
+class EnglishMinimalStemFilter(TokenFilter):
+    """``EnglishMinimalStemFilterFactory`` (reference ``analysis/en/
+    EnglishMinimalStemmer.java``): minimal plural-only stemming — drop a
+    final ``s`` from words of length >= 4 unless it follows ``u`` or
+    ``s`` (cats->cat, glass/focus unchanged).  Exactly the reference
+    rule, nothing more."""
+
+    def apply(self, stream):
+        out = []
+        for t, p in stream:
+            out.append((self.stem(t), p))
+        return out
+
+    @staticmethod
+    def stem(t: str) -> str:
+        if len(t) < 4 or not t.endswith("s"):
+            return t
+        if t[-2] in ("u", "s"):
+            return t
+        return t[:-1]
+
+
+CustomAnalyzer._OFFSET_SAFE = CustomAnalyzer._OFFSET_SAFE + (
+    TurkishLowerCaseFilter,
 )

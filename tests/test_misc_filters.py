@@ -159,3 +159,30 @@ def test_offset_safe_registration():
     t, pos, starts, ends, n = a.analyze_with_offsets("häuser ١٢٣")
     assert t == ["haus", "123"]
     assert starts == [0, 7]
+
+
+def test_classic_turkish_minimal_stem():
+    from lucene_solr_ray.analysis.misc import (
+        ClassicFilter,
+        EnglishMinimalStemFilter,
+        TurkishLowerCaseFilter,
+    )
+
+    cf = ClassicFilter()
+    assert cf.apply([("Bill's", 0), ("I.B.M.", 1), ("U.S.A", 2),
+                     ("dot.com", 3)]) == \
+        [("Bill", 0), ("IBM", 1), ("USA", 2), ("dot.com", 3)]
+    tf = TurkishLowerCaseFilter()
+    out = tf.apply([("İstanbul", 0), ("DIYARBAKIR", 1),
+                    ("İstanbul", 2)])
+    assert out == [("istanbul", 0), ("dıyarbakır", 1),
+                   ("istanbul", 2)]
+    st = EnglishMinimalStemFilter.stem
+    # EnglishMinimalStemmer.java exact rule
+    assert st("cats") == "cat"
+    assert st("ponies") == "ponie"
+    assert st("glass") == "glass"
+    assert st("focus") == "focus"
+    assert st("ties") == "tie"
+    assert st("is") == "is"
+    assert st("abs") == "abs"
