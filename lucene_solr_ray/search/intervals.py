@@ -330,9 +330,23 @@ def _not_containing(minuend: List[Interval],
 
 
 class IntervalsSource:
-    """Base: ``leaves()`` = the source's terms; ``eval(pos)`` = interval
-    list for one doc given {term: sorted positions}; ``requires()`` =
-    terms a matching doc MUST contain (candidate pruning)."""
+    """Base: ``leaves()`` = the source's SCORING terms; ``eval(pos)`` =
+    interval list for one doc given {term: sorted positions};
+    ``requires()`` = terms a matching doc MUST contain (candidate
+    pruning); ``position_terms()`` = every term whose positions eval
+    needs — a superset of leaves() for subtractive sources, whose
+    subtrahend filters matches without contributing to scoring (the
+    reference's DifferenceIntervalsSource scores minuend terms only but
+    still reads the subtrahend's positions)."""
+
+    def position_terms(self) -> List[str]:
+        return self.leaves()
+
+    def min_positions(self) -> int:
+        """Minimum number of token positions a match occupies — the gap
+        count's denominator (exact for term/phrase constituents; OR takes
+        the minimum, matching the reference's width lower bound)."""
+        return 1
 
     def leaves(self) -> List[str]:
         raise NotImplementedError
@@ -369,6 +383,14 @@ class _Combi(IntervalsSource):
     def leaves(self):
         return [t for s in self.subs for t in s.leaves()]
 
+    def position_terms(self):
+        return [t for s in self.subs for t in s.position_terms()]
+
+    def min_positions(self):
+        if self.kind == "or":
+            return min(s.min_positions() for s in self.subs)
+        return sum(s.min_positions() for s in self.subs)
+
     def requires(self):
         if self.kind == "or":
             # any alternative suffices
@@ -402,6 +424,15 @@ class _Filtered(IntervalsSource):
             out += self.b.leaves()
         return out
 
+    def position_terms(self):
+        out = list(self.a.position_terms())
+        if self.b is not None:
+            out += self.b.position_terms()
+        return out
+
+    def min_positions(self):
+        return self.a.min_positions()
+
     def requires(self):
         req = list(self.a.requires())
         if self.b is not None and self.kind in ("containing", "contained_by"):
@@ -413,6 +444,11 @@ class _Filtered(IntervalsSource):
         if self.kind == "maxwidth":
             return [
                 (s, e) for s, e in ia if (e - s) + 1 <= self.arg
+            ]
+        if self.kind == "maxgaps":
+            w = self.a.min_positions()
+            return [
+                (s, e) for s, e in ia if (e - s + 1) - w <= self.arg
             ]
         ib = self.b.eval(pos)
         if self.kind == "containing":
@@ -432,6 +468,17 @@ class _Filtered(IntervalsSource):
             return _non_overlapping(ia, widened)
         if self.kind == "not_containing":
             return _not_containing(ia, ib)
+        if self.kind == "before":
+            # intervals of a ending before the start of SOME b interval
+            if not ib:
+                return []
+            last_ok = max(s for s, _ in ib) - 1
+            return [(s, e) for s, e in ia if e <= last_ok]
+        if self.kind == "after":
+            if not ib:
+                return []
+            first_ok = min(e for _, e in ib) + 1
+            return [(s, e) for s, e in ia if s >= first_ok]
         raise ValueError(self.kind)
 
 
@@ -488,6 +535,25 @@ class Intervals:
     def not_containing(minuend, subtrahend) -> IntervalsSource:
         return _Filtered(Intervals._coerce(minuend),
                          Intervals._coerce(subtrahend), "not_containing")
+
+    @staticmethod
+    def before(source, reference) -> IntervalsSource:
+        """Intervals of ``source`` that end before the start of some
+        interval of ``reference`` (Intervals.before)."""
+        return _Filtered(Intervals._coerce(source),
+                         Intervals._coerce(reference), "before")
+
+    @staticmethod
+    def after(source, reference) -> IntervalsSource:
+        return _Filtered(Intervals._coerce(source),
+                         Intervals._coerce(reference), "after")
+
+    @staticmethod
+    def maxgaps(gaps: int, sub) -> IntervalsSource:
+        """Intervals with at most ``gaps`` interleaved non-matching
+        positions (Intervals.maxgaps); the width baseline is the
+        constituent minimum, exact for term/phrase subs."""
+        return _Filtered(Intervals._coerce(sub), None, "maxgaps", gaps)
 
     @staticmethod
     def _coerce(s) -> IntervalsSource:

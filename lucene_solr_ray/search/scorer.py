@@ -231,7 +231,9 @@ class _Eval:
 
         leaf_terms = list(dict.fromkeys(q.source.leaves()))
         readers = {}
-        for t in leaf_terms:
+        # positions load for position_terms(): subtractive sources need
+        # the subtrahend's positions even though it never scores
+        for t in dict.fromkeys(q.source.position_terms()):
             pr = self.reader.positions(field_term(q.field, t))
             if pr is not None:
                 readers[t] = pr

@@ -202,3 +202,61 @@ def test_interval_query_end_to_end(ray_session, tmp_path):
     assert sorted(res.column("doc_id").to_pylist()) == [1, 2, 4]
     # freq = 1/3 + 1/12 for docs 1,4; doc2 = 1/3 + 1/16... scores > 0
     assert all(s > 0 for s in res.column("score").to_pylist())
+
+
+def test_subtractive_sources_load_subtrahend_positions(ray_session, tmp_path):
+    """Regression: not_containing / non_overlapping / not_within must read
+    the subtrahend's positions in the FULL query path (leaves() excludes
+    them from scoring, position_terms() must not)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.query import IntervalQuery
+    from lucene_solr_ray.search.searcher import Index
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma", "alpha gamma", "beta alpha gamma",
+        ]),
+    }), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id")
+    idx = Index(out)
+
+    def docs(src):
+        t = idx.search_parsed([(0, IntervalQuery(src), 10)])
+        return sorted(t.column("doc_id").to_pylist())
+
+    assert docs(Intervals.not_containing(
+        Intervals.ordered("alpha", "gamma"), Intervals.term("beta")
+    )) == [1, 2]
+    assert docs(Intervals.non_overlapping(
+        Intervals.term("alpha"), Intervals.phrase("alpha", "beta")
+    )) == [1, 2]
+    assert docs(Intervals.not_within(
+        Intervals.term("gamma"), 1, Intervals.term("beta")
+    )) == [1, 2]
+
+
+def test_before_after_maxgaps():
+    pos = {
+        "a": [0, 10], "b": [5], "c": [2, 12],
+    }
+    # before: a-intervals ending before some b start
+    src = Intervals.before(Intervals.term("a"), Intervals.term("b"))
+    assert src.eval(pos) == [(0, 0)]
+    src2 = Intervals.after(Intervals.term("a"), Intervals.term("b"))
+    assert src2.eval(pos) == [(10, 10)]
+    # maxgaps over ordered(a, c): candidates (0,2) gap 1, (10,12) gap 1
+    ordered = Intervals.ordered("a", "c")
+    assert Intervals.maxgaps(0, ordered).eval(pos) == []
+    assert Intervals.maxgaps(1, ordered).eval(pos) == [(0, 2), (10, 12)]
+    # min_positions: or takes min, combis sum
+    assert Intervals.ordered(
+        "a", Intervals.or_("b", Intervals.phrase("b", "c"))
+    ).min_positions() == 2
