@@ -382,7 +382,7 @@ class _Eval:
             return _EMPTY_I, _EMPTY_F
         ords = np.asarray(out_ords, dtype=np.int32)
         freqs = np.asarray(out_freqs, dtype=np.float64)
-        keys = q.terms()
+        keys = _span_scoring_terms(q)
         fld = _span_field(q)
         dt = self.sim.out_dtype
         doc_count, sttf = self.stats.collection_for(fld)
@@ -877,6 +877,20 @@ def topk_segment(
     dids = reader.doc_ids[ords]
     order = np.lexsort((dids, -scores.astype(np.float64)))[:k]
     return ords[order], scores[order]
+
+
+def _span_scoring_terms(q) -> List[str]:
+    """Terms contributing idf to a span score: SpanNot scores with the
+    INCLUDE side only (reference ``SpanNotWeight.extractTermStates``
+    delegates to includeWeight — the absent exclude side must not move
+    scores); every other node scores all its leaves."""
+    if isinstance(q, SpanNotQuery):
+        return _span_scoring_terms(q.include)
+    if isinstance(q, SpanFirstQuery):
+        return _span_scoring_terms(q.match)
+    if isinstance(q, SpanOrQuery):
+        return [t for c in q.clauses for t in _span_scoring_terms(c)]
+    return q.terms()
 
 
 def _span_field(q) -> Optional[str]:

@@ -209,3 +209,34 @@ def test_span_nested_first_of_near(span_family_index):
         and toks[1] == "beta",
     )
     assert sorted(hits.doc_id) == want
+
+
+def test_span_not_scores_include_side_only(ray_session, tmp_path):
+    """SpanNot idf comes from the include side alone: a doc's score for
+    spanNot(include, exclude) where no exclude span overlaps equals the
+    plain include query's score (SpanNotWeight.extractTermStates)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.query import SpanNearQuery, SpanNotQuery, SpanTermQuery
+    from lucene_solr_ray.search.searcher import Index
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha beta here", "alpha beta excl"]),
+    }), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id")
+    idx = Index(out)
+    inc = SpanNearQuery(("alpha", "beta"), slop=0, in_order=True)
+    notq = SpanNotQuery(inc, SpanTermQuery("excl"))
+    a = idx.search_parsed([(0, notq, 10)])
+    b = idx.search_parsed([(0, inc, 10)])
+    # doc 0 has no excl at all; its score must equal the plain include
+    sa = {d: s for d, s in zip(a.column("doc_id").to_pylist(),
+                               a.column("score").to_pylist())}
+    sb = {d: s for d, s in zip(b.column("doc_id").to_pylist(),
+                               b.column("score").to_pylist())}
+    assert 0 in sa and sa[0] == sb[0]
