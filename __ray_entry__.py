@@ -37,7 +37,7 @@ _PRIORITY: list[str] = [
     "suggest_fuzzy", "suggest_analyzing", "indexsort_multi_topk",
     "unified_highlight_docs", "soft_delete_then_search",
     "math_tests_lineitem", "ngram_jaccard_docs", "sql_expr_lineitem",
-    "temporal_events",
+    "temporal_events", "stream_expr_rollup",
     # -- round-4-changed paths (re-verify after the rework) ---------------
     "sql_orders", "span_near_docs", "free_text_suggest_merge",
     "suggest_infix_er", "suggest_prefix_s", "innerjoin_revenue",

@@ -116,6 +116,19 @@ def main(argv=None) -> int:
                     help="directory containing <name>.parquet tables")
     sq.add_argument("--query", required=True)
 
+    se = sub.add_parser(
+        "stream",
+        help="run a streaming expression (the /stream handler surface): "
+             "rollup(search(orders, q=\"...\", fl=\"...\"), over=..., ...)",
+    )
+    se.add_argument("--tables", required=True,
+                    help="directory containing <name>.parquet tables")
+    se.add_argument("--index", action="append", default=[],
+                    metavar="NAME=DIR",
+                    help="full-text index binding for search(NAME, ...)")
+    se.add_argument("--expr", required=True)
+    se.add_argument("--limit", type=int, default=20)
+
     tp = sub.add_parser("topic", help="pull one checkpointed micro-batch")
     tp.add_argument("--index", required=True)
     tp.add_argument("--query", required=True)
@@ -203,6 +216,32 @@ def main(argv=None) -> int:
             ),
         )
         print(out.to_string(index=False))
+    elif args.cmd == "stream":
+        import os as _os
+
+        import ray.data
+
+        from lucene_solr_ray.search.searcher import Index
+        from lucene_solr_ray.stages.streamexpr import StreamFactory
+
+        indexes = {}
+        for spec in args.index:
+            name, d = spec.split("=", 1)
+            indexes[name] = Index(d)
+        f = StreamFactory(
+            tables=lambda name: ray.data.read_parquet(
+                _os.path.join(args.tables, f"{name}.parquet")
+            ),
+            indexes=indexes,
+        )
+        out = f.run(args.expr)
+        if hasattr(out, "to_pandas"):
+            out = (out.limit(args.limit).to_pandas()
+                   if hasattr(out, "limit") else out.to_pandas())
+        if hasattr(out, "to_string"):
+            print(out.to_string(index=False))
+        else:
+            print(json.dumps(out, default=str))
     elif args.cmd == "topic":
         from lucene_solr_ray.stages.streaming import TopicStream
 

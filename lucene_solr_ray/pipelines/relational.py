@@ -1421,3 +1421,39 @@ FROM events GROUP BY 1, 2, 3 ORDER BY y, mo, h
 
 QUERIES["temporal_events"] = temporal_events
 ORACLES["temporal_events"] = TEMPORAL_EVENTS_SQL
+
+
+def stream_expr_rollup(sf_dir: str) -> pd.DataFrame:
+    """Streaming-expression STRING gate (reference ``StreamFactory`` +
+    ``StreamExpressionParser``, ``solr/solrj/.../io/stream/expr/``): the
+    textual API parses and compiles onto the same stages the programmatic
+    gates use — having(rollup(search(...)))."""
+    from lucene_solr_ray.stages.streamexpr import StreamFactory
+
+    f = StreamFactory(tables=lambda name: _read(sf_dir, name))
+    out = f.run(
+        'having('
+        'rollup('
+        'search(lineitem, q="l_quantity > 10", '
+        'fl="l_returnflag,l_quantity,l_extendedprice"), '
+        'over="l_returnflag", count(*) as n, sum(l_quantity) as sq, '
+        'min(l_extendedprice) as mn), '
+        'gt(n, 5))'
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["sq"] = out["sq"].round(4)
+    out["mn"] = out["mn"].round(4)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+STREAM_EXPR_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 4) AS sq,
+       ROUND(MIN(l_extendedprice), 4) AS mn
+FROM lineitem WHERE l_quantity > 10
+GROUP BY l_returnflag HAVING COUNT(*) > 5
+ORDER BY l_returnflag
+"""
+
+QUERIES["stream_expr_rollup"] = stream_expr_rollup
+ORACLES["stream_expr_rollup"] = STREAM_EXPR_SQL

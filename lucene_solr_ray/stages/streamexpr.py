@@ -1,0 +1,423 @@
+"""Streaming-expression string parser + StreamFactory.
+
+The reference's primary streaming API is TEXTUAL: the ``/stream``
+handler parses expressions like::
+
+    rollup(search(orders, q="o_totalprice > 100", fl="o_orderpriority"),
+           over="o_orderpriority", count(*), sum(o_totalprice))
+
+through ``StreamFactory`` (``solr/solrj/src/java/org/apache/solr/client/
+solrj/io/stream/expr/StreamFactory.java`` + ``StreamExpressionParser``)
+into a decorator tree of TupleStreams.  This module is that surface over
+the Ray-Data stages: :func:`parse_expr` produces the expression tree and
+:class:`StreamFactory` compiles it onto ``stages/relational.py`` /
+``stages/evaluators.py`` / ``stages/matheval.py``.
+
+Divergence, documented: ``search(...)``'s ``q`` over a TABLE resolver is
+the SQL-predicate subset (the ParallelSQL `WHERE` shape) rather than a
+Lucene query string — full-text search expressions route through an
+INDEX resolver (``indexes={name: Index}``) where ``q`` is the classic
+query-parser string, scored BM25 like the reference's ``search``
+decorator over a collection.
+
+Supported decorators: search select rollup stats having top sort unique
+merge innerJoin hashJoin leftOuterJoin intersect complement facet
+cartesianProduct random let — plus the per-tuple evaluator names inside
+``select``/``having`` and metric names (count/sum/min/max/avg) inside
+``rollup``/``stats``/``facet``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional, Tuple
+
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["parse_expr", "StreamFactory", "StreamExprError"]
+
+
+class StreamExprError(ValueError):
+    pass
+
+
+# -- parser (StreamExpressionParser role) ------------------------------------
+
+_WORD = re.compile(r"[^\s(),=\"']+")
+
+
+class _Node:
+    """name(positional..., key=value...); values are str | _Node."""
+
+    __slots__ = ("name", "args", "params")
+
+    def __init__(self, name: str):
+        self.name = name
+        self.args: List = []
+        self.params: Dict[str, object] = {}
+
+    def __repr__(self):  # pragma: no cover
+        return f"{self.name}({self.args}, {self.params})"
+
+
+def _lex(s: str, i: int) -> Tuple[str, int]:
+    while i < len(s) and s[i].isspace():
+        i += 1
+    if i >= len(s):
+        return "", i
+    ch = s[i]
+    if ch in "(),=":
+        return ch, i + 1
+    if ch in "\"'":
+        j = i + 1
+        out = []
+        while j < len(s) and s[j] != ch:
+            out.append(s[j])
+            j += 1
+        if j >= len(s):
+            raise StreamExprError(f"unterminated string at {i}")
+        return "\x00" + "".join(out), j + 1  # \x00 marks a quoted literal
+    m = _WORD.match(s, i)
+    if not m:
+        raise StreamExprError(f"cannot lex at {s[i:i+20]!r}")
+    return m.group(0), m.end()
+
+
+def _parse(s: str, i: int) -> Tuple[object, int]:
+    tok, i = _lex(s, i)
+    if tok.startswith("\x00"):
+        return tok[1:], i
+    save = i
+    nxt, j = _lex(s, i)
+    if nxt == "(":
+        node = _Node(tok)
+        # parse args until ')'
+        tok2, k = _lex(s, j)
+        if tok2 == ")":
+            return node, k
+        i = j
+        while True:
+            val, i = _parse(s, i)
+            # named param? value must be a bare word followed by '='
+            nxt2, j2 = _lex(s, i)
+            if nxt2 == "=" and isinstance(val, str):
+                pv, i = _parse(s, j2)
+                node.params[val] = pv
+            else:
+                # juxtaposed alias: `add(a, b) as c` / `fieldA as x`
+                if nxt2 == "as":
+                    alias, i = _lex(s, j2)
+                    if isinstance(val, _Node):
+                        val.params["as"] = alias
+                    else:
+                        val = f"{val} as {alias}"
+                node.args.append(val)
+            nxt3, i = _lex(s, i)
+            if nxt3 == ",":
+                continue
+            if nxt3 == ")":
+                return node, i
+            raise StreamExprError(f"expected , or ) near offset {i}")
+    return tok, save
+
+
+def parse_expr(s: str):
+    node, i = _parse(s, 0)
+    tail, _ = _lex(s, i)
+    if tail:
+        raise StreamExprError(f"trailing input: {tail!r}")
+    return node
+
+
+# -- factory ------------------------------------------------------------------
+
+_METRICS = {"count", "sum", "min", "max", "avg"}
+
+
+def _metric_spec(node: "_Node") -> Tuple[str, Optional[str], str]:
+    fn = node.name
+    col = node.args[0] if node.args else None
+    if col == "*":
+        col = None
+    alias = node.params.get("as") or (f"{fn}({col})" if col else "count(*)")
+    return (fn, col, alias)
+
+
+def _split_list(v: str) -> List[str]:
+    return [p.strip() for p in str(v).split(",") if p.strip()]
+
+
+def _sort_keys(spec: str) -> Tuple[List[str], List[bool]]:
+    keys, desc = [], []
+    for part in _split_list(spec):
+        bits = part.split()
+        keys.append(bits[0])
+        desc.append(len(bits) > 1 and bits[1].lower() == "desc")
+    return keys, desc
+
+
+class StreamFactory:
+    """Compile parsed expressions onto the Ray-Data stages.
+
+    ``tables(name)`` returns the backing Dataset for ``search`` over a
+    table; ``indexes`` maps names to :class:`Index` objects for BM25
+    full-text ``search``.
+    """
+
+    def __init__(self, tables: Optional[Callable[[str], object]] = None,
+                 indexes: Optional[Dict[str, object]] = None):
+        self.tables = tables
+        self.indexes = dict(indexes or {})
+
+    def run(self, expr: str | _Node):
+        node = parse_expr(expr) if isinstance(expr, str) else expr
+        return self._build(node)
+
+    # -- dispatch -----------------------------------------------------------
+
+    def _build(self, node):
+        if not isinstance(node, _Node):
+            raise StreamExprError(f"expected a stream, got {node!r}")
+        fn = getattr(self, f"_s_{node.name}", None)
+        if fn is None:
+            raise StreamExprError(f"unknown stream decorator {node.name!r}")
+        return fn(node)
+
+    # -- sources ------------------------------------------------------------
+
+    def _s_search(self, node):
+        from lucene_solr_ray.stages.sql import (
+            _filter_ds,
+            _lex as _sql_lex,
+            _Parser as _SqlParser,
+        )
+
+        name = node.args[0]
+        if name in self.indexes:
+            import ray.data
+
+            idx = self.indexes[name]
+            q = node.params.get("q", "*:*")
+            k = int(node.params.get("rows", 10))
+            return ray.data.from_arrow(idx.search({0: str(q)}, k=k))
+        if self.tables is None:
+            raise StreamExprError(f"no table resolver for {name!r}")
+        ds = self.tables(name)
+        fl = node.params.get("fl")
+        if fl:
+            ds = ds.select_columns(_split_list(fl))
+        q = node.params.get("q")
+        if q and str(q) != "*:*":
+            pred = _SqlParser(_sql_lex(str(q))).pred()
+            ds = _filter_ds(ds, pred)
+        srt = node.params.get("sort")
+        if srt:
+            keys, desc = _sort_keys(srt)
+            ds = ds.sort(keys, descending=desc)
+        return ds
+
+    # -- decorators ----------------------------------------------------------
+
+    def _s_select(self, node):
+        from lucene_solr_ray.stages.evaluators import evaluate
+        from lucene_solr_ray.stages.relational import select
+
+        ds = self._build(node.args[0])
+        cols, rename, exprs = [], {}, {}
+        for item in node.args[1:]:
+            if isinstance(item, _Node):
+                # evaluator call with `as` param: select(..., add(a,b) as c)
+                alias = item.params.pop("as", None)
+                if alias is None:
+                    raise StreamExprError(
+                        "select evaluator items need `as`"
+                    )
+                exprs[alias] = _node_to_eval_expr(item)
+                cols.append(alias)
+                continue
+            m = re.match(r"^(\S+)\s+as\s+(\S+)$", str(item))
+            if m:
+                rename[m.group(1)] = m.group(2)
+                cols.append(m.group(2))
+            else:
+                cols.append(str(item))
+        if exprs:
+            ds = evaluate(ds, exprs)
+        if rename:
+            ds = select(ds, rename=rename)
+        return select(ds, columns=cols)
+
+    def _s_rollup(self, node):
+        from lucene_solr_ray.stages.relational import rollup
+
+        ds = self._build(node.args[0])
+        over = _split_list(node.params["over"])
+        spec = [_metric_spec(a) for a in node.args[1:]]
+        return rollup(ds, over, spec)
+
+    def _s_stats(self, node):
+        from lucene_solr_ray.stages.relational import stats
+
+        ds = self._build(node.args[0])
+        spec = [_metric_spec(a) for a in node.args[1:]]
+        row = stats(ds, spec)
+        return pd.DataFrame([row])
+
+    def _s_having(self, node):
+        from lucene_solr_ray.stages.evaluators import compile_expr
+        from lucene_solr_ray.stages.relational import having
+
+        ds = self._build(node.args[0])
+        fn = compile_expr(_node_to_eval_expr(node.args[1]))
+
+        def pred(t: pa.Table):
+            import numpy as np
+
+            return pa.array(np.asarray(fn(t)).astype(bool))
+
+        return having(ds, pred)
+
+    def _s_top(self, node):
+        ds = self._build(node.args[0])
+        keys, desc = _sort_keys(node.params["sort"])
+        n = int(node.params.get("n", 10))
+        return ds.sort(keys, descending=desc).limit(n)
+
+    def _s_sort(self, node):
+        ds = self._build(node.args[0])
+        keys, desc = _sort_keys(node.params["by"])
+        return ds.sort(keys, descending=desc)
+
+    def _s_unique(self, node):
+        from lucene_solr_ray.stages.relational import unique_stream
+
+        return unique_stream(self._build(node.args[0]),
+                             _split_list(node.params["over"]))
+
+    def _s_merge(self, node):
+        from lucene_solr_ray.stages.relational import merge_stream
+
+        out = self._build(node.args[0])
+        for sub in node.args[1:]:
+            out = merge_stream(out, self._build(sub))
+        on = node.params.get("on")
+        if on:
+            keys, desc = _sort_keys(on)
+            out = out.sort(keys, descending=desc)
+        return out
+
+    def _join_keys(self, node) -> Tuple[str, str]:
+        on = str(node.params["on"])
+        if "=" in on:
+            lk, rk = on.split("=", 1)
+            return lk.strip(), rk.strip()
+        return on.strip(), on.strip()
+
+    def _s_innerJoin(self, node):
+        from lucene_solr_ray.stages.relational import inner_join
+
+        lk, rk = self._join_keys(node)
+        return inner_join(self._build(node.args[0]),
+                          self._build(node.args[1]),
+                          on=lk, right_on=rk if rk != lk else None)
+
+    def _s_hashJoin(self, node):
+        from lucene_solr_ray.stages.relational import hash_join
+
+        lk, rk = self._join_keys(node)
+        hashed = node.params.get("hashed", node.args[1]
+                                 if len(node.args) > 1 else None)
+        small = self._build(hashed).to_pandas()
+        return hash_join(self._build(node.args[0]), small, on=[lk],
+                         right_on=[rk])
+
+    def _s_leftOuterJoin(self, node):
+        from lucene_solr_ray.stages.relational import inner_join
+
+        lk, rk = self._join_keys(node)
+        return inner_join(self._build(node.args[0]),
+                          self._build(node.args[1]),
+                          on=lk, right_on=rk if rk != lk else None,
+                          how="left_outer")
+
+    def _s_intersect(self, node):
+        from lucene_solr_ray.stages.relational import (
+            intersect_stream,
+            select,
+        )
+
+        lk, rk = self._join_keys(node)
+        b = self._build(node.args[1])
+        if rk != lk:
+            b = select(b, rename={rk: lk})
+        return intersect_stream(self._build(node.args[0]), b, on=lk)
+
+    def _s_complement(self, node):
+        from lucene_solr_ray.stages.relational import (
+            complement_stream,
+            select,
+        )
+
+        lk, rk = self._join_keys(node)
+        b = self._build(node.args[1])
+        if rk != lk:
+            b = select(b, rename={rk: lk})
+        return complement_stream(self._build(node.args[0]), b, on=lk)
+
+    def _s_facet(self, node):
+        from lucene_solr_ray.stages.relational import facet_stream
+
+        ds = self._build(node.args[0]) if isinstance(node.args[0], _Node) \
+            else self.tables(node.args[0])
+        limit = node.params.get("bucketSizeLimit")
+        return facet_stream(ds, str(node.params["buckets"]),
+                            limit=int(limit) if limit else None)
+
+    def _s_cartesianProduct(self, node):
+        from lucene_solr_ray.stages.relational import cartesian_product
+
+        fld = str(node.args[1])
+        out_col = str(node.params.get("as", fld + "_value"))
+        return cartesian_product(self._build(node.args[0]), fld, out_col)
+
+    def _s_random(self, node):
+        name = node.args[0]
+        ds = self.tables(name)
+        rows = int(node.params.get("rows", 10))
+        seed = int(node.params.get("seed", 42))
+        return ds.random_shuffle(seed=seed).limit(rows)
+
+    def _s_let(self, node):
+        """let(a=stream|mathExpr, ..., expr): stream bindings materialize
+        as pandas (the reference's let() is explicitly in-memory), math
+        bindings and the trailing expression run through the math world."""
+        from lucene_solr_ray.stages.matheval import let_eval, math_eval
+
+        env: Dict[str, object] = {}
+        for k, v in node.params.items():
+            if isinstance(v, _Node) and hasattr(self, f"_s_{v.name}"):
+                built = self.run(v)  # stream binding → in-memory frame
+                env[k] = built.to_pandas() if hasattr(built, "to_pandas") \
+                    else built
+            else:
+                env[k] = math_eval(_node_to_eval_expr(v), env) \
+                    if isinstance(v, _Node) else math_eval(str(v), env)
+        if node.args:
+            last = node.args[-1]
+            return math_eval(
+                _node_to_eval_expr(last) if isinstance(last, _Node)
+                else str(last),
+                env,
+            )
+        return env
+
+
+def _node_to_eval_expr(v) -> str:
+    """Render a parsed evaluator subtree back to the evaluator-compiler
+    string form (`gt(n, 5)` etc.)."""
+    if not isinstance(v, _Node):
+        return str(v)
+    parts = [_node_to_eval_expr(a) for a in v.args]
+    parts += [f"{k}={_node_to_eval_expr(x)}" for k, x in v.params.items()]
+    return f"{v.name}({', '.join(parts)})"

@@ -1,0 +1,131 @@
+"""Streaming-expression parser + StreamFactory (reference
+``StreamExpressionParser.java`` / ``StreamFactory.java``)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.stages.streamexpr import (
+    StreamExprError,
+    StreamFactory,
+    parse_expr,
+)
+
+
+def test_parser_shapes():
+    n = parse_expr('rollup(search(orders, q="a > 1", fl="x,y"), '
+                   'over="x", count(*), sum(y) as s)')
+    assert n.name == "rollup"
+    assert n.params["over"] == "x"
+    inner = n.args[0]
+    assert inner.name == "search" and inner.args == ["orders"]
+    assert inner.params == {"q": "a > 1", "fl": "x,y"}
+    metrics = n.args[1:]
+    assert [m.name for m in metrics] == ["count", "sum"]
+    assert metrics[0].args == ["*"]
+    assert metrics[1].params["as"] == "s"
+    # juxtaposed field alias
+    s = parse_expr("select(x(), fieldA as b, add(c, 1) as d)")
+    assert s.args[1] == "fieldA as b"
+    assert s.args[2].params["as"] == "d"
+    # quoted strings keep commas/parens
+    q = parse_expr('search(t, q="a = \'x,y (z)\'")')
+    assert q.params["q"] == "a = 'x,y (z)'"
+    with pytest.raises(StreamExprError):
+        parse_expr("rollup(search(t)")
+    with pytest.raises(StreamExprError):
+        parse_expr("rollup(a) trailing")
+
+
+@pytest.fixture()
+def factory(ray_session):
+    import ray.data
+
+    orders = pd.DataFrame({
+        "k": np.arange(40, dtype=np.int64),
+        "pri": [f"p{i % 4}" for i in range(40)],
+        "price": (np.arange(40, dtype=np.float64) * 13) % 97,
+    })
+    items = pd.DataFrame({
+        "fk": np.arange(40, dtype=np.int64) % 10,
+        "qty": np.arange(40, dtype=np.int64),
+        "words": ["alpha beta"] * 40,
+    })
+    tabs = {"orders": orders, "items": items}
+    return (
+        StreamFactory(tables=lambda n: ray.data.from_pandas(tabs[n])),
+        orders,
+        items,
+    )
+
+
+def test_pipeline_decorators(factory):
+    f, orders, items = factory
+    out = f.run('having(rollup(search(orders, q="price > 10", '
+                'fl="pri,price"), over="pri", count(*) as n, '
+                'avg(price) as ap), gte(n, 1))').to_pandas()
+    want = (
+        orders[orders.price > 10].groupby("pri")
+        .agg(n=("pri", "size"), ap=("price", "mean")).reset_index()
+    )
+    got = out.sort_values("pri").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["pri", "ap"]], want[["pri", "ap"]], check_dtype=False
+    )
+    top = f.run('top(search(orders, fl="k,price"), sort="price desc, k asc",'
+                ' n=3)').to_pandas()
+    wt = orders.sort_values(["price", "k"], ascending=[False, True]).head(3)
+    assert top["k"].tolist() == wt["k"].tolist()
+    sel = f.run('select(search(orders, fl="k,price"), k as id, '
+                'mult(price, 2) as dbl)').to_pandas()
+    assert sorted(sel.columns) == ["dbl", "id"]
+    np.testing.assert_allclose(
+        sel.sort_values("id")["dbl"].to_numpy(),
+        orders.sort_values("k")["price"].to_numpy() * 2,
+    )
+    uniq = f.run('unique(search(orders, fl="pri"), over="pri")').to_pandas()
+    assert sorted(uniq["pri"]) == ["p0", "p1", "p2", "p3"]
+    joined = f.run('innerJoin(search(items, fl="fk,qty"), '
+                   'search(orders, fl="k,pri"), on="fk=k")').to_pandas()
+    assert len(joined) == len(items)
+    stats = f.run('stats(search(items, fl="qty"), sum(qty), count(*))')
+    assert stats.iloc[0]["sum(qty)"] == items.qty.sum()
+    cart = f.run('cartesianProduct(search(items, fl="words"), words, '
+                 'as="w")').to_pandas()
+    assert set(cart["w"]) == {"alpha", "beta"}
+    # let: stream → math world
+    mean_qty = f.run('let(a=search(items, fl="qty"), v=col(a, qty), '
+                     'mean(v))')
+    assert float(mean_qty) == float(items.qty.mean())
+
+
+def test_intersect_complement_merge(factory):
+    f, orders, items = factory
+    inter = f.run('intersect(search(orders, fl="k"), '
+                  'search(items, fl="fk"), on="k=fk")').to_pandas()
+    assert sorted(inter["k"].unique()) == list(range(10))
+    comp = f.run('complement(search(orders, fl="k"), '
+                 'search(items, fl="fk"), on="k=fk")').to_pandas()
+    assert sorted(comp["k"]) == list(range(10, 40))
+    merged = f.run('merge(search(orders, fl="k"), search(orders, fl="k"), '
+                   'on="k asc")').to_pandas()
+    assert len(merged) == 80 and merged["k"].is_monotonic_increasing
+
+
+def test_fulltext_search_decorator(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Index
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(["alpha beta"] * 4 + ["gamma delta"] * 4),
+    }), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id")
+    f = StreamFactory(indexes={"docs": Index(out)})
+    hits = f.run('search(docs, q="alpha", rows=10)').to_pandas()
+    assert sorted(hits["doc_id"]) == [0, 1, 2, 3]
