@@ -79,7 +79,8 @@ def fetch_stream(
         keys = t.column(stream_key).to_pylist()
         dataset = pads.dataset(corpus_path, format="parquet")
         side = dataset.to_table(
-            columns=[key, *cols], filter=pc.field(key).isin(keys)
+            columns=list(dict.fromkeys([key, *cols])),
+            filter=pc.field(key).isin(keys),
         )
         return t.join(side, keys=stream_key, right_keys=key,
                       join_type="left outer")

@@ -388,6 +388,68 @@ class StreamFactory:
         seed = int(node.params.get("seed", 42))
         return ds.random_shuffle(seed=seed).limit(rows)
 
+    def _s_parallel(self, node):
+        """parallel(workers=N, stream, ...): pass-through — EVERY stage
+        here already executes distributed (the reference uses parallel()
+        to push a serial stream onto worker shards; Ray Data's streaming
+        executor is that by construction)."""
+        inner = next(a for a in node.args if isinstance(a, _Node))
+        return self._build(inner)
+
+    def _s_timeseries(self, node):
+        from lucene_solr_ray.stages.relational import time_series
+
+        ds = self._build(node.args[0]) if isinstance(node.args[0], _Node) \
+            else self.tables(node.args[0])
+        spec = [_metric_spec(a) for a in node.args[1:]]
+        return time_series(ds, str(node.params["field"]),
+                           str(node.params.get("gap", "day")), spec)
+
+    def _s_fetch(self, node):
+        """fetch(table, stream, on="streamKey=tableKey", fl="...")."""
+        from lucene_solr_ray.search.fetch import fetch_stream
+
+        table_name = node.args[0]
+        ds = self._build(node.args[1])
+        on = str(node.params["on"])
+        if "=" in on:
+            sk, tk = (p.strip() for p in on.split("=", 1))
+        else:
+            sk = tk = on.strip()
+        cols = _split_list(node.params["fl"])
+        path = node.params.get("path")
+        if path is None:
+            raise StreamExprError(
+                "fetch() needs path=<parquet path> for the side table"
+            )
+        return fetch_stream(ds, str(path), tk, cols, stream_key=sk)
+
+    def _s_significantTerms(self, node):
+        from lucene_solr_ray.stages.evaluators import compile_expr
+        from lucene_solr_ray.stages.relational import significant_terms
+
+        ds = self._build(node.args[0]) if isinstance(node.args[0], _Node) \
+            else self.tables(node.args[0])
+        fg = compile_expr(_node_to_eval_expr(node.args[1]))
+
+        def fg_mask(t: pa.Table):
+            import numpy as np
+
+            return pa.array(np.asarray(fg(t)).astype(bool))
+
+        return significant_terms(
+            ds, str(node.params["field"]), fg_mask,
+            min_doc_freq=int(node.params.get("minDocFreq", 1)),
+        )
+
+    def _s_sql(self, node):
+        from lucene_solr_ray.stages.sql import sql_dataset
+
+        stmt = node.params.get("stmt")
+        if stmt is None:
+            stmt = node.args[0]
+        return sql_dataset(str(stmt), self.tables)
+
     def _s_let(self, node):
         """let(a=stream|mathExpr, ..., expr): stream bindings materialize
         as pandas (the reference's let() is explicitly in-memory), math

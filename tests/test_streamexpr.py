@@ -129,3 +129,49 @@ def test_fulltext_search_decorator(ray_session, tmp_path):
     f = StreamFactory(indexes={"docs": Index(out)})
     hits = f.run('search(docs, q="alpha", rows=10)').to_pandas()
     assert sorted(hits["doc_id"]) == [0, 1, 2, 3]
+
+
+def test_parallel_timeseries_fetch_sql(factory, tmp_path):
+    import pyarrow.parquet as pq
+
+    f, orders, items = factory
+    # parallel() is a distributed no-op wrapper
+    out = f.run('parallel(workers=4, unique(search(orders, fl="pri"), '
+                'over="pri"))').to_pandas()
+    assert len(out) == 4
+    # sql() bridges the SQL front-end
+    got = f.run('sql(stmt="SELECT pri, COUNT(*) AS n FROM orders '
+                'GROUP BY pri ORDER BY pri")').to_pandas()
+    assert got["n"].sum() == 40
+    # fetch(): enrich a stream from a side parquet
+    side = pd.DataFrame({
+        "k2": np.arange(40, dtype=np.int64),
+        "extra": [f"e{i}" for i in range(40)],
+    })
+    p = str(tmp_path / "side.parquet")
+    pq.write_table(pa.Table.from_pandas(side, preserve_index=False), p)
+    enriched = f.run(
+        f'fetch(side, search(orders, fl="k,pri"), on="k=k2", '
+        f'fl="extra", path="{p}")'
+    ).to_pandas()
+    assert "extra" in enriched.columns and len(enriched) == 40
+    # significantTerms over a word column
+    st = f.run('significantTerms(search(items, fl="fk,words"), '
+               'lt(fk, 5), field="words")')
+    rows = st.to_pandas() if hasattr(st, "to_pandas") else st
+    assert len(rows) >= 1
+
+
+def test_timeseries_decorator(ray_session):
+    import ray.data
+
+    ts = pd.DataFrame({
+        "t": pd.to_datetime([
+            "2026-01-01 03:00", "2026-01-01 07:00", "2026-01-02 01:00",
+        ]),
+        "v": [1.0, 2.0, 4.0],
+    })
+    f2 = StreamFactory(tables=lambda n: ray.data.from_pandas(ts))
+    out = f2.run('timeseries(search(ts, fl="t,v"), field="t", gap="day", '
+                 'sum(v) as sv)').to_pandas().sort_values("bucket")
+    assert out["sv"].tolist() == [3.0, 4.0]
