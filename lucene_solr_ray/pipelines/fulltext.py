@@ -1037,15 +1037,28 @@ def common_terms_docs(sf_dir: str) -> pa.Table:
 
     idx = documents_index(sf_dir)
     q = CommonTermsQuery(("the", "merge", "key"), max_term_frequency=0.77)
-    t = idx.search_parsed([(0, q, 10)], similarity=BM25SimilarityF64())
+    # rank by the ROUNDED score with doc_id tiebreak on BOTH sides: the
+    # 'the' clause gives many docs scores equal to the last ulp, and the
+    # oracle's parallel SUM accumulation order is run-dependent there —
+    # ranking on exact f64 made the gate flaky (observed rank 9/10 swap).
+    # Over-fetch, re-rank deterministically, cut to 10.
+    t = idx.search_parsed([(0, q, 30)], similarity=BM25SimilarityF64())
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "doc_id": t.column("doc_id").to_numpy(),
+        "score": np.round(t.column("score").to_numpy(), 4),
+    })
+    df = df.sort_values(["score", "doc_id"],
+                        ascending=[False, True]).head(10)
     return pa.table(
         {
-            "qid": t.column("qid"),
-            "doc_id": t.column("doc_id"),
+            "qid": pa.array([0] * len(df), pa.int64()),
+            "doc_id": pa.array(df["doc_id"].to_numpy()),
             "rank": pa.array(
-                (t.column("rank").to_numpy() + 1).astype(np.int64)
+                np.arange(1, len(df) + 1, dtype=np.int64)
             ),
-            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+            "score": pa.array(df["score"].to_numpy()),
         }
     )
 
@@ -1053,12 +1066,14 @@ def common_terms_docs(sf_dir: str) -> pa.Table:
 def common_terms_docs_sql() -> str:
     # the rewrite's split at sf0.01/sf0.001 (df ratios ~0.75-0.79):
     # high = merge (> 0.77·maxDoc), low = the, key
+    # rank over the ROUNDED score (see common_terms_docs: exact-f64
+    # ordering is sensitive to the parallel SUM accumulation order)
     return _BM25_CTE + """
-SELECT 0 AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+SELECT 0 AS qid, doc_id, rank, score FROM (
   SELECT doc_id, score,
          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
   FROM (
-    SELECT doc_id, SUM(tscore) AS score
+    SELECT doc_id, ROUND(SUM(tscore), 4) AS score
     FROM scores WHERE term IN ('the', 'key', 'merge')
     GROUP BY doc_id
     HAVING SUM(CASE WHEN term IN ('the', 'key') THEN 1 ELSE 0 END) > 0
