@@ -450,6 +450,70 @@ class StreamFactory:
             stmt = node.args[0]
         return sql_dataset(str(stmt), self.tables)
 
+    def _s_topic(self, node):
+        """topic(indexName, q="...", checkpoint=path): one checkpointed
+        micro-batch pull (TopicStream)."""
+        from lucene_solr_ray.stages.streaming import TopicStream
+
+        name = node.args[0]
+        idx = self.indexes.get(name)
+        index_dir = idx.index_dir if idx is not None else str(name)
+        t = TopicStream(
+            index_dir, str(node.params["q"]),
+            checkpoint_path=node.params.get("checkpoint"),
+        )
+        got = t.pull(batch_size=int(node.params.get("rows", 1000)))
+        import ray.data
+
+        return ray.data.from_arrow(got)
+
+    def _s_daemon(self, node):
+        """daemon(stream, runInterval=ms, iterations=n): re-run the inner
+        expression on the DaemonStream thread; returns the drained tables
+        concatenated after the run-count completes (the batch analogue of
+        the reference's queue drain)."""
+        import time
+
+        from lucene_solr_ray.stages.streaming import DaemonStream
+
+        inner = node.args[0]
+        iters = int(node.params.get("iterations", 1))
+        interval = float(node.params.get("runInterval", 100)) / 1000.0
+
+        def fn():
+            built = self._build(inner)
+            if hasattr(built, "to_arrow_refs"):
+                import ray
+
+                return pa.concat_tables(
+                    [ray.get(r) for r in built.to_arrow_refs()]
+                )
+            return pa.Table.from_pandas(built)
+
+        d = DaemonStream(fn, interval_s=interval).start()
+        while d.iterations < iters:
+            time.sleep(interval / 4 if interval else 0.01)
+        d.stop()
+        tables = d.drain()
+        import ray.data
+
+        return ray.data.from_arrow(pa.concat_tables(tables))
+
+    def _s_update(self, node):
+        """update(outDir, stream, partitionBy=col): resumable partitioned
+        parquet sink (UpdateStream role — writes instead of returning;
+        the result is the per-partition row-count receipt)."""
+        from lucene_solr_ray.stages.sinks import write_partitioned
+
+        out_dir = str(node.args[0])
+        ds = self._build(node.args[1])
+        written = write_partitioned(
+            ds, out_dir, str(node.params["partitionBy"])
+        )
+        return pd.DataFrame(
+            sorted(written.items()), columns=["partition", "rows"]
+        )
+
     def _s_let(self, node):
         """let(a=stream|mathExpr, ..., expr): stream bindings materialize
         as pandas (the reference's let() is explicitly in-memory), math

@@ -175,3 +175,48 @@ def test_timeseries_decorator(ray_session):
     out = f2.run('timeseries(search(ts, fl="t,v"), field="t", gap="day", '
                  'sum(v) as sv)').to_pandas().sort_values("bucket")
     assert out["sv"].tolist() == [3.0, 4.0]
+
+
+def test_topic_daemon_update_decorators(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Index
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "text": pa.array(["alpha beta"] * 12),
+    }), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id")
+    f = StreamFactory(indexes={"docs": Index(out)})
+    ck = str(tmp_path / "topic.json")
+    got1 = f.run(f'topic(docs, q="alpha", rows=5, checkpoint="{ck}")')
+    assert len(got1.take_all()) == 5
+    got2 = f.run(f'topic(docs, q="alpha", rows=5, checkpoint="{ck}")')
+    ids2 = [r["doc_id"] for r in got2.take_all()]
+    assert min(ids2) == 5  # checkpoint advanced
+    # daemon re-runs an inner expression n times and drains the queue
+    d = f.run('daemon(search(docs, q="alpha", rows=2), '
+              'runInterval=10, iterations=2)')
+    rows = d.take_all()
+    assert len(rows) >= 4  # >= 2 iterations x 2 rows
+    # update(): resumable partitioned sink
+    import ray.data
+
+    tabs = {"t": pd.DataFrame({
+        "g": ["a", "a", "b"], "v": [1, 2, 3],
+    })}
+    f2 = StreamFactory(tables=lambda n: ray.data.from_pandas(tabs[n]))
+    sink = str(tmp_path / "sinkdir")
+    receipt = f2.run(
+        f'update({sink}, search(t, fl="g,v"), partitionBy=g)'
+    )
+    assert sorted(receipt["partition"]) == ["a", "b"]
+    assert receipt["rows"].sum() == 3
+    # rerun skips completed partitions
+    receipt2 = f2.run(
+        f'update({sink}, search(t, fl="g,v"), partitionBy=g)'
+    )
+    assert len(receipt2) == 0
