@@ -450,6 +450,45 @@ class StreamFactory:
             stmt = node.args[0]
         return sql_dataset(str(stmt), self.tables)
 
+    def _s_gatherNodes(self, node):
+        """gatherNodes(edgesTable|stream, walk="from->to",
+        root="a,b", maxDepthBreadth=n)."""
+        from lucene_solr_ray.stages.graph import gather_nodes
+
+        src = node.args[0]
+        edges = self._build(src) if isinstance(src, _Node) \
+            else self.tables(src)
+        walk = str(node.params["walk"])
+        fc, tc = (p.strip() for p in walk.split("->", 1))
+        roots_raw = _split_list(node.params["root"])
+        roots = [int(r) if re.fullmatch(r"-?\d+", r) else r
+                 for r in roots_raw]
+        hops = int(node.params.get("maxDepthBreadth", 1))
+        return gather_nodes(edges, fc, tc, roots, hops=hops)
+
+    def _s_shortestPath(self, node):
+        from lucene_solr_ray.stages.graph import shortest_path
+
+        src = node.args[0]
+        edges = self._build(src) if isinstance(src, _Node) \
+            else self.tables(src)
+        walk = str(node.params["edge"])
+        fc, tc = (p.strip() for p in walk.split("->", 1))
+
+        def _coerce(v):
+            v = str(v)
+            return int(v) if re.fullmatch(r"-?\d+", v) else v
+
+        path = shortest_path(
+            edges, fc, tc,
+            _coerce(node.params["from"]), _coerce(node.params["to"]),
+            max_hops=int(node.params.get("maxDepth", 6)),
+        )
+        return pd.DataFrame({
+            "step": range(len(path or [])),
+            "node": path or [],
+        })
+
     def _s_topic(self, node):
         """topic(indexName, q="...", checkpoint=path): one checkpointed
         micro-batch pull (TopicStream)."""

@@ -220,3 +220,22 @@ def test_topic_daemon_update_decorators(ray_session, tmp_path):
         f'update({sink}, search(t, fl="g,v"), partitionBy=g)'
     )
     assert len(receipt2) == 0
+
+
+def test_graph_decorators(ray_session):
+    import ray.data
+
+    edges = pd.DataFrame({
+        "src": [0, 0, 1, 2, 3],
+        "dst": [1, 2, 3, 3, 4],
+    })
+    f = StreamFactory(tables=lambda n: ray.data.from_pandas(edges))
+    gn = f.run('gatherNodes(edges, walk="src->dst", root="0", '
+               'maxDepthBreadth=2)')
+    gn = gn.to_pandas() if hasattr(gn, "to_pandas") else gn
+    levels = dict(zip(gn["node"], gn["level"])) if "node" in gn.columns \
+        else dict(zip(gn.iloc[:, 0], gn["level"]))
+    assert levels[0] == 0 and levels[1] == 1 and levels[3] == 2
+    sp = f.run('shortestPath(edges, edge="src->dst", from=0, to=4)')
+    assert sp["node"].tolist() == [0, 1, 3, 4] or \
+        sp["node"].tolist() == [0, 2, 3, 4]
