@@ -478,18 +478,48 @@ def merge_segments_sharded(
 
     seg_dirs = [os.path.join(index_dir, segment_dir_name(s)) for s in spec_ids]
     docmetas, in_metas, dels, eff_stats = _effective_inputs(seg_dirs)
-    if _shared_index_sort(in_metas) is not None:
-        # sorted inputs need the global comparator permutation; the
-        # term-sharded concat shortcut cannot preserve index_sort, so the
-        # single-task sorted path handles them (the reference's sorted
-        # merges likewise forgo bulk-merge optimizations)
-        return merge_segments(index_dir, spec_ids, new_id)
     bases: List[int] = []
     base = 0
     for dm in docmetas:
         bases.append(base)
         base += dm.num_rows
     docmeta = pa.concat_tables(docmetas)
+
+    # sorted merge in sharded form: the global comparator permutation is
+    # computed ONCE on the driver (docmeta is already here for the
+    # finalize step) and the DocMap broadcast to every term-range task,
+    # which remaps its rows after the concat — term order within a range
+    # is untouched, so the streamed finalize stays term-sorted and the
+    # output is byte-identical to the single-task sorted path.
+    shared_sort = _shared_index_sort(in_metas)
+    ord_map = None
+    if shared_sort is not None and all(
+        f["field"] in docmeta.column_names for f in shared_sort
+    ):
+        keys = [docmeta.column("doc_id").to_numpy()]
+        for f in reversed(shared_sort):
+            v = docmeta.column(f["field"]).to_numpy(zero_copy_only=False)
+            codes = np.unique(v, return_inverse=True)[1]
+            keys.append(-codes if f["desc"] else codes)
+        perm = np.lexsort(tuple(keys))
+        if not np.array_equal(perm, np.arange(len(perm))):
+            docmeta = docmeta.take(perm)
+            ord_map = np.empty(len(perm), dtype=np.int64)
+            ord_map[perm] = np.arange(len(perm))
+    else:
+        shared_sort = None
+    sorted_norms: Dict[Optional[str], np.ndarray] = {}
+    if ord_map is not None:
+        sorted_norms[None] = docmeta.column("norm").to_numpy()
+        for c in docmeta.schema.names:
+            if c.startswith("norm__"):
+                sorted_norms[c[len("norm__"):]] = docmeta.column(
+                    c
+                ).to_numpy()
+    ord_map_ref = ray.put(ord_map) if ord_map is not None else None
+    sorted_norms_ref = (
+        ray.put(sorted_norms) if ord_map is not None else None
+    )
     # per-segment compacted norm arrays (uint8) for re-encode impacts —
     # small enough to ride the task closure / object store broadcast
     seg_norms: List[Dict[Optional[str], np.ndarray]] = []
@@ -557,6 +587,15 @@ def merge_segments_sharded(
                     )
                 tables.append(t)
             part = _merge_postings_rows(tables, bases)
+            if ord_map_ref is not None:
+                om = ray.get(ord_map_ref)
+                nm = ray.get(sorted_norms_ref)
+                part = remap_postings_rows(
+                    part, om,
+                    lambda fld, _nm=nm: _nm.get(
+                        fld, np.zeros(len(_nm[None]), dtype=np.uint8)
+                    ),
+                )
             pq.write_table(
                 part, os.path.join(tmp_parts, f"part-{ri:04d}.parquet"),
                 compression="zstd",
@@ -600,6 +639,15 @@ def merge_segments_sharded(
     )
     points = _merge_points(seg_dirs, bases, dels)
     if points is not None:
+        if ord_map is not None:
+            points = points.set_column(
+                points.schema.get_field_index("ord"), "ord",
+                pa.array(
+                    ord_map[points.column("ord").to_numpy()].astype(
+                        points.schema.field("ord").type.to_pandas_dtype()
+                    )
+                ),
+            )
         pq.write_table(
             points, os.path.join(final_tmp, "points.parquet"),
             compression="zstd",
@@ -626,6 +674,17 @@ def merge_segments_sharded(
         "segment_id": new_id,
         "stats": stats,
         "lineage": {"merged_from": list(spec_ids), "sharded": len(ranges)},
+        **(
+            {"index_sort": {
+                "fields": shared_sort,
+                **(
+                    {"field": shared_sort[0]["field"],
+                     "desc": bool(shared_sort[0]["desc"])}
+                    if len(shared_sort) == 1 else {}
+                ),
+            }}
+            if shared_sort is not None else {}
+        ),
     }
     df_field = next(
         (im.get("default_field") for im in in_metas

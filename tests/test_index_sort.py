@@ -319,3 +319,44 @@ def test_sorted_merge_with_deletes(ray_session, corpus_mf, tmp_path):
     b = search_by_fields(idx, queries, sort, k=9)
     assert a.equals(b)
     assert Index(plain).search(queries, k=8).equals(idx.search(queries, k=8))
+
+
+def test_sharded_sorted_merge_identity(ray_session, corpus_mf, tmp_path):
+    """merge_segments_sharded on SORTED inputs is byte-identical to the
+    single-task sorted merge (broadcast DocMap per term-range task)."""
+    import pyarrow.parquet as pq2
+
+    from lucene_solr_ray.index.merge import (
+        merge_segments,
+        merge_segments_sharded,
+    )
+
+    sort = [("lang", False), ("prio", True)]
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    for out in (a, b):
+        build_index(
+            corpus_mf, out, text_col="text", id_col="doc_id",
+            stored_cols=["lang", "prio"], docs_per_segment=40,
+            index_sort=sort,
+        )
+    ids_a = sorted(
+        int(d.split("_")[-1]) for d in os.listdir(a)
+        if d.startswith("seg_")
+    )
+    meta1 = merge_segments(a, ids_a, new_id=900)
+    ids_b = sorted(
+        int(d.split("_")[-1]) for d in os.listdir(b)
+        if d.startswith("seg_")
+    )
+    meta2 = merge_segments_sharded(b, ids_b, new_id=900, num_shards=3)
+    assert meta2["index_sort"]["fields"] == [
+        {"field": "lang", "desc": False}, {"field": "prio", "desc": True}
+    ]
+    assert meta1["stats"] == meta2["stats"]
+    da = os.path.join(a, "seg_000900")
+    db = os.path.join(b, "seg_000900")
+    for fn in ("postings.parquet", "docmeta.parquet"):
+        ta = pq2.read_table(os.path.join(da, fn))
+        tb = pq2.read_table(os.path.join(db, fn))
+        assert ta.equals(tb), fn
