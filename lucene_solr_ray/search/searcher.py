@@ -428,6 +428,12 @@ class _SearchFn:
         scores: List[np.ndarray] = []
         seg_ords: List[np.ndarray] = []
         ords_out: List[np.ndarray] = []
+        # per-batch partial merge: when one task scores MANY segments
+        # (batched executor plans, 10^6-segment indexes), only the
+        # batch-wide top-k per query leaves the task — the driver merge
+        # sees k × tasks rows, not k × segments (global top-k of a union
+        # == top-k of per-batch top-k unions)
+        per_q: Dict[int, List] = {qid: [] for qid, _, _ in self.queries}
         for seg_dir, seg_ord in zip(
             batch.column("seg_dir").to_pylist(),
             batch.column("seg_ord").to_pylist(),
@@ -435,11 +441,29 @@ class _SearchFn:
             reader = self._reader(seg_dir)
             for qid, q, k in self.queries:
                 o, s = topk_segment(reader, q, self.stats, k, self.sim)
-                qids.extend([qid] * len(o))
-                doc_ids.append(reader.doc_ids[o])
-                scores.append(s)
-                seg_ords.append(np.full(len(o), seg_ord, dtype=np.int32))
-                ords_out.append(o)
+                if len(o):
+                    per_q[qid].append(
+                        (reader.doc_ids[o], s,
+                         np.full(len(o), seg_ord, dtype=np.int32), o)
+                    )
+        for qid, q, k in self.queries:
+            parts = per_q[qid]
+            if not parts:
+                continue
+            d = np.concatenate([p[0] for p in parts])
+            s = np.concatenate([p[1] for p in parts])
+            g = np.concatenate([p[2] for p in parts])
+            o = np.concatenate([p[3] for p in parts])
+            if len(d) > k:
+                # same comparator as the driver merge: score desc, then
+                # global doc_id asc (segmentation-invariant ties)
+                sel = np.lexsort((d, -s.astype(np.float64)))[:k]
+                d, s, g, o = d[sel], s[sel], g[sel], o[sel]
+            qids.extend([qid] * len(d))
+            doc_ids.append(d)
+            scores.append(s)
+            seg_ords.append(g)
+            ords_out.append(o)
         if not qids:
             return pa.table(
                 {
