@@ -275,17 +275,37 @@ def replicate(src_dir: str, dest_dir: str) -> Dict:
         raise FileNotFoundError(f"no manifest in {src_dir}")
     os.makedirs(dest_dir, exist_ok=True)
     copied = []
+    side_copied = []
+    _SIDE_PREFIXES = ("deletes-", "dvu-", "softdel-")
     for s in m["segments"]:
         name = segment_dir_name(s["segment_id"])
         sdir = os.path.join(src_dir, name)
         ddir = os.path.join(dest_dir, name)
         if read_segment_meta(ddir) is not None:
-            continue  # already replicated (immutable)
+            # segment CORE files are immutable, but delete / DV-update /
+            # soft-delete sidecars are generation-stamped files added
+            # later INSIDE the dir — the manifest committed below
+            # references their generations, so they must ship too (the
+            # reference replicator diffs revision FILES, carrying .liv /
+            # .dvd updates, IndexReplicationHandler.java).  Sidecar files
+            # are themselves immutable per generation: copy any missing.
+            have = set(os.listdir(ddir))
+            for fn in os.listdir(sdir):
+                if fn.startswith(_SIDE_PREFIXES) and fn not in have \
+                        and not fn.startswith("."):
+                    tmpf = os.path.join(
+                        ddir, f".{fn}.tmp-{uuid.uuid4().hex[:8]}"
+                    )
+                    shutil.copy2(os.path.join(sdir, fn), tmpf)
+                    os.rename(tmpf, os.path.join(ddir, fn))
+                    side_copied.append(f"{name}/{fn}")
+            continue
         tmp = ddir + ".tmp-" + uuid.uuid4().hex[:8]
         shutil.copytree(sdir, tmp)
         os.rename(tmp, ddir)
         copied.append(s["segment_id"])
-    # deletes sidecars ride along per segment dir via copytree; commit last
+    # commit LAST so replica readers only ever see a complete commit point
     out = commit_manifest(dest_dir, m["segments"])
     return {"generation": out["generation"], "copied_segments": copied,
+            "copied_sidecars": side_copied,
             "doc_count": out["doc_count"]}

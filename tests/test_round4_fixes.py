@@ -715,3 +715,41 @@ def test_checkindex_soft_deletes_and_sort_marker(ray_session, tmp_path):
     )
     r3 = check_segment(seg)
     assert any("comparator order" in e for e in r3["errors"])
+
+
+def test_replicate_carries_late_sidecars(ray_session, tmp_path):
+    """Re-replication after deletes / DV updates / soft deletes must ship
+    the new generation-stamped sidecars into already-copied segment dirs
+    — the committed replica manifest references their generations."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.deletes import delete_by_query
+    from lucene_solr_ray.index.docvalues import update_numeric_docvalue
+    from lucene_solr_ray.index.manifest import replicate
+    from lucene_solr_ray.index.softdeletes import soft_delete_by_query
+    from lucene_solr_ray.search.searcher import Index
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array(
+            ["drop alpha"] * 10 + ["soft alpha"] * 10 + ["keep alpha"] * 10
+        ),
+        "prio": pa.array([1] * 30, pa.int64()),
+    }), p)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    build_index(p, src, text_col="text", id_col="doc_id",
+                stored_cols=["prio"])
+    replicate(src, dst)  # initial copy, no sidecars yet
+    delete_by_query(src, "drop")
+    soft_delete_by_query(src, "soft")
+    update_numeric_docvalue(src, "keep", "prio", 7)
+    r2 = replicate(src, dst)
+    assert r2["copied_segments"] == []  # cores already present
+    assert len(r2["copied_sidecars"]) >= 3  # deletes + softdel + dvu
+    # the replica answers identically to the primary
+    a, b = Index(src), Index(dst)
+    for kwargs in ({}, {"respect_soft_deletes": True}):
+        assert a.search({0: "alpha"}, k=40, **kwargs).equals(
+            b.search({0: "alpha"}, k=40, **kwargs)
+        )
