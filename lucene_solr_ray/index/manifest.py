@@ -55,9 +55,13 @@ def write_segment_dir(
     docmeta,
     meta: Dict,
     points=None,
+    extra_files: Optional[Dict[str, object]] = None,
 ) -> str:
     """Write one segment atomically (tmp dir + rename). Idempotent: if the
-    final dir already exists (another attempt won), keep the existing one."""
+    final dir already exists (another attempt won), keep the existing one.
+    ``extra_files`` maps file names to Arrow tables written alongside
+    (e.g. a carried-through soft-delete sidecar) INSIDE the atomic
+    rename, so the meta never references a missing file."""
     import pyarrow.parquet as pq
 
     final = os.path.join(out_dir, segment_dir_name(segment_id))
@@ -77,6 +81,8 @@ def write_segment_dir(
         pq.write_table(
             points, os.path.join(tmp, "points.parquet"), compression="zstd"
         )
+    for name, table in (extra_files or {}).items():
+        pq.write_table(table, os.path.join(tmp, name), compression="zstd")
     with open(os.path.join(tmp, "segment.json"), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
     try:

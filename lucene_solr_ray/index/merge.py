@@ -293,6 +293,29 @@ def remap_postings_rows(postings: pa.Table, ord_map: np.ndarray,
     )
 
 
+def _merged_soft_ords(seg_dirs, dels, bases) -> np.ndarray:
+    """Soft-deleted ordinals carried through a merge: per input, drop
+    soft ords that are also HARD-deleted (those docs vanish), renumber
+    through the compaction DocMap, rebase — soft-deleted docs stay
+    soft-deleted in the merged segment, as the reference's
+    soft-deletes-aware merging preserves the DV marker."""
+    from lucene_solr_ray.index.softdeletes import soft_deleted_ords
+
+    parts = []
+    for d, deleted, b in zip(seg_dirs, dels, bases):
+        so = soft_deleted_ords(d)
+        if not len(so):
+            continue
+        if len(deleted):
+            so = np.setdiff1d(so, deleted)
+            so = so - np.searchsorted(deleted, so)
+        if len(so):
+            parts.append(so + b)
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(parts))
+
+
 def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
     """Execute one merge spec → new committed segment dir; returns its meta.
     Pure function of the input segment dirs (deterministic, idempotent).
@@ -330,6 +353,7 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
         tables.append(t)
     postings = _merge_postings_rows(tables, bases)
     points = _merge_points(seg_dirs, bases, dels)
+    soft_ords = _merged_soft_ords(seg_dirs, dels, bases)
 
     # sorted merge (MultiSorter.sort + MergeState.DocMap): when every
     # input shares one index_sort whose key columns ride docmeta, lay the
@@ -364,6 +388,8 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
                         )
                     ),
                 )
+            if len(soft_ords):
+                soft_ords = np.sort(ord_map[soft_ords])
     else:
         shared_sort = None
     # top-level stats sum the inputs' EFFECTIVE stats (post-compaction):
@@ -406,6 +432,10 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
             }}
             if shared_sort is not None else {}
         ),
+        **(
+            {"soft_del_gen": 1, "soft_del_count": int(len(soft_ords))}
+            if len(soft_ords) else {}
+        ),
     }
     df_field = next(
         (im.get("default_field") for im in in_metas
@@ -427,8 +457,13 @@ def merge_segments(index_dir: str, spec_ids: List[int], new_id: int) -> Dict:
     )
     if nf:
         meta["numeric_fields"] = nf
+    extra = None
+    if len(soft_ords):
+        extra = {"softdel-1.parquet": pa.table(
+            {"ord": pa.array(soft_ords.astype(np.int32))}
+        )}
     write_segment_dir(index_dir, new_id, postings, docmeta, meta,
-                      points=points)
+                      points=points, extra_files=extra)
     return meta
 
 
@@ -508,6 +543,9 @@ def merge_segments_sharded(
             ord_map[perm] = np.arange(len(perm))
     else:
         shared_sort = None
+    soft_ords = _merged_soft_ords(seg_dirs, dels, bases)
+    if ord_map is not None and len(soft_ords):
+        soft_ords = np.sort(ord_map[soft_ords])
     sorted_norms: Dict[Optional[str], np.ndarray] = {}
     if ord_map is not None:
         sorted_norms[None] = docmeta.column("norm").to_numpy()
@@ -652,6 +690,12 @@ def merge_segments_sharded(
             points, os.path.join(final_tmp, "points.parquet"),
             compression="zstd",
         )
+    if len(soft_ords):
+        pq.write_table(
+            pa.table({"ord": pa.array(soft_ords.astype(np.int32))}),
+            os.path.join(final_tmp, "softdel-1.parquet"),
+            compression="zstd",
+        )
     stats = {
         "doc_count": docmeta.num_rows,
         "sum_total_term_freq": int(
@@ -684,6 +728,10 @@ def merge_segments_sharded(
                 ),
             }}
             if shared_sort is not None else {}
+        ),
+        **(
+            {"soft_del_gen": 1, "soft_del_count": int(len(soft_ords))}
+            if len(soft_ords) else {}
         ),
     }
     df_field = next(

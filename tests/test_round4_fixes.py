@@ -753,3 +753,58 @@ def test_replicate_carries_late_sidecars(ray_session, tmp_path):
         assert a.search({0: "alpha"}, k=40, **kwargs).equals(
             b.search({0: "alpha"}, k=40, **kwargs)
         )
+
+
+def test_soft_deletes_survive_merges(ray_session, tmp_path):
+    """Soft-deleted docs stay soft-deleted through merges (both paths),
+    with ords remapped through compaction and the sorted-merge DocMap."""
+    import os
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.deletes import delete_by_query
+    from lucene_solr_ray.index.merge import (
+        merge_segments,
+        merge_segments_sharded,
+    )
+    from lucene_solr_ray.index.manifest import commit_manifest
+    from lucene_solr_ray.index.softdeletes import (
+        soft_delete_by_query,
+        soft_deleted_ords,
+    )
+    from lucene_solr_ray.search.searcher import Index
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": pa.array(
+            ["hard alpha"] * 15 + ["soft alpha"] * 15 + ["keep alpha"] * 30
+        ),
+        "prio": pa.array([i % 7 for i in range(60)], pa.int64()),
+    }), p)
+
+    def mk(out, sharded, **bkw):
+        build_index(p, out, text_col="text", id_col="doc_id",
+                    stored_cols=["prio"], docs_per_segment=20, **bkw)
+        delete_by_query(out, "hard")
+        soft_delete_by_query(out, "soft")
+        ids = sorted(int(d.split("_")[-1]) for d in os.listdir(out)
+                     if d.startswith("seg_"))
+        if sharded:
+            m = merge_segments_sharded(out, ids, new_id=500, num_shards=3)
+        else:
+            m = merge_segments(out, ids, new_id=500)
+        commit_manifest(out, [m])
+        return Index(out)
+
+    for sharded in (False, True):
+        for bkw in ({}, {"index_sort": ("prio", True)}):
+            out = str(tmp_path / f"idx_{sharded}_{bool(bkw)}")
+            idx = mk(out, sharded, **bkw)
+            # hard-deleted gone entirely; soft-deleted visible unwrapped
+            assert idx.search({0: "alpha"}, k=100).num_rows == 45
+            w = idx.search({0: "alpha"}, k=100,
+                           respect_soft_deletes=True)
+            assert w.num_rows == 30
+            assert set(w.column("doc_id").to_pylist()) == set(range(30, 60))
+            seg = os.path.join(out, "seg_000500")
+            assert len(soft_deleted_ords(seg)) == 15
