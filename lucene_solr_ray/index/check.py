@@ -38,6 +38,7 @@ def check_segment(seg_dir: str) -> Dict:
     import pyarrow.parquet as pq
 
     errors: List[str] = []
+    warnings: List[str] = []
     with open(os.path.join(seg_dir, "segment.json")) as f:
         meta = json.load(f)
     stats = meta["stats"]
@@ -118,9 +119,11 @@ def check_segment(seg_dir: str) -> Dict:
             if dords[0] < 0 or dords[-1] >= n_docs:
                 errors.append("deletes: ord out of range")
 
-    # soft-deletes sidecar (round 4): sorted, in-range, disjoint from
-    # hard tombstones (a doc cannot be both — softUpdateDocument never
-    # soft-deletes an already hard-deleted doc)
+    # soft-deletes sidecar (round 4): sorted, in-range.  Overlap with hard
+    # tombstones is LEGAL (soft_delete then delete_by_query hard-deletes a
+    # soft-deleted doc without purging the soft sidecar; merge.py's
+    # _merged_soft_ords setdiffs the overlap) — report it informationally,
+    # not as corruption.
     from lucene_solr_ray.index.softdeletes import latest_soft_file
 
     soft_file = latest_soft_file(seg_dir)
@@ -136,8 +139,9 @@ def check_segment(seg_dir: str) -> Dict:
             if del_file is not None and len(dords) and np.intersect1d(
                 sords, dords
             ).size:
-                errors.append(
-                    "soft-deletes: overlap with hard tombstones"
+                warnings.append(
+                    "soft-deletes: overlap with hard tombstones "
+                    "(hard wins; soft entry is inert)"
                 )
 
     # index_sort marker (round 4): docmeta rows must actually be in the
@@ -181,7 +185,8 @@ def check_segment(seg_dir: str) -> Dict:
                 start = i
 
     return {"segment_id": meta["segment_id"], "ok": not errors,
-            "errors": errors[:20], "terms": t.num_rows, "docs": n_docs}
+            "errors": errors[:20], "warnings": warnings[:20],
+            "terms": t.num_rows, "docs": n_docs}
 
 
 def check_index(index_dir: str) -> Dict:
@@ -203,6 +208,7 @@ def check_index(index_dir: str) -> Dict:
             [
                 {"segment_id": r["segment_id"], "ok": r["ok"],
                  "errors": "; ".join(r["errors"]),
+                 "warnings": "; ".join(r["warnings"]),
                  "terms": r["terms"], "docs": r["docs"]}
                 for r in rows
             ]
@@ -217,6 +223,9 @@ def check_index(index_dir: str) -> Dict:
         .take_all()
     )
     errors = [f"seg {r['segment_id']}: {r['errors']}" for r in res if not r["ok"]]
+    warnings = [
+        f"seg {r['segment_id']}: {r['warnings']}" for r in res if r["warnings"]
+    ]
     total_docs = sum(r["docs"] for r in res)
     if total_docs != manifest["doc_count"]:
         errors.append(
@@ -227,4 +236,5 @@ def check_index(index_dir: str) -> Dict:
         "segments": len(res),
         "docs": total_docs,
         "errors": errors,
+        "warnings": warnings,
     }

@@ -260,6 +260,36 @@ def _postings_col_nonnull(path: str, col: str) -> bool:
     return False
 
 
+def resolve_update_config(index_dir: str, manifest: Dict, analyzer,
+                          fn_name: str = "update_documents"):
+    """Shared update/soft-update config resolution: the index's RECORDED
+    analyzer (manifest spec) unless one is passed, plus the base index's
+    offset/payload posting options (parquet row-group stats, no data
+    read).  Returns ``(analyzer, with_offsets, with_payloads)``."""
+    from lucene_solr_ray.analysis.analyzer import (
+        StandardAnalyzer,
+        analyzer_from_spec,
+    )
+
+    if analyzer is None:
+        spec = manifest.get("analyzer")
+        analyzer = analyzer_from_spec(spec) if spec else None
+        if analyzer is None:
+            if spec and spec.get("kind") == "custom":
+                raise ValueError(
+                    "index was built with a custom analyzer chain; pass "
+                    f"the same analyzer explicitly to {fn_name}"
+                )
+            analyzer = StandardAnalyzer()
+    first_path = os.path.join(
+        index_dir, segment_dir_name(manifest["segments"][0]["segment_id"]),
+        "postings.parquet",
+    )
+    with_offsets = _postings_col_nonnull(first_path, "offsets")
+    with_payloads = _postings_col_nonnull(first_path, "payloads")
+    return analyzer, with_offsets, with_payloads
+
+
 def update_documents(
     index_dir: str,
     doc_ids: Sequence[int],
@@ -281,10 +311,6 @@ def update_documents(
     options unless an analyzer is passed explicitly — mixed-config
     segments would fail to merge (``IndexWriter`` likewise applies its one
     configured analyzer chain to updates)."""
-    from lucene_solr_ray.analysis.analyzer import (
-        StandardAnalyzer,
-        analyzer_from_spec,
-    )
     from lucene_solr_ray.index.manifest import write_segment_dir
     from lucene_solr_ray.index.segment import build_segment_tables
 
@@ -292,26 +318,9 @@ def update_documents(
     manifest = read_latest_manifest(index_dir)
     if manifest is None:
         raise FileNotFoundError(index_dir)
-    if analyzer is None:
-        spec = manifest.get("analyzer")
-        analyzer = analyzer_from_spec(spec) if spec else None
-        if analyzer is None:
-            if spec and spec.get("kind") == "custom":
-                raise ValueError(
-                    "index was built with a custom analyzer chain; pass "
-                    "the same analyzer explicitly to update_documents"
-                )
-            analyzer = StandardAnalyzer()
-    # posting options must match the base index or merge.py refuses to mix
-    # (columns exist in every FORMAT_VERSION>=5 segment; parquet row-group
-    # null counts tell — metadata-only, no data read — whether they carry
-    # actual blobs)
-    first_path = os.path.join(
-        index_dir, segment_dir_name(manifest["segments"][0]["segment_id"]),
-        "postings.parquet",
+    analyzer, with_offsets, with_payloads = resolve_update_config(
+        index_dir, manifest, analyzer, "update_documents"
     )
-    with_offsets = _postings_col_nonnull(first_path, "offsets")
-    with_payloads = _postings_col_nonnull(first_path, "payloads")
     # 1) build + write the replacement segment (invisible until commit)
     seg = build_segment_tables(
         list(doc_ids), list(texts), analyzer,

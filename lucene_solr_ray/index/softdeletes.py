@@ -230,15 +230,44 @@ def soft_update_documents(
     analyzer=None,
 ) -> Dict:
     """``IndexWriter.softUpdateDocument``: soft-delete the old doc ids,
-    add the replacements as a fresh segment — one manifest commit."""
-    from lucene_solr_ray.index.deletes import add_documents
+    add the replacements as a fresh segment — ONE manifest commit, like
+    ``update_documents``.  Readers resolve soft sidecar generations from
+    the committed manifest, so neither the soft tombstones nor the
+    replacement segment is visible before the single commit below; a
+    crash in between leaves the previous commit point intact (the
+    reference's ``softUpdateDocument`` is likewise atomic).
 
-    _apply_soft_delete(
-        index_dir,
-        by_doc_ids=np.asarray(sorted(set(map(int, doc_ids))),
-                              dtype=np.int64),
+    The replacement segment is tokenized with the index's RECORDED
+    analyzer and inherits its offset/payload posting options unless an
+    analyzer is passed explicitly — mixed-config segments would produce
+    wrong analyzed terms and refuse to merge."""
+    from lucene_solr_ray.index.deletes import resolve_update_config
+    from lucene_solr_ray.index.manifest import write_segment_dir
+    from lucene_solr_ray.index.segment import build_segment_tables
+
+    ids = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+    manifest = read_latest_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(index_dir)
+    analyzer, with_offsets, with_payloads = resolve_update_config(
+        index_dir, manifest, analyzer, "soft_update_documents"
     )
-    return add_documents(index_dir, doc_ids, texts, analyzer=analyzer)
+    # 1) build + write the replacement segment (invisible until commit)
+    seg = build_segment_tables(
+        list(doc_ids), list(texts), analyzer,
+        with_offsets=with_offsets, with_payloads=with_payloads,
+    )
+    segs = _apply_soft_delete(index_dir, by_doc_ids=ids, commit=False)
+    new_id = max(s["segment_id"] for s in segs) + 1
+    meta = {
+        "segment_id": new_id,
+        "stats": seg.stats,
+        "analyzer": analyzer.spec(),
+        "lineage": {"added_docs": len(list(doc_ids)), "soft_update": True},
+    }
+    write_segment_dir(index_dir, new_id, seg.postings, seg.docmeta, meta)
+    # 2) ONE commit carrying both the soft_del_gen bumps and the segment
+    return commit_manifest(index_dir, segs + [meta])
 
 
 class _PolicyFn:
@@ -305,7 +334,11 @@ def apply_soft_deletes_policy(
     One manifest commit; returns it."""
     import ray.data
 
-    from lucene_solr_ray.search.searcher import Index
+    from lucene_solr_ray.search.searcher import (
+        Index,
+        _collect_patterns,
+        rewrite_query,
+    )
 
     manifest = read_latest_manifest(index_dir)
     if manifest is None:
@@ -315,7 +348,13 @@ def apply_soft_deletes_policy(
         idx = Index(index_dir)
         parser = idx.make_parser(analyzer)
         q = parser.parse(retention_query)
-        stats, _ = idx.collect_stats(sorted(set(q.terms())))
+        # wildcard/prefix/fuzzy retention terms expand the same way
+        # soft_delete_by_query's do — before the per-segment fan-out
+        patterns: List = []
+        _collect_patterns(q, patterns)
+        stats, exp = idx.collect_stats(sorted(set(q.terms())), patterns)
+        if patterns:
+            q = rewrite_query(q, exp)
     segs = {s["segment_id"]: dict(s) for s in manifest["segments"]}
     items = [
         {

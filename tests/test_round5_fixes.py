@@ -1,0 +1,126 @@
+"""Round-5 regression tests for the round-4 ADVICE items.
+
+Reference semantics:
+- ``IndexWriter.softUpdateDocument`` (``lucene/core/src/java/org/apache/
+  lucene/index/IndexWriter.java``) is atomic — the soft-delete markers
+  and the replacement doc become visible in ONE commit point, with the
+  writer's single configured analyzer chain applied to the replacement.
+- ``CheckIndex`` reports real corruption; a hard tombstone shadowing a
+  soft one is a legal state (merge setdiffs it), not corruption.
+- ``SoftDeletesRetentionMergePolicy`` takes an arbitrary retention
+  Query, including multi-term expansions (wildcard/prefix/fuzzy).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, docs):
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[i] for i in sorted(docs)]),
+        }),
+        p,
+    )
+    return p
+
+
+def test_soft_update_single_commit(ray_session, tmp_path):
+    """soft_update_documents folds the soft-delete bump and the new
+    segment into ONE manifest generation (was: two commits, with a
+    deleted-but-not-replaced window in between)."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.manifest import (
+        list_generations,
+        read_latest_manifest,
+    )
+    from lucene_solr_ray.index.softdeletes import soft_update_documents
+
+    p = _write_docs(tmp_path, {0: "old text", 1: "other words"})
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id")
+    gens_before = list_generations(out)
+    m = soft_update_documents(out, [0], ["new text"])
+    gens_after = list_generations(out)
+    assert len(gens_after) == len(gens_before) + 1  # exactly one commit
+    # and that one commit carries BOTH the soft bump and the new segment
+    latest = read_latest_manifest(out)
+    assert latest["generation"] == m["generation"]
+    soft_counts = [
+        int(s.get("soft_del_count", 0)) for s in latest["segments"]
+    ]
+    assert sum(soft_counts) == 1
+    assert any(
+        (s.get("lineage") or {}).get("soft_update") for s in latest["segments"]
+    )
+
+
+def test_soft_update_inherits_analyzer_and_options(ray_session, tmp_path):
+    """The replacement segment is analyzed with the RECORDED analyzer
+    (EnglishAnalyzer here: 'running' stems to 'run'), not a default
+    StandardAnalyzer, matching update_documents."""
+    from lucene_solr_ray.analysis.en import EnglishAnalyzer
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.softdeletes import soft_update_documents
+    from lucene_solr_ray.search.searcher import Index
+
+    p = _write_docs(tmp_path, {0: "walking dogs", 1: "sleeping cats"})
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                analyzer=EnglishAnalyzer())
+    soft_update_documents(out, [0], ["running horses"])
+    idx = Index(out)
+    # 'run' only matches if the replacement was stemmed by EnglishAnalyzer
+    hits = idx.search({0: "run"}, k=10, respect_soft_deletes=True,
+                      analyzer=EnglishAnalyzer())
+    assert hits.column("doc_id").to_pylist() == [0]
+
+
+def test_checkindex_soft_hard_overlap_is_warning(ray_session, tmp_path):
+    """soft-delete then hard-delete the same doc: CheckIndex stays ok
+    (the overlap is legal; merge hard-wins) but reports a warning."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.check import check_index
+    from lucene_solr_ray.index.deletes import delete_doc_ids
+    from lucene_solr_ray.index.softdeletes import soft_delete_doc_ids
+
+    p = _write_docs(tmp_path, {0: "alpha", 1: "beta", 2: "gamma"})
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id")
+    soft_delete_doc_ids(out, [1])
+    delete_doc_ids(out, [1])
+    rep = check_index(out)
+    assert rep["ok"], rep["errors"]
+    assert any("overlap" in w for w in rep["warnings"])
+
+
+def test_retention_query_with_wildcard(ray_session, tmp_path):
+    """apply_soft_deletes_policy rewrites pattern terms in the retention
+    query before the per-segment fan-out (was: TypeError inside the Ray
+    task; non-matching docs would harden incorrectly)."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.softdeletes import (
+        apply_soft_deletes_policy,
+        soft_delete_by_query,
+        soft_deleted_ords,
+    )
+    from lucene_solr_ray.search.searcher import Index
+
+    p = _write_docs(tmp_path, {
+        0: "keep alpha", 1: "drop beta", 2: "drop retainme",
+        3: "keep gamma", 4: "drop retainer",
+    })
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id",
+                docs_per_segment=3)
+    soft_delete_by_query(out, "drop")
+    apply_soft_deletes_policy(out, retention_query="retain*")
+    idx = Index(out)
+    # docs 2,4 (retain*) stay soft — visible unwrapped; doc 1 hardened
+    after = set(idx.search({0: "drop"}, k=10).column("doc_id").to_pylist())
+    assert after == {2, 4}
+    total_soft = sum(len(soft_deleted_ords(d)) for d in idx.seg_dirs)
+    assert total_soft == 2
