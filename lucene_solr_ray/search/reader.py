@@ -142,6 +142,9 @@ class SegmentReader:
             os.path.join(seg_dir, "postings.parquet"), columns=cols
         )
         self._terms: List[str] = t.column("term").to_pylist()
+        # Arrow view of the term dictionary (zero extra copy) — pattern
+        # expansion runs C kernels over it instead of a Python loop
+        self._terms_arrow = t.column("term").combine_chunks()
         self._term_row: Dict[str, int] = {
             term: i for i, term in enumerate(self._terms)
         }
@@ -288,6 +291,10 @@ class SegmentReader:
     @property
     def terms(self) -> List[str]:
         return self._terms
+
+    @property
+    def terms_arrow(self) -> "pa.Array":
+        return self._terms_arrow
 
     def term_stats(self, term: str) -> Optional[Tuple[int, int]]:
         r = self._term_row.get(term)

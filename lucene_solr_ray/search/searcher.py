@@ -182,8 +182,51 @@ def _match_bare_arrow(pattern: Query, terms) -> List[str]:
                 ),
             )
         cand = pc.filter(terms, m).to_pylist()
+        if len(cand) > 64:
+            keep = _edit_distance_le_bulk(base, cand, k)
+            return [t for t, ok in zip(cand, keep) if ok]
         return [t for t in cand if _edit_distance_le(base, t, k)]
     raise TypeError(type(pattern))
+
+
+def _edit_distance_le_bulk(base: str, cands: List[str], k: int) -> np.ndarray:
+    """Vectorized Levenshtein ≤ k over MANY candidates at once: one DP
+    row per base char, each a numpy min over (n_cands, max_len) arrays —
+    the per-candidate Python DP was the warm-pool fuzzy-expansion tail.
+    Candidate lengths are already windowed to len(base) ± k, so max_len
+    is small and the loop count is |base| × max_len numpy kernels."""
+    n = len(cands)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    lens = np.fromiter((len(c) for c in cands), dtype=np.int64, count=n)
+    max_len = int(lens.max())
+    # char matrix, 0-padded; unicode-safe via UCS4 codepoints — built with
+    # ONE encode over the joined candidates + a vectorized scatter
+    joined = np.frombuffer(
+        "".join(cands).encode("utf-32-le"), dtype=np.uint32
+    )
+    buf = np.zeros((n, max_len), dtype=np.uint32)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    row = np.repeat(np.arange(n), lens)
+    colidx = np.arange(len(joined)) - np.repeat(starts, lens)
+    buf[row, colidx] = joined
+    base_cp = np.frombuffer(base.encode("utf-32-le"), dtype=np.uint32)
+    col = np.arange(max_len + 1, dtype=np.int32)
+    prev = np.broadcast_to(col, (n, max_len + 1)).copy()
+    for bi, bc in enumerate(base_cp, start=1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = bi
+        sub_cost = (buf != bc).astype(np.int32)  # (n, max_len)
+        diag = prev[:, :-1] + sub_cost
+        up = prev[:, 1:] + 1
+        best = np.minimum(diag, up)
+        # left-to-right insert propagation can't be fully vectorized, but
+        # max_len ≤ |base|+k keeps this loop tiny
+        for j in range(1, max_len + 1):
+            cur[:, j] = np.minimum(best[:, j - 1], cur[:, j - 1] + 1)
+        prev = cur
+    final = prev[np.arange(n), lens]
+    return final <= k
 
 
 def _match_bare(pattern: Query, terms: Sequence[str]) -> List[str]:
@@ -321,7 +364,20 @@ class _StatsFn:
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq
 
-        rows = []
+        # partial aggregation: this task may hold MANY segments; sum each
+        # (kind, key)'s stats across them so the task emits ≤ |keys| rows
+        # no matter how many segments it processed (the groupby in
+        # collect_stats then folds the per-task partials in-cluster)
+        partial: Dict[Tuple[str, str], List[int]] = {}
+
+        def emit(kind: str, key: str, df: int, ttf: int) -> None:
+            cur = partial.get((kind, key))
+            if cur is None:
+                partial[(kind, key)] = [df, ttf]
+            else:
+                cur[0] += df
+                cur[1] += ttf
+
         for seg_dir in batch.column("seg_dir").to_pylist():
             path = os.path.join(seg_dir, "postings.parquet")
             if self.terms:
@@ -337,10 +393,7 @@ class _StatsFn:
                     t.column("df").to_pylist(),
                     t.column("ttf").to_pylist(),
                 ):
-                    rows.append(
-                        {"kind": "stat", "key": tm,
-                         "df": int(df), "ttf": int(ttf)}
-                    )
+                    emit("stat", tm, int(df), int(ttf))
             if self.patterns:
                 t = pq.read_table(path, columns=["term", "df", "ttf"])
                 term_col = t.column("term").combine_chunks()
@@ -369,12 +422,11 @@ class _StatsFn:
                         else:
                             counted.add(tm)
                             df_v, ttf_v = int(dfs[i]), int(ttfs[i])
-                        rows.append(
-                            {"kind": f"pat{pi}", "key": tm,
-                             "df": df_v, "ttf": ttf_v}
-                        )
-        if not rows:
-            rows = []
+                        emit(f"pat{pi}", tm, df_v, ttf_v)
+        rows = [
+            {"kind": kind, "key": key, "df": v[0], "ttf": v[1]}
+            for (kind, key), v in partial.items()
+        ]
         return pa.Table.from_pylist(
             rows,
             schema=pa.schema(
@@ -582,18 +634,69 @@ class Index:
             respect_soft_deletes=respect_soft_deletes,
         )
 
-    def collect_stats(
-        self, terms: List[str], patterns: Optional[List[Query]] = None
-    ) -> Tuple[GlobalStats, Dict[Query, Tuple[str, ...]]]:
-        """Exact global (df, ttf) for ``terms`` + multi-term expansions —
-        one metadata-only map over the segments, summed on the driver."""
+    def _collect_stats_rows(
+        self, terms: List[str], patterns: List[Query]
+    ) -> List[dict]:
+        """The distributed half of :meth:`collect_stats`: per-task partial
+        (kind, key, df, ttf) sums over batches of segments, folded
+        IN-CLUSTER to one row per distinct (kind, key) — the driver
+        receives ≤ |terms| + |expansions| rows at ANY segment count (the
+        ExactStatsCache contract, ``IndexSearcher.java:780-792``;
+        previously one row per term PER SEGMENT was summed driver-side)."""
+        import ray
         import ray.data
 
-        patterns = patterns or []
         seg_items = [
             {"seg_dir": d, "seg_ord": i}
             for i, d in enumerate(self.seg_dirs)
         ]
+        # each stats task reads many segments' term-dict metadata: cap the
+        # task count at a cluster-sized multiple, not one per segment
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_blocks = max(1, min(len(seg_items), 4 * cpus))
+
+        def _fold(batch: pa.Table) -> pa.Table:
+            acc: Dict[Tuple[str, str], List[int]] = {}
+            for kind, key, df, ttf in zip(
+                batch.column("kind").to_pylist(),
+                batch.column("key").to_pylist(),
+                batch.column("df").to_pylist(),
+                batch.column("ttf").to_pylist(),
+            ):
+                cur = acc.get((kind, key))
+                if cur is None:
+                    acc[(kind, key)] = [df, ttf]
+                else:
+                    cur[0] += df
+                    cur[1] += ttf
+            return pa.Table.from_pylist(
+                [
+                    {"kind": k[0], "key": k[1], "df": v[0], "ttf": v[1]}
+                    for k, v in acc.items()
+                ],
+                schema=batch.schema,
+            )
+
+        return (
+            ray.data.from_items(seg_items, override_num_blocks=n_blocks)
+            .map_batches(
+                _StatsFn(list(terms), patterns),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            # coalesce the per-task partials into ONE fold task (no sort
+            # shuffle; the partials are ≤ |keys| rows per task)
+            .repartition(1)
+            .map_batches(_fold, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+
+    def collect_stats(
+        self, terms: List[str], patterns: Optional[List[Query]] = None
+    ) -> Tuple[GlobalStats, Dict[Query, Tuple[str, ...]]]:
+        """Exact global (df, ttf) for ``terms`` + multi-term expansions —
+        one metadata-only map over the segments, folded in-cluster."""
+        patterns = patterns or []
         stats = GlobalStats(
             doc_count=self.manifest["doc_count"],
             sum_total_term_freq=self.manifest["sum_total_term_freq"],
@@ -605,13 +708,7 @@ class Index:
         )
         expansions: Dict[Query, set] = {p: set() for p in patterns}
         if terms or patterns:
-            ds = ray.data.from_items(
-                seg_items, override_num_blocks=len(seg_items)
-            )
-            parts = ds.map_batches(
-                _StatsFn(list(terms), patterns), batch_format="pyarrow"
-            ).take_all()
-            for r in parts:
+            for r in self._collect_stats_rows(list(terms), patterns):
                 if r["kind"] != "stat":
                     expansions[patterns[int(r["kind"][3:])]].add(r["key"])
                 stats.df[r["key"]] = stats.df.get(r["key"], 0) + r["df"]

@@ -34,7 +34,6 @@ from lucene_solr_ray.search.searcher import (
     Index,
     _collect_patterns,
     _merge_topk,
-    match_terms,
     rewrite_query,
 )
 from lucene_solr_ray.search.similarity import BM25Similarity
@@ -75,14 +74,72 @@ def _make_actor_cls():
                         out[t] = (df + st[0], ttf + st[1])
             return out
 
-        def expand(self, patterns) -> List[List[str]]:
-            out = []
-            for pat in patterns:
-                acc = set()
-                for reader, _ in self.readers:
-                    acc.update(match_terms(pat, reader.terms))
-                out.append(sorted(acc))
-            return out
+        def cold_meta(self, terms: List[str], patterns):
+            """Everything a cold query needs in ONE round trip: this
+            actor's (df, ttf) partials for the explicit terms, each
+            pattern's expansion, AND the expanded terms' partials (so the
+            blended-fuzzy rewrite needs no follow-up stats call).  The
+            pattern scan runs Arrow kernels over the reader's term
+            column, not a Python loop."""
+            from lucene_solr_ray.search.searcher import match_terms_arrow
+
+            stats: Dict[str, Tuple[int, int]] = {}
+            expansions: List[set] = [set() for _ in patterns]
+
+            def acc(t: str, reader) -> None:
+                st = reader.term_stats(t)
+                if st:
+                    df, ttf = stats.get(t, (0, 0))
+                    stats[t] = (df + st[0], ttf + st[1])
+
+            for reader, _ in self.readers:
+                counted = set(terms)
+                for t in terms:
+                    acc(t, reader)
+                for pi, pat in enumerate(patterns):
+                    ms = match_terms_arrow(pat, reader.terms_arrow)
+                    expansions[pi].update(ms)
+                    for t in ms:
+                        if t not in counted:
+                            counted.add(t)
+                            acc(t, reader)
+            return {
+                "stats": stats,
+                "expansions": [sorted(e) for e in expansions],
+            }
+
+        def prime(self) -> int:
+            """firstSearcher warming (Solr's solrconfig warm-up queries):
+            exercise the scoring + expansion code paths once so the first
+            real query doesn't pay module-import and kernel-JIT costs."""
+            from lucene_solr_ray.search.query import FuzzyQuery, TermQuery
+            from lucene_solr_ray.search.scorer import (
+                GlobalStats,
+                topk_segment,
+            )
+            from lucene_solr_ray.search.searcher import match_terms_arrow
+
+            n = 0
+            for reader, _ in self.readers:
+                ts = reader.terms
+                if not ts:
+                    continue
+                t0 = ts[0]
+                st = reader.term_stats(t0) or (1, 1)
+                gs = GlobalStats(
+                    doc_count=max(reader.stats["doc_count"], 1),
+                    sum_total_term_freq=max(
+                        reader.stats["sum_total_term_freq"], 1
+                    ),
+                )
+                gs.df[t0], gs.ttf[t0] = st
+                topk_segment(reader, TermQuery(t0), gs, 1)
+                match_terms_arrow(
+                    FuzzyQuery(t0[:3] or t0, max_edits=1),
+                    reader.terms_arrow,
+                )
+                n += 1
+            return n
 
         def search(self, parsed, stats: GlobalStats, sim) -> List[dict]:
             from lucene_solr_ray.search.scorer import topk_segment
@@ -147,11 +204,21 @@ class QueryEngine:
             for dirs, ords in parts if dirs
         ]
 
-    def warm(self) -> None:
-        """Block until every actor has loaded its segments."""
+    def warm(self, queries: Optional[Sequence[str]] = None,
+             k: int = 10) -> None:
+        """Block until every actor has loaded its segments AND run the
+        firstSearcher-style warm-up: one scoring + one expansion per
+        reader, plus (optionally) a list of representative warm-up
+        queries executed end-to-end with results discarded — the role of
+        Solr's configured ``firstSearcher``/``newSearcher`` listener
+        queries (``solr/core/src/java/org/apache/solr/core/
+        QuerySenderListener.java``), which exist precisely so production
+        latency never pays first-execution costs."""
         import ray
 
-        ray.get([a.term_stats.remote([]) for a in self.actors])
+        ray.get([a.prime.remote() for a in self.actors])
+        for q in queries or ():
+            self.search({0: q}, k=k)
 
     def _stats_for(self, terms: Sequence[str],
                    patterns: List[Query]) -> Tuple[GlobalStats, Dict]:
@@ -160,24 +227,37 @@ class QueryEngine:
         missing = [t for t in terms if t not in self._stats_cache]
         new_patterns = [p for p in patterns if p not in self._expansion_cache]
         if missing or new_patterns:
-            futs = [a.term_stats.remote(missing) for a in self.actors]
-            efuts = (
-                [a.expand.remote(new_patterns) for a in self.actors]
-                if new_patterns else []
+            # ONE actor round trip covers missing-term stats, pattern
+            # expansions, and the expanded terms' stats (cold queries
+            # previously paid 2-3 sequential rounds — the warm-pool p99
+            # tail)
+            parts = ray.get(
+                [a.cold_meta.remote(missing, new_patterns)
+                 for a in self.actors]
             )
-            for part in ray.get(futs):
-                for t, (df, ttf) in part.items():
-                    df0, ttf0 = self._stats_cache.get(t, (0, 0))
-                    self._stats_cache[t] = (df0 + df, ttf0 + ttf)
+            # sum per-actor partials for keys we did NOT already have
+            # (an actor re-reports a cached term only when a new pattern
+            # matches it; adding that would double-count)
+            known = set(self._stats_cache)
+            fresh: Dict[str, Tuple[int, int]] = {}
+            for part in parts:
+                for t, (df, ttf) in part["stats"].items():
+                    if t in known:
+                        continue
+                    df0, ttf0 = fresh.get(t, (0, 0))
+                    fresh[t] = (df0 + df, ttf0 + ttf)
+            self._stats_cache.update(fresh)
             for t in missing:
                 self._stats_cache.setdefault(t, (0, 0))
-            if new_patterns:
-                per_actor = ray.get(efuts)
-                for pi, pat in enumerate(new_patterns):
-                    acc = set()
-                    for pa_ in per_actor:
-                        acc.update(pa_[pi])
-                    self._expansion_cache[pat] = tuple(sorted(acc))
+            for pi, pat in enumerate(new_patterns):
+                acc = set()
+                for part in parts:
+                    acc.update(part["expansions"][pi])
+                self._expansion_cache[pat] = tuple(sorted(acc))
+                # expansion terms' stats are now cached too — the blended
+                # rewrite's top-up becomes a cache hit
+                for t in self._expansion_cache[pat]:
+                    self._stats_cache.setdefault(t, (0, 0))
         expansions = {p: self._expansion_cache[p] for p in patterns}
         m = self.index.manifest
         stats = GlobalStats(

@@ -97,6 +97,42 @@ def test_checkindex_soft_hard_overlap_is_warning(ray_session, tmp_path):
     assert any("overlap" in w for w in rep["warnings"])
 
 
+def test_collect_stats_rows_independent_of_segment_count(ray_session,
+                                                         tmp_path):
+    """The stats pass folds per-segment partials IN-CLUSTER: the driver
+    receives one row per distinct key no matter how many segments the
+    index has (was: one row per key per segment, summed driver-side)."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Index
+
+    docs = {i: f"alpha beta word{i}" for i in range(24)}
+    p = _write_docs(tmp_path, docs)
+    one = str(tmp_path / "one_seg")
+    many = str(tmp_path / "many_seg")
+    build_index(p, one, text_col="text", id_col="doc_id",
+                docs_per_segment=1000)
+    build_index(p, many, text_col="text", id_col="doc_id",
+                docs_per_segment=2)
+    i1, im = Index(one), Index(many)
+    assert len(im.seg_dirs) > 8 and len(i1.seg_dirs) == 1
+    terms = ["alpha", "beta", "word3", "nosuchterm"]
+    r1 = i1._collect_stats_rows(terms, [])
+    rm = im._collect_stats_rows(terms, [])
+    # same number of driver-visible rows despite 12× the segments, and
+    # bounded by the number of terms actually present
+    assert len(r1) == len(rm) == 3
+    # identical aggregated stats
+    def as_map(rows):
+        return {r["key"]: (r["df"], r["ttf"]) for r in rows}
+    assert as_map(r1) == as_map(rm)
+    assert as_map(r1)["alpha"] == (24, 24)
+    # and the search built on them is identical
+    q = {0: "alpha beta", 1: "word3"}
+    t1 = i1.search(q, k=5)
+    tm = im.search(q, k=5)
+    assert t1.column("doc_id").to_pylist() == tm.column("doc_id").to_pylist()
+
+
 def test_retention_query_with_wildcard(ray_session, tmp_path):
     """apply_soft_deletes_policy rewrites pattern terms in the retention
     query before the per-segment fan-out (was: TypeError inside the Ray
