@@ -34,6 +34,8 @@ __all__ = [
     "TrimFilter",
     "ASCIIFoldingFilter",
     "SynonymFilter",
+    "SynonymGraphFilter",
+    "FlattenGraphFilter",
     "ShingleFilter",
     "NGramFilter",
     "EdgeNGramFilter",
@@ -159,6 +161,173 @@ class SynonymFilter(TokenFilter):
             for s in syns:
                 out.append((s, p))
         return out
+
+
+class SynonymGraphFilter(TokenFilter):
+    """``SynonymGraphFilter`` + ``FlattenGraphFilter`` — MULTI-WORD
+    synonyms with graph semantics, flattened to index positions
+    (reference ``lucene/analysis/common/src/java/org/apache/lucene/
+    analysis/synonym/SynonymGraphFilter.java:81`` and
+    ``core/.../analysis/graph/... FlattenGraphFilter.java``; test vectors
+    from ``TestSynonymGraphFilter.java``).
+
+    Rules map a space-separated phrase to space-separated replacements:
+    ``{"new york": ["nyc"], "dns": ["domain name service"]}``.  Matching
+    is leftmost-longest and non-overlapping over consecutive stream
+    entries (the FST longest-match the reference performs); each match
+    inserts a side path into the token graph.  Because a Lucene INDEX
+    stores only positions (posLength is discarded at index time), the
+    flattened (term, position) stream this filter emits is exactly what
+    the reference's index-time ``SynonymGraphFilter → FlattenGraphFilter``
+    pair commits:
+
+    - ``"dns is up"`` with dns → "domain name service" (keep_original):
+      dns@0, domain@0, name@1, service@2, is@3, up@4 — the longest side
+      path defines the span, later tokens shift.
+    - ``"new york city"`` with "new york" → nyc: new@0, nyc@0, york@1,
+      city@2 — the single-token synonym stacks at the span start.
+
+    Stop-word position holes are preserved through flattening, as
+    ``FlattenGraphFilter`` keeps incoming position increments where
+    possible.  Use :meth:`expand_graph` to inspect the unflattened graph
+    (with posLength) — the analogue of reading PositionLengthAttribute
+    before flattening."""
+
+    def __init__(self, synonyms: Dict[str, Sequence[str]],
+                 keep_original: bool = True):
+        self.rules: Dict[Tuple[str, ...], List[Tuple[str, ...]]] = {}
+        for k, vals in synonyms.items():
+            key = tuple(k.split())
+            if not key:
+                continue
+            self.rules.setdefault(key, []).extend(
+                tuple(v.split()) for v in vals
+            )
+        self.max_len = max((len(k) for k in self.rules), default=1)
+        self.keep_original = keep_original
+
+    # -- graph construction -------------------------------------------------
+
+    def expand_graph(
+        self, stream: Stream
+    ) -> List[Tuple[str, Tuple[float, int], Tuple[float, int]]]:
+        """Token graph as (term, start_node, end_node); node ids order
+        topologically.  Input position p is node (p, -1); synthetic nodes
+        inside a side path get fractional keys + a unique id."""
+        by_pos: Dict[int, List[str]] = {}
+        for t, p in stream:
+            by_pos.setdefault(p, []).append(t)
+        positions = sorted(by_pos)
+        matched_at: Dict[int, Tuple[int, Tuple[str, ...]]] = {}
+        consumed: set = set()
+        i = 0
+        while i < len(positions):
+            hit = None
+            for n in range(min(self.max_len, len(positions) - i), 0, -1):
+                window = positions[i: i + n]
+                # one token per entry must spell a rule key (stacked
+                # tokens offer alternatives, tried in stream order)
+                for key in self._spellings(by_pos, window):
+                    if key in self.rules:
+                        hit = (n, key)
+                        break
+                if hit:
+                    break
+            if hit and hit[0] >= 1 and self.rules.get(hit[1]):
+                n, key = hit
+                matched_at[i] = (n, key)
+                if not self.keep_original:
+                    for off, p in enumerate(positions[i: i + n]):
+                        consumed.add((p, key[off]))
+                i += n
+            else:
+                i += 1
+
+        uid = [0]
+        graph: List[Tuple[str, Tuple[float, int], Tuple[float, int]]] = []
+        for t, p in stream:
+            if (p, t) not in consumed:
+                graph.append((t, (float(p), -1), (float(p) + 1.0, -1)))
+        for i, (n, key) in matched_at.items():
+            ps = positions[i]
+            pe = positions[i + n - 1] + 1
+            start: Tuple[float, int] = (float(ps), -1)
+            end: Tuple[float, int] = (float(pe), -1)
+            for rep in self.rules[key]:
+                m = len(rep)
+                prev = start
+                for k, term in enumerate(rep):
+                    if k == m - 1:
+                        nxt = end
+                    else:
+                        uid[0] += 1
+                        nxt = (
+                            ps + (k + 1) * (pe - ps) / m,
+                            uid[0],
+                        )
+                    graph.append((term, prev, nxt))
+                    prev = nxt
+        return graph
+
+    def _spellings(self, by_pos, window):
+        """Every way to pick one token per window entry (stream order)."""
+        outs: List[Tuple[str, ...]] = [()]
+        for p in window:
+            outs = [o + (t,) for o in outs for t in by_pos[p]]
+            if len(outs) > 64:  # stacked-token blowup guard
+                outs = outs[:64]
+        return outs
+
+    def apply(self, stream: Stream) -> Stream:
+        return FlattenGraphFilter.flatten(self.expand_graph(stream))
+
+
+class FlattenGraphFilter(TokenFilter):
+    """``FlattenGraphFilter`` (reference ``lucene/core/src/java/org/
+    apache/lucene/analysis/graph`` — required after index-time
+    SynonymGraphFilter).  :class:`SynonymGraphFilter`'s ``apply`` already
+    fuses the flatten (the 2-tuple stream cannot carry an unflattened
+    graph), so in a chain this filter is an identity marker; the class
+    method :meth:`flatten` is the real algorithm, shared by both."""
+
+    def apply(self, stream: Stream) -> Stream:
+        return stream
+
+    @staticmethod
+    def flatten(graph) -> Stream:
+        """Longest-path layering of the token graph: a node WITH incoming
+        edges sits at max(source + 1) — side paths compress or stretch
+        the layout, exactly like the reference's output-node frontier.  A
+        node with NO incoming edges marks a true hole (stop-word gap): it
+        keeps its distance from the nearest preceding graph node, so
+        holes survive flattening but consumed spans (keep_original=False)
+        legitimately compress."""
+        if not graph:
+            return []
+        in_edges: Dict[Tuple[float, int], List[Tuple[float, int]]] = {}
+        nodes = set()
+        for t, s, e in graph:
+            nodes.add(s)
+            nodes.add(e)
+            in_edges.setdefault(e, []).append(s)
+        out: Dict[Tuple[float, int], int] = {}
+        prev: Optional[Tuple[float, int]] = None
+        for node in sorted(nodes):
+            ins = in_edges.get(node)
+            if ins:
+                out[node] = max(out[s] + 1 for s in ins)
+            elif prev is None:
+                out[node] = int(node[0])  # leading hole preserved
+            else:
+                out[node] = out[prev] + max(1, round(node[0] - prev[0]))
+            prev = node
+        flat = [
+            (t, out[s], out[e] - out[s]) for t, s, e in graph
+        ]
+        # stable order: position, longer paths (posLength) first — the
+        # reference emits the spanning token before the tokens under it
+        flat.sort(key=lambda x: (x[1], -x[2]))
+        return [(t, p) for t, p, _ in flat]
 
 
 class ShingleFilter(TokenFilter):

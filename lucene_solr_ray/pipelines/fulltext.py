@@ -2852,3 +2852,93 @@ FROM (
 )
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# synonym_graph_docs — multi-word synonyms (SynonymGraphFilter +
+# FlattenGraphFilter, round 5)
+# ---------------------------------------------------------------------------
+
+
+def _synonym_analyzer():
+    from lucene_solr_ray.analysis.filters import (
+        CustomAnalyzer,
+        LowerCaseFilter,
+        SynonymGraphFilter,
+    )
+
+    return CustomAnalyzer(filters=[
+        LowerCaseFilter(),
+        SynonymGraphFilter({
+            "merge sort": ["msort"],       # multi-word → single token
+            "spark": ["spark engine"],     # single token → multi-word
+        }),
+    ])
+
+
+def documents_index_syn(sf_dir: str) -> Index:
+    """Cached index over documents analyzed through the synonym graph
+    chain (``SynonymGraphFilter`` → ``FlattenGraphFilter``, the
+    reference's index-time multi-word synonym configuration)."""
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"documents_syn_v{FORMAT_VERSION}_{key}")
+    if read_latest_manifest(out) is None:
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            text_col="text",
+            id_col="doc_id",
+            docs_per_segment=DOCS_PER_SEGMENT,
+            analyzer=_synonym_analyzer(),
+        )
+    return Index(out)
+
+
+def synonym_graph_docs(sf_dir: str) -> pa.Table:
+    """Multi-word synonym gate with a POSITIONAL oracle:
+
+    - ``msort`` (term): matches docs where the synonym rule "merge sort"
+      → msort fired — i.e. 'merge' immediately followed by 'sort';
+    - ``"spark engine"`` (phrase): matches docs containing the token
+      'spark' (expanded to the two-token side path at index time);
+    - ``"slow fast"`` (phrase): adjacency must survive the graph filter's
+      position shifts — a doc where an expansion landed BETWEEN the two
+      words must not match, exactly like the raw-text adjacency test.
+
+    Columns (q, doc_id), sorted.  Queries parse through a PLAIN analyzer
+    — synonyms applied at index time only, the reference's recommended
+    configuration (expanding on both sides double-counts)."""
+    from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+
+    idx = documents_index_syn(sf_dir)
+    t = idx.search(
+        {0: "msort", 1: '"spark engine"', 2: '"slow fast"'},
+        k=100_000,
+        analyzer=StandardAnalyzer(),
+    )
+    labels = {0: "msort", 1: "spark_engine", 2: "slow_fast"}
+    qs = [labels[q] for q in t.column("qid").to_pylist()]
+    out = pa.table(
+        {"q": pa.array(qs, pa.string()), "doc_id": t.column("doc_id")}
+    )
+    return out.sort_by([("q", "ascending"), ("doc_id", "ascending")])
+
+
+def synonym_graph_docs_sql() -> str:
+    # raw-text adjacency reproduces the graph semantics: "merge sort"
+    # fires on adjacency; phrase "spark engine" hits every doc carrying
+    # the token spark (index-time expansion); "slow fast" is plain
+    # adjacency (positions preserved through flattening)
+    return """
+SELECT 'msort' AS q, doc_id FROM documents
+WHERE (' ' || text || ' ') LIKE '% merge sort %'
+UNION ALL
+SELECT 'slow_fast' AS q, doc_id FROM documents
+WHERE (' ' || text || ' ') LIKE '% slow fast %'
+UNION ALL
+SELECT 'spark_engine' AS q, doc_id FROM documents
+WHERE (' ' || text || ' ') LIKE '% spark %'
+ORDER BY q, doc_id
+"""
