@@ -495,18 +495,35 @@ class CustomAnalyzer(StandardAnalyzer):
     with default settings)."""
 
     def __init__(self, filters: Sequence[TokenFilter] = (),
-                 max_token_length: Optional[int] = None):
+                 max_token_length: Optional[int] = None,
+                 char_filters: Sequence = ()):
         super().__init__(
             max_token_length=max_token_length
             or StandardAnalyzer().max_token_length
         )
         self.filters = list(filters)
+        #: pre-tokenizer CharFilters (``Analyzer.initReader`` slot):
+        #: applied in order before tokenization; their OffsetMaps chain
+        #: token offsets back to the ORIGINAL text
+        self.char_filters = list(char_filters)
+
+    def _char_filter(self, text: str):
+        """Run the CharFilter chain; returns (clean_text, maps) where
+        maps apply outermost-last (compose corrections in reverse)."""
+        maps = []
+        for cf in self.char_filters:
+            text, omap = cf.apply(text)
+            maps.append(omap)
+        return text, maps
 
     def _run(self, text: str) -> Stream:
         from lucene_solr_ray.analysis.tokenizer import (
             tokenize,
             tokenize_with_offsets,
         )
+
+        if self.char_filters:
+            text, _ = self._char_filter(text)
 
         if any(getattr(f, "needs_offsets", False) for f in self.filters):
             # offset-consuming filters (CJKBigramFilter) see the source
@@ -572,6 +589,9 @@ class CustomAnalyzer(StandardAnalyzer):
                 f"({', '.join(type(f).__name__ for f in unsafe)}): "
                 "their tokens have no single source span"
             )
+        maps = []
+        if self.char_filters:
+            text, maps = self._char_filter(text)
         triples = tokenize_with_offsets(text, self.max_token_length)
         # run the chain over (term, position) while carrying spans by
         # POSITION: every offset-safe filter maps position→position
@@ -582,8 +602,13 @@ class CustomAnalyzer(StandardAnalyzer):
         for t, p in stream:
             terms.append(t)
             positions.append(p)
-            starts.append(triples[p][1])
-            ends.append(triples[p][2])
+            s, e = triples[p][1], triples[p][2]
+            # chain corrections back through the CharFilters, innermost
+            # (last applied) first — CharFilter.correctOffset composition
+            for omap in reversed(maps):
+                s, e = omap.correct(s), omap.correct(e)
+            starts.append(s)
+            ends.append(e)
         return terms, positions, starts, ends, len(terms)
 
     def normalize(self, text: str) -> str:

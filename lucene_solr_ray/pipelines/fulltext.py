@@ -2942,3 +2942,123 @@ SELECT 'spark_engine' AS q, doc_id FROM documents
 WHERE (' ' || text || ' ') LIKE '% spark %'
 ORDER BY q, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# html_highlight_docs — CharFilter layer with offset correction (round 5)
+# ---------------------------------------------------------------------------
+
+
+def html_highlight_docs(sf_dir: str) -> pa.Table:
+    """Offset-exact highlighting on an HTML corpus (HTMLStripCharFilter).
+
+    Deterministic markup over the documents table: the content is padded
+    with spaces, every whole-word ``fast`` wrapped in ``<em>…</em>``
+    (inline tag — stripped to nothing), then framed as
+    ``<div>&nbsp;…&nbsp;</div>`` (block tag + entity).  For each doc the
+    FIRST ``fast`` token and the FIRST ``merge`` token are located by the
+    analyzer and their offsets corrected back into the raw HTML; the
+    emitted snippet is ``html[start:end]`` — byte-equality against the
+    SQL-computed substring proves the correction math.  Per the
+    reference's ``BaseCharFilter.correct`` contract, an end offset at a
+    strip boundary extends past the stripped region, so the ``fast``
+    snippet is exactly ``fast</em>``.
+
+    Columns (q, doc_id, start, end, snippet), sorted.  This is ONE
+    ``map_batches`` over the corpus — stateless, no shuffle."""
+    import ray.data
+
+    from lucene_solr_ray.analysis.charfilter import HTMLStripCharFilter
+    from lucene_solr_ray.analysis.filters import (
+        CustomAnalyzer,
+        LowerCaseFilter,
+    )
+
+    ana = CustomAnalyzer(
+        filters=[LowerCaseFilter()],
+        char_filters=[HTMLStripCharFilter()],
+    )
+
+    def _hl(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            wrap = (" " + (text or "") + " ").replace(
+                " fast ", " <em>fast</em> "
+            )
+            html = "<div>&nbsp;" + wrap + "&nbsp;</div>"
+            terms, _, starts, ends, _ = ana.analyze_with_offsets(html)
+            for q in ("fast", "merge"):
+                try:
+                    i = terms.index(q)
+                except ValueError:
+                    continue
+                s, e = starts[i], ends[i]
+                rows.append({
+                    "q": q, "doc_id": int(doc_id),
+                    "start": int(s), "end": int(e),
+                    "snippet": html[s:e],
+                })
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema([
+                ("q", pa.string()), ("doc_id", pa.int64()),
+                ("start", pa.int64()), ("end", pa.int64()),
+                ("snippet", pa.string()),
+            ]),
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(_hl, batch_format="pyarrow")
+        .take_all()
+    )
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([
+            ("q", pa.string()), ("doc_id", pa.int64()),
+            ("start", pa.int64()), ("end", pa.int64()),
+            ("snippet", pa.string()),
+        ]),
+    )
+    return t.sort_by([("q", "ascending"), ("doc_id", "ascending")])
+
+
+def html_highlight_docs_sql() -> str:
+    # the same construction in SQL; strpos is 1-based.  html prefix
+    # '<div>&nbsp;' is 11 chars.  fast: token starts 4 chars into
+    # '<em>fast</em>' and its corrected end extends past '</em>'
+    # (reference correct() at a strip boundary).  merge: plain token,
+    # located within the WRAPPED string so earlier <em> inserts shift it.
+    return """
+WITH h AS (
+  SELECT doc_id,
+         '<div>&nbsp;' || replace(' ' || text || ' ', ' fast ',
+                                  ' <em>fast</em> ') || '&nbsp;</div>'
+         AS html
+  FROM documents
+),
+f AS (
+  SELECT doc_id, html, strpos(html, '<em>fast</em>') AS p FROM h
+),
+m AS (
+  SELECT doc_id, html, strpos(html, ' merge ') AS p FROM h
+)
+SELECT 'fast' AS q, doc_id,
+       CAST(p + 3 AS BIGINT) AS start,
+       CAST(p + 12 AS BIGINT) AS "end",
+       substr(html, p + 4, 9) AS snippet
+FROM f WHERE p > 0
+UNION ALL
+SELECT 'merge' AS q, doc_id,
+       CAST(p AS BIGINT) AS start,
+       CAST(p + 5 AS BIGINT) AS "end",
+       substr(html, p + 1, 5) AS snippet
+FROM m WHERE p > 0
+ORDER BY q, doc_id
+"""
