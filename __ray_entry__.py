@@ -32,7 +32,7 @@ def entry() -> Any:
 # adding gates: new gates belong near the front.
 _PRIORITY: list[str] = [
     # -- new round-5 gates (never driver-verified) ------------------------
-    "synonym_graph_docs", "html_highlight_docs",
+    "synonym_graph_docs", "html_highlight_docs", "atomic_update_docs",
     # -- new round-4 gates (never driver-verified) ------------------------
     "common_terms_docs", "intervals_docs", "taxonomy_facet_docs",
     "drill_sideways_docs", "sql_select_limit", "sql_join_orders",
@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_wildcard_docs": fulltext.field_wildcard_docs,
         "synonym_graph_docs": fulltext.synonym_graph_docs,
         "html_highlight_docs": fulltext.html_highlight_docs,
+        "atomic_update_docs": fulltext.atomic_update_docs,
         "delete_then_search": fulltext.delete_then_search,
         "soft_delete_then_search": fulltext.soft_delete_then_search,
         "numeric_range_topk": fulltext.numeric_range_topk,
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "field_wildcard_docs": fulltext.field_wildcard_docs_sql(),
         "synonym_graph_docs": fulltext.synonym_graph_docs_sql(),
         "html_highlight_docs": fulltext.html_highlight_docs_sql(),
+        "atomic_update_docs": fulltext.atomic_update_docs_sql(),
         "delete_then_search": fulltext.delete_then_search_sql(),
         "soft_delete_then_search": fulltext.soft_delete_then_search_sql(),
         "numeric_range_topk": fulltext.numeric_range_topk_sql(),

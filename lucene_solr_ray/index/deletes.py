@@ -295,6 +295,7 @@ def update_documents(
     doc_ids: Sequence[int],
     texts: Sequence[Optional[str]],
     analyzer=None,
+    stored: Optional[Dict[str, Sequence]] = None,
 ) -> Dict:
     """``updateDocument``: delete-by-id + re-add committed as ONE manifest
     generation.  Readers resolve sidecar generations from the committed
@@ -326,6 +327,13 @@ def update_documents(
         list(doc_ids), list(texts), analyzer,
         with_offsets=with_offsets, with_payloads=with_payloads,
     )
+    docmeta = seg.docmeta
+    if stored:
+        # docstore columns ride along docmeta, as in the build path —
+        # replacement docs must carry the index's stored fields or
+        # column reads across segments would break
+        for c, vals in stored.items():
+            docmeta = docmeta.append_column(c, pa.array(list(vals)))
     segs = _apply_delete(index_dir, by_doc_ids=ids, commit=False)
     new_id = max(s["segment_id"] for s in segs) + 1
     meta = {
@@ -334,7 +342,7 @@ def update_documents(
         "analyzer": analyzer.spec(),
         "lineage": {"added_docs": len(list(doc_ids)), "update": True},
     }
-    write_segment_dir(index_dir, new_id, seg.postings, seg.docmeta, meta)
+    write_segment_dir(index_dir, new_id, seg.postings, docmeta, meta)
     # 2) ONE commit carrying both the del_gen bumps and the new segment
     return commit_manifest(index_dir, segs + [meta])
 

@@ -3062,3 +3062,81 @@ SELECT 'merge' AS q, doc_id,
 FROM m WHERE p > 0
 ORDER BY q, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# atomic_update_docs — AtomicUpdateDocumentMerger + tolerant chain (round 5)
+# ---------------------------------------------------------------------------
+
+
+def atomic_update_docs(sf_dir: str) -> pa.Table:
+    """Atomic-update gate (``AtomicUpdateDocumentMerger``): private index
+    storing ``n_chars``; apply text add/remove (re-index path, stored
+    column propagated) and numeric set→inc (in-place DV path, chained —
+    idempotent across re-runs because the set re-stamps the base), then
+    verify via search membership and the mutated column:
+
+    - ``zz`` rows: docs matching the token added to doc 1;
+    - ``value`` rows: docs containing token 'value' after it was removed
+      from doc 4;
+    - ``n_chars`` rows: current column values for docs 1-4 (1 and 4 kept
+      their stored value through the re-index; 2 = 100+5; 3 = 77).
+
+    Columns (q, doc_id, val), sorted."""
+    from lucene_solr_ray.index.atomic import (
+        _current_stored,
+        atomic_update_documents,
+    )
+    from lucene_solr_ray.index.segment import FORMAT_VERSION
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"documents_atu_v{FORMAT_VERSION}_{key}")
+    corpus = os.path.join(sf_dir, "documents.parquet")
+    if read_latest_manifest(out) is None:
+        build_index(
+            corpus, out, text_col="text", id_col="doc_id",
+            stored_cols=["n_chars"], docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    _, errors = atomic_update_documents(out, corpus, [
+        {"doc_id": 1, "text": {"add": "zzadded"}},
+        {"doc_id": 4, "text": {"remove": "value"}},
+        {"doc_id": 2, "n_chars": {"set": 100}},
+        {"doc_id": 3, "n_chars": {"set": 77}},
+        # a malformed update the tolerant chain must isolate
+        {"doc_id": 0, "nosuchfield": {"set": 1}},
+    ], tolerant=True)
+    assert len(errors) == 1 and errors[0]["doc_id"] == 0
+    atomic_update_documents(out, corpus, [
+        {"doc_id": 2, "n_chars": {"inc": 5}},
+    ])
+    idx = Index(out)
+    rows = []
+    for d in idx.search({0: "zzadded"}, k=100_000).column(
+            "doc_id").to_pylist():
+        rows.append({"q": "zz", "doc_id": int(d), "val": 0})
+    for d in idx.search({0: "value"}, k=100_000).column(
+            "doc_id").to_pylist():
+        rows.append({"q": "value", "doc_id": int(d), "val": 0})
+    cur = _current_stored(out, [1, 2, 3, 4], ["n_chars"])
+    for d in (1, 2, 3, 4):
+        rows.append({"q": "n_chars", "doc_id": d,
+                     "val": int(cur[d]["n_chars"])})
+    t = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("q", pa.string()), ("doc_id", pa.int64()), ("val", pa.int64()),
+    ]))
+    return t.sort_by([("q", "ascending"), ("doc_id", "ascending")])
+
+
+def atomic_update_docs_sql() -> str:
+    return """
+SELECT 'zz' AS q, CAST(1 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS val
+UNION ALL
+SELECT 'value' AS q, doc_id, CAST(0 AS BIGINT) AS val FROM documents
+WHERE list_contains(string_split(text, ' '), 'value') AND doc_id <> 4
+UNION ALL
+SELECT 'n_chars' AS q, doc_id,
+       CAST(CASE doc_id WHEN 2 THEN 105 WHEN 3 THEN 77
+            ELSE n_chars END AS BIGINT) AS val
+FROM documents WHERE doc_id IN (1, 2, 3, 4)
+ORDER BY q, doc_id
+"""
