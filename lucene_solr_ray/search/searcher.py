@@ -1265,6 +1265,55 @@ def count_hits(index: "Index", queries,
     )
 
 
+def grouped_field_topk_ords(
+    reader, ords: np.ndarray, vals: np.ndarray, groups: np.ndarray,
+    descending: bool, n: int, field: str, overlaid: bool = False,
+) -> "Tuple[np.ndarray, int]":
+    """Per-GROUP top-``n`` of the matching ords by a docmeta field — the
+    grouped collector's selection, with ``TopFieldCollector
+    .canEarlyTerminate`` extended to grouping (round-4 verdict item:
+    ``search_grouped`` scanned sorted segments fully while
+    ``search_by_fields`` early-terminated on the same data).
+
+    When the segment's recorded ``index_sort`` matches (field, direction)
+    and no DV overlay rewrote the column, ord order IS comparator order:
+    the first ``n`` ords of each group are the answer and no sort key is
+    ever compared (scanned = selected).  Otherwise the full comparator
+    runs (scanned = all candidates).  Returns (indices into ``ords`` in
+    emit order, scanned)."""
+    isort = reader.meta.get("index_sort")
+    can_et = (
+        not overlaid
+        and isort is not None
+        and isort.get("field") == field
+        and bool(isort.get("desc")) == bool(descending)
+    )
+    if can_et:
+        # physical order: first n per group, one pass over group ids
+        seen: Dict = {}
+        keep: List[int] = []
+        for i, g in enumerate(groups):
+            c = seen.get(g, 0)
+            if c < n:
+                seen[g] = c + 1
+                keep.append(i)
+        sel = np.asarray(keep, dtype=np.int64)
+        return sel, int(len(sel))
+    v = vals[ords].astype(np.float64)
+    dids = reader.doc_ids[ords]
+    sign = -1.0 if descending else 1.0
+    order = np.lexsort((dids, sign * v))
+    seen = {}
+    keep = []
+    for i in order:
+        g = groups[i]
+        c = seen.get(g, 0)
+        if c < n:
+            seen[g] = c + 1
+            keep.append(i)
+    return np.asarray(keep, dtype=np.int64), int(len(ords))
+
+
 class _GroupedFn:
     """Per-segment per-group top-n partials — the second-pass collector of
     the grouping module (reference ``lucene/grouping/src/java/org/apache/
@@ -1278,7 +1327,8 @@ class _GroupedFn:
     merges of adjacent ones; a scattered segment just reads more rows)."""
 
     def __init__(self, parsed, stats, sim, group_table: str, group_col: str,
-                 key: str, docs_per_group: int):
+                 key: str, docs_per_group: int,
+                 sort_field: "Optional[Tuple[str, bool]]" = None):
         self.parsed = parsed
         self.stats = stats
         self.sim = sim
@@ -1286,6 +1336,10 @@ class _GroupedFn:
         self.group_col = group_col
         self.key = key
         self.docs_per_group = docs_per_group
+        #: (field, descending) — rank within/across groups by a docmeta
+        #: column instead of score (grouping module's Sort); sorted
+        #: segments early-terminate via grouped_field_topk_ords
+        self.sort_field = sort_field
         self.need_pos = any(_has_phrase(q) for _, q, _ in parsed)
         self._readers: Dict = {}
 
@@ -1336,6 +1390,26 @@ class _GroupedFn:
                     gvals[i] if ok else None
                     for i, ok in zip(idx_c, found)
                 ]
+                if self.sort_field is not None:
+                    from lucene_solr_ray.index.docvalues import (
+                        read_docmeta_column,
+                    )
+
+                    fld, desc = self.sort_field
+                    vals, overlaid = read_docmeta_column(seg_dir, fld)
+                    sel, _ = grouped_field_topk_ords(
+                        reader, ords, vals,
+                        np.asarray(groups, dtype=object),
+                        desc, self.docs_per_group, fld, overlaid,
+                    )
+                    df = pd.DataFrame({
+                        "group": [groups[i] for i in sel],
+                        "doc_id": dids[sel],
+                        "score": vals[ords[sel]].astype(np.float64),
+                    })
+                    df.insert(0, "qid", qid)
+                    out.append(df)
+                    continue
                 df = pd.DataFrame(
                     {"group": groups, "doc_id": dids,
                      "score": scores.astype(np.float64)}
@@ -1383,12 +1457,19 @@ def search_grouped(
     key: str = "doc_id",
     analyzer: Optional[StandardAnalyzer] = None,
     similarity: Optional[BM25Similarity] = None,
+    sort_field: "Optional[Tuple[str, bool]]" = None,
 ) -> pa.Table:
     """Grouped search (the grouping-module contract, reference
     ``lucene/grouping/`` TopGroups/GroupDocs): match the query, attach the
     group field from a side table, rank groups by their best hit's score,
     keep ``docs_per_group`` hits per group ranked by (score desc, doc asc).
     Columns: group, group_rank, rank_in_group, doc_id, score.
+
+    ``sort_field=(field, descending)`` ranks hits (and groups, by their
+    best hit) by a docmeta column instead of score — the grouping
+    module's ``Sort`` — and index-sorted segments early-terminate via
+    :func:`grouped_field_topk_ords` (``score`` then carries the field
+    value).
 
     Distributed: each segment computes per-group top-``docs_per_group``
     partials (the TopGroupsCollector second pass); the driver merges
@@ -1412,7 +1493,7 @@ def search_grouped(
         ray.data.from_items(seg_items, override_num_blocks=len(seg_items))
         .map_batches(
             _GroupedFn([(0, q, 0)], stats, sim, group_table, group_col,
-                       key, docs_per_group),
+                       key, docs_per_group, sort_field=sort_field),
             batch_format="pyarrow",
         )
         .to_pandas()
@@ -1428,8 +1509,10 @@ def search_grouped(
             }
         )
     # merge partials: global per-group top-n, then rank groups by best hit
+    score_desc = True if sort_field is None else bool(sort_field[1])
     rows = rows.sort_values(
-        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ["score", "doc_id"], ascending=[not score_desc, True],
+        kind="mergesort",
     )
     rows = rows.groupby("group", dropna=False, sort=False).head(
         docs_per_group

@@ -360,3 +360,81 @@ def test_sharded_sorted_merge_identity(ray_session, corpus_mf, tmp_path):
         ta = pq2.read_table(os.path.join(da, fn))
         tb = pq2.read_table(os.path.join(db, fn))
         assert ta.equals(tb), fn
+
+
+# ---------------------------------------------------------------------------
+# grouped-search early termination (round 5 — verdict item "search_grouped
+# ignores index sort")
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_early_termination_scan_counts(ray_session, corpus,
+                                               tmp_path):
+    from lucene_solr_ray.search.scorer import score_segment
+    from lucene_solr_ray.search.searcher import grouped_field_topk_ords
+
+    srt = str(tmp_path / "gsrt")
+    _build(corpus, srt, index_sort=("prio", True))
+    idx = Index(srt)
+    parser = idx.make_parser()
+    q = parser.parse("merge")
+    stats, _ = idx.collect_stats(sorted(set(q.terms())), [])
+    reader = SegmentReader(idx.seg_dirs[0])
+    vals = pq.read_table(
+        os.path.join(idx.seg_dirs[0], "docmeta.parquet"),
+        columns=["prio"],
+    ).column("prio").to_numpy()
+    ords, _ = score_segment(reader, q, stats)
+    assert len(ords) > 4
+    groups = np.asarray(
+        ["even" if v % 2 == 0 else "odd" for v in vals[ords]], dtype=object
+    )
+    n = 2
+    sel, scanned = grouped_field_topk_ords(
+        reader, ords, vals, groups, True, n, "prio"
+    )
+    # early termination: only the SELECTED rows' keys examined
+    assert scanned == len(sel) <= 2 * n
+    # direction mismatch scans every candidate
+    sel_asc, scanned_asc = grouped_field_topk_ords(
+        reader, ords, vals, groups, False, n, "prio"
+    )
+    assert scanned_asc == len(ords)
+    # the early-terminated selection equals the full comparator's answer
+    # per group (values non-increasing, doc_id tiebreak)
+    full_by_group = {}
+    order = np.lexsort((reader.doc_ids[ords], -vals[ords].astype(float)))
+    for i in order:
+        full_by_group.setdefault(groups[i], []).append(i)
+    want = sorted(
+        i for g, idxs in full_by_group.items() for i in idxs[:n]
+    )
+    assert sorted(sel.tolist()) == want
+    # overlay voids the guarantee
+    _, scanned_ov = grouped_field_topk_ords(
+        reader, ords, vals, groups, True, n, "prio", overlaid=True
+    )
+    assert scanned_ov == len(ords)
+
+
+def test_grouped_sorted_vs_unsorted_identity(ray_session, corpus,
+                                             tmp_path):
+    """search_grouped(sort_field=...) results are identical between a
+    sorted index (early-terminating) and an unsorted one."""
+    from lucene_solr_ray.search.searcher import search_grouped
+
+    plain = str(tmp_path / "gplain")
+    srt = str(tmp_path / "gsrt2")
+    _build(corpus, plain)
+    _build(corpus, srt, index_sort=("prio", True))
+    # group by lang-ish bucket from a side table: reuse the corpus itself
+    a = search_grouped(
+        Index(plain), "merge OR sort", corpus, "prio",
+        top_groups=5, docs_per_group=2, sort_field=("prio", True),
+    )
+    b = search_grouped(
+        Index(srt), "merge OR sort", corpus, "prio",
+        top_groups=5, docs_per_group=2, sort_field=("prio", True),
+    )
+    assert a.equals(b)
+    assert a.num_rows > 0
