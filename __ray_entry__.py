@@ -33,6 +33,7 @@ def entry() -> Any:
 _PRIORITY: list[str] = [
     # -- new round-5 gates (never driver-verified) ------------------------
     "synonym_graph_docs", "html_highlight_docs", "atomic_update_docs",
+    "elevation_docs",
     # -- new round-4 gates (never driver-verified) ------------------------
     "common_terms_docs", "intervals_docs", "taxonomy_facet_docs",
     "drill_sideways_docs", "sql_select_limit", "sql_join_orders",
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_graph_docs": fulltext.synonym_graph_docs,
         "html_highlight_docs": fulltext.html_highlight_docs,
         "atomic_update_docs": fulltext.atomic_update_docs,
+        "elevation_docs": fulltext.elevation_docs,
         "delete_then_search": fulltext.delete_then_search,
         "soft_delete_then_search": fulltext.soft_delete_then_search,
         "numeric_range_topk": fulltext.numeric_range_topk,
@@ -170,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_graph_docs": fulltext.synonym_graph_docs_sql(),
         "html_highlight_docs": fulltext.html_highlight_docs_sql(),
         "atomic_update_docs": fulltext.atomic_update_docs_sql(),
+        "elevation_docs": fulltext.elevation_docs_sql(),
         "delete_then_search": fulltext.delete_then_search_sql(),
         "soft_delete_then_search": fulltext.soft_delete_then_search_sql(),
         "numeric_range_topk": fulltext.numeric_range_topk_sql(),

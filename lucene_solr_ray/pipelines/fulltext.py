@@ -3140,3 +3140,51 @@ SELECT 'n_chars' AS q, doc_id,
 FROM documents WHERE doc_id IN (1, 2, 3, 4)
 ORDER BY q, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# elevation_docs — QueryElevationComponent (round 5)
+# ---------------------------------------------------------------------------
+
+#: elevate.xml registry for the gate: pin two ids (the second one need
+#: not match), drop one
+_ELEVATIONS = {"merge": {"elevate": [42, 7], "exclude": [3]}}
+
+
+def elevation_docs(sf_dir: str) -> pa.Table:
+    """QueryElevationComponent gate: query 'merge' with ids 42 and 7
+    pinned first (config order) and id 3 excluded; organic hits follow,
+    ranked on the ROUNDED f64 score (doc_id ties ascending) so the
+    DuckDB oracle rank is ulp-stable."""
+    from lucene_solr_ray.search.searcher import elevated_search
+
+    idx = documents_index(sf_dir)
+    t = elevated_search(
+        idx, "merge", _ELEVATIONS, k=10,
+        similarity=BM25SimilarityF64(), round_scores=4,
+    )
+    return t
+
+
+def elevation_docs_sql() -> str:
+    return _BM25_CTE + """
+, organic AS (
+  SELECT doc_id, ROUND(SUM(tscore), 4) AS score
+  FROM scores WHERE term = 'merge' GROUP BY doc_id
+),
+org_ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM organic WHERE doc_id NOT IN (42, 7, 3)
+),
+pins AS (
+  SELECT * FROM (VALUES (1, 42), (2, 7)) AS p(rank, doc_id)
+)
+SELECT CAST(rank AS INTEGER) AS rank, CAST(p.doc_id AS BIGINT) AS doc_id,
+       TRUE AS elevated, COALESCE(o.score, 0.0) AS score
+FROM pins p LEFT JOIN organic o ON p.doc_id = o.doc_id
+UNION ALL
+SELECT CAST(r + 2 AS INTEGER) AS rank, doc_id, FALSE AS elevated, score
+FROM org_ranked WHERE r <= 8
+ORDER BY rank
+"""

@@ -1543,6 +1543,81 @@ def search_grouped(
     )
 
 
+def elevated_search(
+    index: "Index",
+    query: str,
+    elevations: Dict[str, Dict],
+    k: int = 10,
+    analyzer: Optional[StandardAnalyzer] = None,
+    similarity: Optional[BM25Similarity] = None,
+    round_scores: Optional[int] = None,
+) -> pa.Table:
+    """QueryElevationComponent (reference ``solr/core/src/java/org/apache/
+    solr/handler/component/QueryElevationComponent.java:101``): editorial
+    result curation keyed by the EXACT query string —
+
+    - ``elevate`` ids are pinned to the top in config order, whether or
+      not they match the query (the component injects them); their score
+      is the organic score when they matched, else 0;
+    - ``exclude`` ids never appear;
+    - organic results follow, ranked normally with elevated/excluded ids
+      removed from their organic positions.
+
+    ``elevations = {"query text": {"elevate": [ids], "exclude": [ids]}}``
+    (the elevate.xml registry).  ``round_scores`` ranks organic hits on
+    the ROUNDED score (ties → ascending doc_id) for oracle-stable
+    comparisons.  Columns: rank, doc_id, elevated, score."""
+    cfg = elevations.get(query) or {}
+    elevate = [int(i) for i in cfg.get("elevate", [])]
+    exclude = {int(i) for i in cfg.get("exclude", [])}
+    pinned = set(elevate)
+    fetch_k = k + len(elevate) + len(exclude)
+    t = index.search({0: query}, k=fetch_k, analyzer=analyzer,
+                     similarity=similarity)
+    dids = t.column("doc_id").to_pylist()
+    scores = t.column("score").to_pylist()
+    by_id = {int(d): float(s) for d, s in zip(dids, scores)}
+    # injected docs are SCORED even when they rank below the organic
+    # top-k (the component adds them through a boost query) — resolve
+    # missing pinned scores with explain()'s driver-side evaluation
+    for d in elevate:
+        if d not in by_id:
+            by_id[d] = float(
+                explain(index, query, d, analyzer=analyzer,
+                        similarity=similarity).get("value", 0.0)
+            )
+    if round_scores is not None:
+        organic = sorted(
+            ((d, round(s, round_scores)) for d, s in by_id.items()
+             if d not in exclude and d not in pinned),
+            key=lambda x: (-x[1], x[0]),
+        )
+    else:
+        organic = [
+            (int(d), float(s)) for d, s in zip(dids, scores)
+            if int(d) not in exclude and int(d) not in pinned
+        ]
+    rows = []
+    for d in elevate:
+        s = by_id.get(d, 0.0)
+        if round_scores is not None:
+            s = round(s, round_scores)
+        rows.append({"rank": len(rows) + 1, "doc_id": d,
+                     "elevated": True, "score": float(s)})
+    for d, s in organic:
+        if len(rows) >= k:
+            break
+        rows.append({"rank": len(rows) + 1, "doc_id": d,
+                     "elevated": False, "score": float(s)})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([
+            ("rank", pa.int32()), ("doc_id", pa.int64()),
+            ("elevated", pa.bool_()), ("score", pa.float64()),
+        ]),
+    )
+
+
 class _MatchExportFn:
     """Per-segment full match export: (doc_id, sort value) for EVERY hit —
     the /export handler's per-shard pass (no top-k truncation)."""

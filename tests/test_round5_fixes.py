@@ -133,6 +133,35 @@ def test_collect_stats_rows_independent_of_segment_count(ray_session,
     assert t1.column("doc_id").to_pylist() == tm.column("doc_id").to_pylist()
 
 
+def test_query_elevation(ray_session, tmp_path):
+    """QueryElevationComponent: pinned ids first in config order (scored
+    even when organically below the cut, or injected when not matching),
+    excluded ids absent, organic order preserved otherwise."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Index, elevated_search
+
+    docs = {i: ("merge " * (10 - i)).strip() for i in range(8)}
+    docs[7] = "nothing relevant"          # pinned but does not match
+    p = _write_docs(tmp_path, docs)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id")
+    idx = Index(out)
+    elev = {"merge": {"elevate": [5, 7], "exclude": [0]}}
+    t = elevated_search(idx, "merge", elev, k=5)
+    rows = t.to_pylist()
+    assert [r["doc_id"] for r in rows[:2]] == [5, 7]
+    assert rows[0]["elevated"] and rows[1]["elevated"]
+    assert rows[1]["score"] == 0.0        # injected non-match
+    assert rows[0]["score"] > 0.0         # pinned match keeps its score
+    organic = [r["doc_id"] for r in rows[2:]]
+    assert 0 not in organic and 5 not in organic and 7 not in organic
+    # organic order: doc 1 has the most 'merge's among the remaining
+    assert organic[0] == 1
+    # a query with no elevation config behaves like plain search
+    t2 = elevated_search(idx, "nothing", elev, k=3)
+    assert [r["doc_id"] for r in t2.to_pylist()] == [7]
+
+
 def test_graph_bfs_driver_rows_bounded(ray_session):
     """The BFS hop aggregates in-cluster: the driver receives one row
     per REACHED NODE, independent of edge multiplicity (was: the whole
