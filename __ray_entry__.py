@@ -33,7 +33,7 @@ def entry() -> Any:
 _PRIORITY: list[str] = [
     # -- new round-5 gates (never driver-verified) ------------------------
     "synonym_graph_docs", "html_highlight_docs", "atomic_update_docs",
-    "elevation_docs",
+    "elevation_docs", "sql_two_joins", "sql_distinct",
     # -- new round-4 gates (never driver-verified) ------------------------
     "common_terms_docs", "intervals_docs", "taxonomy_facet_docs",
     "drill_sideways_docs", "sql_select_limit", "sql_join_orders",

@@ -1457,3 +1457,52 @@ ORDER BY l_returnflag
 
 QUERIES["stream_expr_rollup"] = stream_expr_rollup
 ORACLES["stream_expr_rollup"] = STREAM_EXPR_SQL
+
+
+def sql_two_joins(sf_dir: str) -> pd.DataFrame:
+    """SQL multi-join gate (round 5): a left-deep two-join chain
+    (orders ⋈ customer ⋈ nation) through the streaming compiler — safe
+    WHERE conjuncts push below the joins to their own input; the SAME
+    SQL text runs verbatim through DuckDB."""
+    from lucene_solr_ray.stages.sql import sql_query
+
+    out = sql_query(SQL_TWO_JOINS_TEXT, lambda name: _read(sf_dir, name))
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_TWO_JOINS_TEXT = (
+    "SELECT n_name, COUNT(*) AS n, "
+    "MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p "
+    "FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+    "WHERE o_orderpriority = '1-URGENT' "
+    "GROUP BY n_name ORDER BY n_name LIMIT 10"
+)
+
+SQL_TWO_JOINS_SQL = SQL_TWO_JOINS_TEXT.replace(
+    "COUNT(*) AS n", "CAST(COUNT(*) AS BIGINT) AS n"
+)
+
+QUERIES["sql_two_joins"] = sql_two_joins
+ORACLES["sql_two_joins"] = SQL_TWO_JOINS_SQL
+
+
+def sql_distinct(sf_dir: str) -> pd.DataFrame:
+    """SELECT DISTINCT gate (round 5): UniqueStream over the output
+    tuple — per-batch local dedup bounds the shuffle, one grouped
+    head(1) makes it global; the SAME SQL text runs through DuckDB."""
+    from lucene_solr_ray.stages.sql import sql_query
+
+    out = sql_query(SQL_DISTINCT_TEXT, lambda name: _read(sf_dir, name))
+    return out.reset_index(drop=True)
+
+
+SQL_DISTINCT_TEXT = (
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders "
+    "WHERE o_totalprice > 1000 "
+    "ORDER BY o_orderpriority, o_orderstatus"
+)
+
+QUERIES["sql_distinct"] = sql_distinct
+ORACLES["sql_distinct"] = SQL_DISTINCT_TEXT

@@ -55,7 +55,7 @@ _TOKEN = re.compile(
 _KEYWORDS = {
     "select", "from", "where", "group", "by", "having", "order", "limit",
     "and", "or", "not", "as", "asc", "desc", "count", "sum", "avg", "min",
-    "max", "join", "inner", "left", "outer", "on",
+    "max", "join", "inner", "left", "outer", "on", "distinct",
 }
 
 
@@ -362,11 +362,17 @@ def _compile(sql: str, resolver):
 
     p = _Parser(_lex(sql))
     p.take("kw", "select")
+    distinct = False
+    if p.at_kw("distinct"):
+        p.take()
+        distinct = True
     items = p.select_list()
     p.take("kw", "from")
     left_name = p.take("id")
-    join_spec = None  # (how, right_name, left_key, right_key)
-    if p.at_kw("inner", "left", "join"):
+    # chained joins: FROM a JOIN b ON ... JOIN c ON ... (SolrRules
+    # compiles arbitrary Calcite join trees; we compile left-deep chains)
+    joins: List[Tuple[str, str, str, str]] = []
+    while p.at_kw("inner", "left", "join"):
         how = "inner"
         if p.at_kw("inner"):
             p.take()
@@ -384,9 +390,10 @@ def _compile(sql: str, resolver):
         qa, ca = _split_qual(a)
         qb, cb = _split_qual(b)
         # route each side of the ON equality to its table by qualifier
+        # (schema membership resolves the unqualified case at build time)
         if qa == right_name or qb == left_name:
             ca, cb = cb, ca
-        join_spec = (how, right_name, ca, cb)
+        joins.append((how, right_name, ca, cb))
     where = None
     if p.at_kw("where"):
         p.take()
@@ -450,33 +457,58 @@ def _compile(sql: str, resolver):
         return d.select_columns(keep) if 0 < len(keep) < len(names) else d
 
     ds = resolver(left_name)
-    if join_spec is not None:
-        how, right_name, lkey, rkey = join_spec
-        referenced.update({lkey, rkey})
-        right = _prune(resolver(right_name))
+    if joins:
+        for _, _, lkey, rkey in joins:
+            referenced.update({lkey, rkey})
+        rights = [
+            (how, rname, lkey, rkey, _prune(resolver(rname)))
+            for how, rname, lkey, rkey in joins
+        ]
         ds = _prune(ds)
         if where is not None:
-            # push safe conjuncts below the join to their own side: a
-            # conjunct whose columns all belong to one input filters that
-            # input pre-shuffle (predicate pushdown; right-side pushdown
-            # is unsafe under LEFT JOIN — those rows must NULL-extend)
-            lcols = set(ds.schema().names)
-            rcols = set(right.schema().names)
-            lparts, rparts, residual = [], [], []
+            # push safe conjuncts below the joins to their own input: a
+            # conjunct whose columns all belong to EXACTLY ONE input
+            # filters that input pre-shuffle (predicate pushdown;
+            # right-side pushdown is unsafe under LEFT JOIN — those rows
+            # must NULL-extend)
+            inputs = [("__base__", set(ds.schema().names), "inner")] + [
+                (rname, set(r.schema().names), how)
+                for how, rname, _, _, r in rights
+            ]
+            pushed: Dict[str, List] = {}
+            residual = []
             for c in _conjuncts(where):
                 cols = _pred_cols(c, set())
-                if cols <= lcols:
-                    lparts.append(c)
-                elif cols <= rcols and how == "inner":
-                    rparts.append(c)
+                owners = [
+                    (name, how) for name, names, how in inputs
+                    if cols <= names
+                ]
+                if len(owners) == 1 and owners[0][1] == "inner":
+                    pushed.setdefault(owners[0][0], []).append(c)
                 else:
                     residual.append(c)
-            if lparts:
-                ds = _filter_ds(ds, _and_all(lparts))
-            if rparts:
-                right = _filter_ds(right, _and_all(rparts))
+            if "__base__" in pushed:
+                ds = _filter_ds(ds, _and_all(pushed["__base__"]))
+            rights = [
+                (how, rname, lkey, rkey,
+                 _filter_ds(r, _and_all(pushed[rname]))
+                 if rname in pushed else r)
+                for how, rname, lkey, rkey, r in rights
+            ]
             where = _and_all(residual) if residual else None
-        ds = inner_join(ds, right, on=lkey, right_on=rkey, how=how)
+        for how, rname, lkey, rkey, right in rights:
+            # resolve key sides by schema membership (qualifier routing
+            # above covers the qualified form; bare keys route here)
+            lcols = set(ds.schema().names)
+            rcols = set(right.schema().names)
+            if lkey not in lcols and rkey in lcols:
+                lkey, rkey = rkey, lkey
+            if lkey not in lcols or rkey not in rcols:
+                raise SqlError(
+                    f"join keys {lkey!r}={rkey!r} do not resolve to "
+                    f"the accumulated left side and {rname!r}"
+                )
+            ds = inner_join(ds, right, on=lkey, right_on=rkey, how=how)
     else:
         ds = _prune(ds)
     if where is not None:
@@ -517,6 +549,8 @@ def _compile(sql: str, resolver):
 
     aggs = [it for it in items if it[0] == "agg"]
     plain = [it for it in items if it[0] == "col"]
+    if distinct and aggs:
+        raise SqlError("SELECT DISTINCT with aggregates is not supported")
     if aggs:
         spec = [
             (fn, col, alias) if fn != "count" else ("count", None, alias)
@@ -558,6 +592,24 @@ def _compile(sql: str, resolver):
         ds = select(ds, columns=list(dict.fromkeys(cols)),
                     rename=rename or None)
         ds = select(ds, columns=[it[3] for it in plain])
+        if distinct:
+            # SELECT DISTINCT → UniqueStream over the full output tuple:
+            # per-batch local dedup bounds the shuffle, then one grouped
+            # head(1) makes it global (SolrRules compiles DISTINCT to a
+            # unique over the sort stream the same way)
+            keys = [it[3] for it in items]
+
+            def _local_dedup(t: pa.Table) -> pa.Table:
+                return t.group_by(keys).aggregate([]).select(keys)
+
+            def _head1(df: pd.DataFrame) -> pd.DataFrame:
+                return df.head(1)
+
+            ds = (
+                ds.map_batches(_local_dedup, batch_format="pyarrow")
+                .groupby(keys if len(keys) > 1 else keys[0])
+                .map_groups(_head1, batch_format="pandas")
+            )
 
     if having is not None:
         hv = having
