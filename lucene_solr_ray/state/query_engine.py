@@ -21,6 +21,7 @@ executor, ``lucene/core/src/java/org/apache/lucene/search/IndexSearcher
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -179,6 +180,7 @@ class QueryEngine:
         load_positions: bool = True,
         analyzer: Optional[StandardAnalyzer] = None,
         similarity: Optional[BM25Similarity] = None,
+        replicas: Optional[Sequence[str]] = None,
     ):
         import ray
 
@@ -189,20 +191,89 @@ class QueryEngine:
         self.sim = similarity or BM25Similarity()
         self._stats_cache: Dict[str, Tuple[int, int]] = {}
         self._expansion_cache: Dict[Query, Tuple[str, ...]] = {}
+        self._load_positions = load_positions
+
+        # replica-aware serving (reference ``lucene/replicator/.../
+        # IndexRevision.java``: replicas exist to SERVE searches): actors
+        # read their segments from caught-up replica directories,
+        # spreading IO; a replica whose committed segment state does not
+        # match the primary's (stale generation) is dropped — it would
+        # serve a different commit point
+        self._replica_roots = [
+            r for r in (replicas or ())
+            if self._replica_current(index, r)
+        ]
 
         seg_dirs = index.seg_dirs
         n = min(num_actors, max(len(seg_dirs), 1))
         cls = _make_actor_cls()
+        self._actor_cls = cls
         # round-robin assignment (by index — sizes are near-uniform by
         # construction; size-aware binpacking drops in trivially)
         parts: List[Tuple[List[str], List[int]]] = [([], []) for _ in range(n)]
         for i, d in enumerate(seg_dirs):
             parts[i % n][0].append(d)
             parts[i % n][1].append(i)
+        self._parts = [(dirs, ords) for dirs, ords in parts if dirs]
         self.actors = [
-            cls.remote(dirs, ords, load_positions)
-            for dirs, ords in parts if dirs
+            cls.remote(self._serve_dirs(ai, dirs), ords, load_positions)
+            for ai, (dirs, ords) in enumerate(self._parts)
         ]
+
+    @staticmethod
+    def _replica_current(index: Index, replica_dir: str) -> bool:
+        """True iff the replica's committed segment state (ids + delete /
+        DV / soft generations) equals the primary's — the caught-up check
+        the reference's replication handler performs before serving."""
+        from lucene_solr_ray.index.manifest import read_latest_manifest
+
+        rm = read_latest_manifest(replica_dir)
+        if rm is None:
+            return False
+
+        def state(m):
+            return sorted(
+                (int(s["segment_id"]), int(s.get("del_gen", 0)),
+                 int(s.get("soft_del_gen", 0)),
+                 tuple(sorted((s.get("dv_gens") or {}).items())))
+                for s in m["segments"]
+            )
+
+        return state(rm) == state(index.manifest)
+
+    def _serve_dirs(self, actor_i: int, dirs: List[str]) -> List[str]:
+        """Resolve an actor's segment dirs against its replica root
+        (round-robin across replicas; primary serves when none)."""
+        if not self._replica_roots:
+            return dirs
+        root = self._replica_roots[actor_i % len(self._replica_roots)]
+        out = []
+        for d in dirs:
+            rd = os.path.join(root, os.path.basename(os.path.normpath(d)))
+            out.append(rd if os.path.isdir(rd) else d)
+        return out
+
+    def _gather(self, method: str, *args) -> List:
+        """Fan a call to every actor; on an actor death, FAIL OVER by
+        rebuilding that actor's partition from the PRIMARY directories
+        and retrying its call (the replication handler's
+        fall-back-to-master behavior)."""
+        import ray
+
+        futs = [getattr(a, method).remote(*args) for a in self.actors]
+        out: List = []
+        for i, f in enumerate(futs):
+            try:
+                out.append(ray.get(f))
+            except ray.exceptions.RayActorError:
+                dirs, ords = self._parts[i]
+                self.actors[i] = self._actor_cls.remote(
+                    dirs, ords, self._load_positions
+                )
+                out.append(ray.get(
+                    getattr(self.actors[i], method).remote(*args)
+                ))
+        return out
 
     def warm(self, queries: Optional[Sequence[str]] = None,
              k: int = 10) -> None:
@@ -214,9 +285,7 @@ class QueryEngine:
         queries (``solr/core/src/java/org/apache/solr/core/
         QuerySenderListener.java``), which exist precisely so production
         latency never pays first-execution costs."""
-        import ray
-
-        ray.get([a.prime.remote() for a in self.actors])
+        self._gather("prime")
         for q in queries or ():
             self.search({0: q}, k=k)
 
@@ -231,10 +300,7 @@ class QueryEngine:
             # expansions, and the expanded terms' stats (cold queries
             # previously paid 2-3 sequential rounds — the warm-pool p99
             # tail)
-            parts = ray.get(
-                [a.cold_meta.remote(missing, new_patterns)
-                 for a in self.actors]
-            )
+            parts = self._gather("cold_meta", missing, new_patterns)
             # sum per-actor partials for keys we did NOT already have
             # (an actor re-reports a cached term only when a new pattern
             # matches it; adding that would double-count)
@@ -326,9 +392,8 @@ class QueryEngine:
                 more, _ = self._stats_for(extra, [])
                 stats.df.update(more.df)
                 stats.ttf.update(more.ttf)
-        futs = [a.search.remote(parsed, stats, self.sim) for a in self.actors]
         rows: List[dict] = []
-        for part in ray.get(futs):
+        for part in self._gather("search", parsed, stats, self.sim):
             rows.extend(part)
         return _merge_topk(rows, parsed, self.sim.out_dtype)
 
