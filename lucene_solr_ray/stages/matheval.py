@@ -176,6 +176,10 @@ def _predict(model, x):
         return _spline_predict(model, x)
     if isinstance(model, dict) and model.get("type") == "knnRegress":
         return _knn_predict(model, x)
+    if isinstance(model, dict) and model.get("type") == "akima":
+        from lucene_solr_ray.stages.mathml import _akima_predict
+
+        return _akima_predict(model, x)
     slope, intercept = model["slope"], model["intercept"]
     if isinstance(x, (int, float)):
         return slope * x + intercept
@@ -429,6 +433,19 @@ def _run(node, env: Dict[str, Any]):
         # col(stream, field): the field operand is a bare name, not a
         # variable reference — pass it through as a string
         return MATH_FUNCS["col"](_run(args[0], env), args[1][1])
+    if fn == "monteCarlo" and len(args) == 2:
+        # MonteCarloEvaluator.java:35 — re-evaluate the function N times;
+        # per-iteration variability flows through the bound ``mcSeed``
+        # variable (the reference re-populates sampling variables each
+        # iteration from an unseeded RNG; deterministic seeding is this
+        # engine's reproducibility contract — pass mcSeed into sample())
+        n = int(_run(args[1], env))
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            env_i = dict(env)
+            env_i["mcSeed"] = i + 1
+            out[i] = float(_run(args[0], env_i))
+        return out
     a = [_run(x, env) for x in args]
     if fn in MATH_FUNCS:
         return MATH_FUNCS[fn](*a)

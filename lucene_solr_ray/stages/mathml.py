@@ -496,6 +496,16 @@ def _sample(model, n=1, seed=0):
                               size=n)
     if t == "geometric":
         return (rng.geometric(model["p"], size=n) - 1).astype(np.float64)
+    if t == "beta":
+        return rng.beta(model["alpha"], model["beta"], size=n)
+    if t == "constant":
+        return np.full(n, model["value"], dtype=np.float64)
+    if t == "uniform_int":
+        return rng.integers(model["lo"], model["hi"] + 1,
+                            size=n).astype(np.float64)
+    if t == "mvn":
+        return rng.multivariate_normal(model["means"], model["cov"],
+                                       size=n)
     raise EvalError(f"sample() undefined for {t}")
 
 
@@ -781,3 +791,357 @@ ML_FUNCS = {
     "loess": _loess,
     "spline": _spline,
 }
+
+
+# ---------------------------------------------------------------------------
+# round 5: labeled matrices, termVectors/topFeatures, monteCarlo support,
+# remaining distributions + tests
+# ---------------------------------------------------------------------------
+
+
+class LabeledMatrix(np.ndarray):
+    """2-D float matrix carrying row/column labels and attributes — the
+    reference's ``Matrix`` object (``solr/solrj/.../io/eval/Matrix.java``
+    rowLabels/columnLabels/attributes).  A plain ndarray everywhere else,
+    so every existing matrix evaluator accepts it."""
+
+    def __new__(cls, data, column_labels=None, row_labels=None,
+                attributes=None):
+        obj = np.asarray(data, dtype=np.float64).view(cls)
+        obj.column_labels = list(column_labels or [])
+        obj.row_labels = list(row_labels or [])
+        obj.attributes = dict(attributes or {})
+        return obj
+
+    def __array_finalize__(self, obj):
+        if obj is None:
+            return
+        self.column_labels = getattr(obj, "column_labels", [])
+        self.row_labels = getattr(obj, "row_labels", [])
+        self.attributes = getattr(obj, "attributes", {})
+
+
+def _term_vectors(tuples, min_term_length=3, min_doc_freq=0.05,
+                  max_doc_freq=0.5, exclude=None):
+    """``TermVectorsEvaluator.java:35``: TF-IDF matrix over doc tuples
+    carrying a ``terms`` list — vocabulary windowed to
+    [minDocFreq, maxDocFreq] of the doc count, terms shorter than
+    minTermLength (or containing an exclude substring) dropped; cell =
+    sqrt(tf) * (log((N+1)/(df+1)) + 1); column labels are the sorted
+    vocabulary, row labels the tuple ids."""
+    if not isinstance(tuples, (list, tuple)) or not tuples:
+        raise EvalError("termVectors expects a non-empty list of tuples")
+    excludes = list(exclude) if isinstance(exclude, (list, tuple)) else (
+        [exclude] if exclude else []
+    )
+    n = len(tuples)
+    doc_freqs: Dict[str, int] = {}
+    row_labels = []
+    doc_term_lists = []
+    for tup in tuples:
+        terms = tup.get("terms")
+        if terms is None:
+            raise EvalError("document tuples must contain a terms field")
+        row_labels.append(str(tup.get("id", "")))
+        doc_term_lists.append(terms)
+        for term in set(terms):
+            if len(term) < int(min_term_length):
+                continue
+            if any(x in term for x in excludes):
+                continue
+            doc_freqs[term] = doc_freqs.get(term, 0) + 1
+    lo = int(n * float(min_doc_freq))
+    hi = int(n * float(max_doc_freq))
+    doc_freqs = {
+        t: c for t, c in doc_freqs.items() if lo <= c <= hi
+    }
+    features = sorted(doc_freqs)
+    fidx = {t: i for i, t in enumerate(features)}
+    data = np.zeros((n, len(features)), dtype=np.float64)
+    for r, terms in enumerate(doc_term_lists):
+        tf: Dict[str, int] = {}
+        for t in terms:
+            if t in doc_freqs:
+                tf[t] = tf.get(t, 0) + 1
+        for t, f in tf.items():
+            df = doc_freqs[t]
+            data[r, fidx[t]] = np.sqrt(f) * (
+                np.log((n + 1) / (df + 1.0)) + 1.0
+            )
+    return LabeledMatrix(data, column_labels=features,
+                         row_labels=row_labels,
+                         attributes={"docFreqs": dict(doc_freqs)})
+
+
+def _top_features(matrix, k):
+    """``TopFeaturesEvaluator.java:35``: per row, the labels of the k
+    largest values (descending), zero/negative cells included as the
+    reference's plain max-heap does."""
+    labels = getattr(matrix, "column_labels", None)
+    if not labels:
+        raise EvalError(
+            "topFeatures expects a matrix with column labels "
+            "(termVectors output)"
+        )
+    m = _mat(matrix)
+    k = int(k)
+    out = []
+    for row in m:
+        idx = np.lexsort((np.arange(len(row)), -row))[:k]
+        out.append([labels[i] for i in idx])
+    return out
+
+
+def _feature_select(matrix, features):
+    """``FeatureSelectEvaluator``: keep only the named feature columns."""
+    labels = getattr(matrix, "column_labels", None)
+    if not labels:
+        raise EvalError("featureSelect expects a labeled matrix")
+    want = [f for f in labels if f in set(
+        features if isinstance(features, (list, tuple)) else [features]
+    )]
+    idx = [labels.index(f) for f in want]
+    return LabeledMatrix(
+        _mat(matrix)[:, idx], column_labels=want,
+        row_labels=getattr(matrix, "row_labels", []),
+    )
+
+
+def _knn_matrix(matrix, vec, k, dist="euclidean"):
+    """``KnnEvaluator``: the k rows of the matrix nearest to the vector."""
+    m = _mat(matrix)
+    v = _vec(vec)
+    if dist == "cosine":
+        num = m @ v
+        den = np.linalg.norm(m, axis=1) * (np.linalg.norm(v) or 1.0)
+        d = 1.0 - num / np.where(den == 0, 1.0, den)
+    else:
+        d = np.linalg.norm(m - v[None, :], axis=1)
+    idx = np.lexsort((np.arange(len(d)), d))[: int(k)]
+    rl = getattr(matrix, "row_labels", [])
+    return LabeledMatrix(
+        m[idx],
+        column_labels=getattr(matrix, "column_labels", []),
+        row_labels=[rl[i] for i in idx] if rl else [],
+    )
+
+
+def _get_column_labels(m):
+    return list(getattr(m, "column_labels", []) or [])
+
+
+def _get_row_labels(m):
+    return list(getattr(m, "row_labels", []) or [])
+
+
+def _set_column_labels(m, labels):
+    return LabeledMatrix(_mat(m), column_labels=list(labels),
+                         row_labels=getattr(m, "row_labels", []))
+
+
+def _set_row_labels(m, labels):
+    return LabeledMatrix(_mat(m), row_labels=list(labels),
+                         column_labels=getattr(m, "column_labels", []))
+
+
+def _get_attribute(m, name):
+    return dict(getattr(m, "attributes", {}) or {}).get(name)
+
+
+def _get_attributes(m):
+    return dict(getattr(m, "attributes", {}) or {})
+
+
+def _dist_beta(alpha, beta) -> Dict:
+    return {"type": "beta", "alpha": float(alpha), "beta": float(beta)}
+
+
+def _dist_constant(value) -> Dict:
+    return {"type": "constant", "value": float(value)}
+
+
+def _dist_uniform_int(lo, hi) -> Dict:
+    return {"type": "uniform_int", "lo": int(lo), "hi": int(hi)}
+
+
+def _dist_mvn(means, cov) -> Dict:
+    return {"type": "mvn", "means": _vec(means), "cov": _mat(cov)}
+
+
+def _anova(*vectors):
+    """``AnovaEvaluator``: one-way ANOVA over ≥2 vectors — returns
+    {f-ratio, p-value} via the regularized incomplete beta (the same
+    textbook route the t-test here uses)."""
+    groups = [_vec(v) for v in vectors]
+    if len(groups) < 2:
+        raise EvalError("anova requires at least two vectors")
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = np.mean(np.concatenate(groups))
+    ss_between = sum(len(g) * (np.mean(g) - grand) ** 2 for g in groups)
+    ss_within = sum(((g - np.mean(g)) ** 2).sum() for g in groups)
+    df1, df2 = k - 1, n - k
+    if df2 <= 0 or ss_within == 0:
+        raise EvalError("anova: degenerate inputs")
+    f = (ss_between / df1) / (ss_within / df2)
+    # p = 1 - F_cdf(f; df1, df2) via I_x(df2/2, df1/2)
+    x = df2 / (df2 + df1 * f)
+    p = _betainc(df2 / 2.0, df1 / 2.0, x)
+    return {"f-ratio": float(f), "p-value": float(p)}
+
+
+def _earth_movers(a, b):
+    """``EarthMoversEvaluator``: 1-D EMD between two equal-length
+    distributions = Σ|running flow|."""
+    va, vb = _vec(a), _vec(b)
+    if len(va) != len(vb):
+        raise EvalError("earthMovers expects equal-length vectors")
+    return float(np.abs(np.cumsum(va - vb)[:-1]).sum()) if len(va) > 1 \
+        else 0.0
+
+
+def _akima(x, y):
+    """``AkimaEvaluator``: Akima cubic interpolation model (the classic
+    1970 slope-weighting construction; public textbook algorithm)."""
+    xv, yv = _vec(x), _vec(y)
+    if len(xv) < 5:
+        raise EvalError("akima requires at least 5 points")
+    m = np.diff(yv) / np.diff(xv)
+    mm = np.concatenate((
+        [2 * m[0] - m[1], 2 * m[0] - m[1]], m,
+        [2 * m[-1] - m[-2], 2 * m[-1] - m[-2]],
+    ))
+    w1 = np.abs(mm[3:] - mm[2:-1])
+    w2 = np.abs(mm[1:-2] - mm[:-3])
+    den = w1 + w2
+    t = np.where(den == 0, (mm[1:-2] + mm[2:-1]) / 2.0,
+                 (w1 * mm[1:-2] + w2 * mm[2:-1]) / np.where(den == 0, 1,
+                                                            den))
+    return {"type": "akima", "x": xv, "y": yv, "t": t}
+
+
+def _akima_predict(model, x):
+    xv, yv, t = model["x"], model["y"], model["t"]
+    xq = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    i = np.clip(np.searchsorted(xv, xq, side="right") - 1, 0,
+                len(xv) - 2)
+    h = xv[i + 1] - xv[i]
+    d = xq - xv[i]
+    m = (yv[i + 1] - yv[i]) / h
+    p0, p1 = yv[i], t[i]
+    p2 = (3 * m - 2 * t[i] - t[i + 1]) / h
+    p3 = (t[i] + t[i + 1] - 2 * m) / h ** 2
+    out = p0 + p1 * d + p2 * d ** 2 + p3 * d ** 3
+    return out if np.ndim(x) else float(out[0])
+
+
+def _unitize(x):
+    """``UnitEvaluator``: scale rows (matrix) / the vector to length 1."""
+    a = np.asarray(x, dtype=np.float64)
+    if a.ndim == 2:
+        nrm = np.linalg.norm(a, axis=1, keepdims=True)
+        return a / np.where(nrm == 0, 1.0, nrm)
+    nrm = np.linalg.norm(a)
+    return a / (nrm or 1.0)
+
+
+def _index_of(v, x):
+    """``IndexOfEvaluator``: first index of x in the vector, else -1."""
+    a = _vec(v)
+    hits = np.nonzero(a == float(x))[0]
+    return float(hits[0]) if len(hits) else -1.0
+
+
+def _if_then_else(cond, a, b):
+    """``IfThenElseEvaluator`` — vectorized ternary."""
+    c = np.asarray(cond)
+    if c.ndim == 0:
+        return a if bool(c) else b
+    return np.where(c.astype(bool), a, b)
+
+
+def _density(dist, x):
+    """``DensityEvaluator``: per-point pdf for continuous distributions
+    (pmf for the discrete ones, via probability)."""
+    t = dist["type"]
+    xv = np.atleast_1d(np.asarray(x, dtype=np.float64))
+
+    def out(v):
+        return v if np.ndim(x) else float(v[0])
+
+    if t == "normal":
+        m, s = dist["mean"], dist["sd"]
+        return out(np.exp(-((xv - m) ** 2) / (2 * s * s))
+                   / (s * np.sqrt(2 * np.pi)))
+    if t == "uniform":
+        lo, hi = dist["lo"], dist["hi"]
+        return out(np.where((xv >= lo) & (xv <= hi),
+                            1.0 / (hi - lo), 0.0))
+    if t == "lognormal":
+        mu, sg = dist["mu"], dist["sigma"]
+        v = np.where(
+            xv > 0,
+            np.exp(-((np.log(np.where(xv > 0, xv, 1.0)) - mu) ** 2)
+                   / (2 * sg * sg))
+            / (np.where(xv > 0, xv, 1.0) * sg * np.sqrt(2 * np.pi)),
+            0.0,
+        )
+        return out(v)
+    if t == "gamma":
+        k, th = dist["shape"], dist["scale"]
+        v = np.where(
+            xv > 0,
+            np.exp((k - 1) * np.log(np.where(xv > 0, xv, 1.0))
+                   - xv / th - math.lgamma(k) - k * np.log(th)),
+            0.0,
+        )
+        return out(v)
+    if t == "weibull":
+        k, lam = dist["shape"], dist["scale"]
+        z = np.where(xv >= 0, xv / lam, 0.0)
+        return out(np.where(
+            xv >= 0, (k / lam) * z ** (k - 1) * np.exp(-(z ** k)), 0.0))
+    if t == "beta":
+        a, b = dist["alpha"], dist["beta"]
+        lb = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b))
+        inside = (xv > 0) & (xv < 1)
+        xs = np.where(inside, xv, 0.5)
+        return out(np.where(
+            inside,
+            np.exp(lb + (a - 1) * np.log(xs) + (b - 1) * np.log(1 - xs)),
+            0.0,
+        ))
+    if t == "triangular":
+        lo, md, hi = dist["lo"], dist["mode"], dist["hi"]
+        up = 2 * (xv - lo) / ((hi - lo) * (md - lo)) if md > lo else 0.0
+        dn = 2 * (hi - xv) / ((hi - lo) * (hi - md)) if hi > md else 0.0
+        v = np.where((xv >= lo) & (xv <= md), up,
+                     np.where((xv > md) & (xv <= hi), dn, 0.0))
+        return out(v)
+    # discrete: density == pmf
+    return out(np.asarray([_probability(dist, float(v)) for v in xv]))
+
+
+ML_FUNCS.update({
+    "termVectors": _term_vectors,
+    "topFeatures": _top_features,
+    "featureSelect": _feature_select,
+    "knn": _knn_matrix,
+    "getColumnLabels": _get_column_labels,
+    "getRowLabels": _get_row_labels,
+    "setColumnLabels": _set_column_labels,
+    "setRowLabels": _set_row_labels,
+    "getAttribute": _get_attribute,
+    "getAttributes": _get_attributes,
+    "betaDistribution": _dist_beta,
+    "constantDistribution": _dist_constant,
+    "uniformIntegerDistribution": _dist_uniform_int,
+    "multiVariateNormalDistribution": _dist_mvn,
+    "anova": _anova,
+    "earthMovers": _earth_movers,
+    "akima": _akima,
+    "unitize": _unitize,
+    "indexOf": _index_of,
+    "if": _if_then_else,
+    "density": _density,
+})
