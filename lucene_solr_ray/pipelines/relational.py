@@ -1506,3 +1506,34 @@ SQL_DISTINCT_TEXT = (
 
 QUERIES["sql_distinct"] = sql_distinct
 ORACLES["sql_distinct"] = SQL_DISTINCT_TEXT
+
+
+def stream_expr_plumbing(sf_dir: str) -> pd.DataFrame:
+    """Textual plumbing-decorator gate (round 5): list/tup/null/priority
+    compose — two null() counters and a priority() branch over the
+    orders table, one row each."""
+    from lucene_solr_ray.stages.streamexpr import StreamFactory
+
+    f = StreamFactory(tables=lambda name: _read(sf_dir, name))
+    out = f.run(
+        'list('
+        'null(search(orders, q="o_totalprice > 100000")), '
+        'null(search(orders, q="o_totalprice <= 100000")))'
+    ).to_pandas()
+    out["nullCount"] = out["nullCount"].astype("int64")
+    return out.sort_values("nullCount").reset_index(drop=True)
+
+
+STREAM_EXPR_PLUMBING_SQL = """
+SELECT CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+       AS nullCount
+FROM orders
+UNION ALL
+SELECT CAST(COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS BIGINT)
+       AS nullCount
+FROM orders
+ORDER BY nullCount
+"""
+
+QUERIES["stream_expr_plumbing"] = stream_expr_plumbing
+ORACLES["stream_expr_plumbing"] = STREAM_EXPR_PLUMBING_SQL

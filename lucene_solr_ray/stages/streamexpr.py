@@ -577,6 +577,134 @@ class StreamFactory:
             )
         return env
 
+    # -- plumbing / orchestration decorators (round 5: the textual forms
+    # of the programmatic streams in stages/plumbing.py, model.py,
+    # graph.py — reference solr/solrj/.../io/stream/) -----------------------
+
+    def _s_tup(self, node):
+        """tup(a=1, b="x"): one-tuple stream of literals/evaluated exprs."""
+        from lucene_solr_ray.stages.matheval import math_eval
+        from lucene_solr_ray.stages.plumbing import tup_stream
+
+        def _coerce(v):
+            if isinstance(v, _Node):
+                return math_eval(_node_to_eval_expr(v))
+            if isinstance(v, str) and re.fullmatch(r"-?\d+", v):
+                return int(v)
+            if isinstance(v, str) and re.fullmatch(
+                    r"-?\d+\.\d+", v):
+                return float(v)
+            return v
+
+        fields = {k: _coerce(v) for k, v in node.params.items()}
+        return tup_stream(**fields)
+
+    def _s_echo(self, node):
+        from lucene_solr_ray.stages.plumbing import echo_stream
+
+        return echo_stream(str(node.args[0]))
+
+    def _s_null(self, node):
+        from lucene_solr_ray.stages.plumbing import null_stream
+
+        return null_stream(self._build(node.args[0]))
+
+    def _s_list(self, node):
+        from lucene_solr_ray.stages.plumbing import list_stream
+
+        return list_stream(*(self._build(a) for a in node.args))
+
+    # plist executes its operands in parallel — every stage here is
+    # already distributed, so the textual form shares list()'s build
+    _s_plist = _s_list
+
+    def _s_cell(self, node):
+        from lucene_solr_ray.stages.plumbing import cell_stream
+
+        return cell_stream(str(node.args[0]), self._build(node.args[1]))
+
+    def _s_priority(self, node):
+        from lucene_solr_ray.stages.plumbing import priority_stream
+
+        return priority_stream(
+            self._build(node.args[0]), self._build(node.args[1])
+        )
+
+    def _s_executor(self, node):
+        """executor(stream, threads=N): run each tuple's expr_s through
+        this factory, discarding inner tuples (fire-and-forget
+        dispatcher; failures are reported, not raised)."""
+        import ray.data
+
+        from lucene_solr_ray.stages.plumbing import executor_stream
+
+        inner = self._build(node.args[0])
+
+        def compile_fn(expr: str):
+            def run():
+                built = self.run(expr)
+                if hasattr(built, "materialize"):
+                    built.materialize()
+                return built
+
+            return run
+
+        return executor_stream(
+            inner, compile_fn,
+            threads=int(node.params.get("threads", 3)),
+        )
+
+    def _s_eval(self, node):
+        """eval(stream): read the FIRST tuple's expr_s and run it as a
+        streaming expression (EvalStream)."""
+        inner = self._build(node.args[0])
+        rows = inner.take(1) if hasattr(inner, "take") else [
+            inner.iloc[0].to_dict()
+        ]
+        if not rows:
+            raise StreamExprError("eval(): inner stream is empty")
+        return self.run(str(rows[0]["expr_s"]))
+
+    def _s_model(self, node):
+        """model(modelDir, modelID): the latest stored model tuple."""
+        from lucene_solr_ray.stages.model import load_model
+
+        return load_model(str(node.args[0]), str(node.args[1]))
+
+    def _s_classify(self, node):
+        """classify(model(dir, id), stream, field="text")."""
+        from lucene_solr_ray.stages.model import classify_stream
+
+        model_node, stream_node = node.args[0], node.args[1]
+        model = (
+            self._s_model(model_node)
+            if isinstance(model_node, _Node)
+            and model_node.name == "model"
+            else model_node
+        )
+        ds = self._build(stream_node)
+        return classify_stream(ds, model, str(node.params["field"]))
+
+    def _s_scoreNodes(self, node):
+        """scoreNodes(gatherNodes(...), collection, field="x",
+        termFreq=col)."""
+        from lucene_solr_ray.stages.graph import score_nodes
+
+        nodes = self._build(node.args[0])
+        if hasattr(nodes, "to_pandas"):
+            nodes = nodes.to_pandas()
+        docs = self.tables(str(node.args[1]))
+        return score_nodes(
+            nodes, docs, str(node.params["field"]),
+            term_freq_col=str(node.params.get("termFreq", "ancestors")),
+        )
+
+    def _s_commit(self, node):
+        """commit(stream): pass-through barrier — the update() sink
+        commits atomically per partition already, so commit() simply
+        drains its inner stream (CommitStream's wrap-the-update role)."""
+        return self._build(node.args[0])
+
 
 def _node_to_eval_expr(v) -> str:
     """Render a parsed evaluator subtree back to the evaluator-compiler

@@ -239,3 +239,94 @@ def test_graph_decorators(ray_session):
     sp = f.run('shortestPath(edges, edge="src->dst", from=0, to=4)')
     assert sp["node"].tolist() == [0, 1, 3, 4] or \
         sp["node"].tolist() == [0, 2, 3, 4]
+
+
+def test_plumbing_decorators(factory):
+    """Round-5 textual forms: tup/echo/null/list/cell/priority."""
+    f, orders, _ = factory
+    t = f.run('tup(a=1, b="x", c=add(2, 3))')
+    row = t.take_all()[0]
+    assert row["a"] == 1 and row["b"] == "x" and float(row["c"]) == 5.0
+    e = f.run('echo("hello world")').take_all()
+    assert e == [{"echo": "hello world"}]
+    n = f.run('null(search(orders, q="*:*"))').take_all()
+    assert n[0]["nullCount"] == len(orders)
+    ls = f.run('list(tup(a=1), tup(a=2))').take_all()
+    assert sorted(r["a"] for r in ls) == [1, 2]
+    c = f.run('cell(rows, tup(a=7))').take_all()[0]
+    assert c["rows"][0]["a"] == 7
+    hi = f.run('priority(tup(a=1), tup(a=2))').take_all()
+    assert hi == [{"a": 1}]
+    lo = f.run(
+        'priority(having(tup(a=1), gt(a, 5)), tup(a=2))'
+    ).take_all()
+    assert lo == [{"a": 2}]
+
+
+def test_executor_eval_decorators(factory, ray_session, tmp_path):
+    """executor() runs each tuple's expr_s through the factory
+    (fire-and-forget, failures isolated); eval() runs the first one and
+    RETURNS its stream."""
+    f, orders, _ = factory
+    stat = f.run(
+        'executor(list(tup(expr_s="null(search(orders, q=\'*:*\'))"), '
+        'tup(expr_s="bogus(zzz)")), threads=2)'
+    ).take_all()
+    by = {r["expr_s"]: r for r in stat}
+    assert by['null(search(orders, q=\'*:*\'))']["ok"] is True
+    assert by["bogus(zzz)"]["ok"] is False
+    out = f.run('eval(tup(expr_s="tup(a=9)"))').take_all()
+    assert out == [{"a": 9}]
+
+
+def test_scorenodes_textual(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.stages.streamexpr import StreamFactory
+
+    edges = pd.DataFrame({
+        "src": [0, 0, 1, 2],
+        "dst": [1, 2, 3, 3],
+    })
+    docs = pd.DataFrame({"part": [1, 2, 3, 3, 3, 9]})
+    tabs = {
+        "edges": edges,
+        "docs": docs,
+    }
+    f = StreamFactory(tables=lambda n: ray.data.from_pandas(tabs[n]))
+    out = f.run(
+        'scoreNodes(gatherNodes(edges, walk="src->dst", root="0", '
+        'maxDepthBreadth=2), docs, field="part")'
+    )
+    assert "nodeScore" in out.columns
+    # ScoreNodesStream formula: (ln(tf)+1) * (ln((N+1)/(df+1))+1)
+    import math
+
+    sc = dict(zip(out["node"], out["nodeScore"]))
+    def want(tf, df, n=6):
+        return (math.log(tf) + 1) * (math.log((n + 1) / (df + 1)) + 1)
+    assert abs(sc[1] - want(1, 1)) < 1e-9
+    assert abs(sc[3] - want(2, 3)) < 1e-9
+
+
+def test_classify_textual(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_solr_ray.stages.model import save_model
+    from lucene_solr_ray.stages.streamexpr import StreamFactory
+
+    mdir = str(tmp_path / "models")
+    save_model(
+        mdir, "m1",
+        terms=["alpha", "beta"], weights=[0.0, 2.0, -1.0],
+        idfs=[1.0, 1.0],
+    )
+    docs = pd.DataFrame({"text": ["alpha alpha", "beta beta beta"]})
+    f = StreamFactory(tables=lambda n: ray.data.from_pandas(docs))
+    out = f.run(
+        f'classify(model("{mdir}", "m1"), search(docs, q="*:*"), '
+        'field="text")'
+    )
+    rows = (out.to_pandas() if hasattr(out, "to_pandas") else out)
+    assert "probability_d" in rows.columns
+    assert rows["probability_d"][0] > rows["probability_d"][1]
