@@ -90,18 +90,32 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     """
     idx = documents_index(sf_dir)
     # ONE batched search job for the whole query set (one stats pass + one
-    # scoring pass over all segments), with per-query k via search_parsed
+    # scoring pass over all segments), with per-query k via search_parsed.
+    # Oracle-tie hardening (TODO-ROUND5 #9): DuckDB's parallel SUM
+    # accumulation order can flip exact-f64 ranks at ulp-tied boundaries
+    # on multi-term queries — over-fetch 3×k, re-rank BOTH sides on the
+    # ROUNDED score with doc_id tiebreak, cut to k.
+    import pandas as pd
+
     parser = idx.make_parser()
-    parsed = [(qid, parser.parse(qs), k) for qid, qs, k, _ in QUERY_SET]
+    parsed = [(qid, parser.parse(qs), 3 * k) for qid, qs, k, _ in QUERY_SET]
     t = idx.search_parsed(parsed, similarity=BM25SimilarityF64())
+    ks = {qid: k for qid, _, k, _ in QUERY_SET}
+    df = pd.DataFrame({
+        "qid": t.column("qid").to_numpy(),
+        "doc_id": t.column("doc_id").to_numpy(),
+        "score": np.round(t.column("score").to_numpy(), 4),
+    })
+    df = df.sort_values(["qid", "score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("qid").cumcount() + 1
+    df = df[df["rank"] <= df["qid"].map(ks)]
     return pa.table(
         {
-            "qid": t.column("qid"),
-            "doc_id": t.column("doc_id"),
-            "rank": pa.array(
-                (t.column("rank").to_numpy() + 1).astype(np.int64)
-            ),
-            "score": pa.array(np.round(t.column("score").to_numpy(), 4)),
+            "qid": pa.array(df["qid"].to_numpy(np.int64)),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "rank": pa.array(df["rank"].to_numpy(np.int64)),
+            "score": pa.array(df["score"].to_numpy(np.float64)),
         }
     )
 
@@ -155,13 +169,15 @@ def bm25_topk_sql() -> str:
             )
             for g in groups
         )
+        # rank over the ROUNDED score (see bm25_topk: exact-f64 ordering
+        # is sensitive to the parallel SUM accumulation order)
         selects.append(
             f"""
-  SELECT {qid} AS qid, doc_id, rank, ROUND(score, 4) AS score FROM (
+  SELECT {qid} AS qid, doc_id, rank, score FROM (
     SELECT doc_id, score,
            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
     FROM (
-      SELECT doc_id, SUM(tscore) AS score
+      SELECT doc_id, ROUND(SUM(tscore), 4) AS score
       FROM scores WHERE term IN ({in_list})
       GROUP BY doc_id
       HAVING {having}
