@@ -3,7 +3,7 @@
 The Solr URP factories re-expressed as composable vectorized
 ``map_batches`` stages (reference
 ``solr/core/src/java/org/apache/solr/update/processor/`` — ~60 factories;
-implemented here: 30 covering the text/value mutators, multivalued
+implemented here: 34 covering the text/value mutators, multivalued
 subsetters (first/last/min/max/uniq), type parsers (date/number/boolean
 + schemaless guessing), langid/URL/TTL enrichment, template rendering,
 field renaming, and the stateless-script escape hatch):
@@ -72,6 +72,10 @@ __all__ = [
     "url_classify",
     "add_schema_fields",
     "script_stage",
+    "signature_field",
+    "ignore_large_docs",
+    "classification_field",
+    "nested_docs",
 ]
 
 Stage = Callable[[pa.Table], pa.Table]
@@ -481,3 +485,82 @@ def script_stage(fn: Callable[[pa.Table], pa.Table]) -> Stage:
     """``StatelessScriptUpdateProcessorFactory``: a user batch transform
     slotted into the chain."""
     return fn
+
+
+def signature_field(cols: List[str], out: str = "signature") -> Stage:
+    """``SignatureUpdateProcessorFactory`` (MD5 over the named fields,
+    concatenated in order — the exact-dup signature Solr computes at
+    update time; the dedup pipelines in functions/dedup.py consume the
+    same shape)."""
+    def s(t: pa.Table) -> pa.Table:
+        parts = [
+            pc.cast(t.column(c), pa.string()) if not pa.types.is_string(
+                t.schema.field(c).type
+            ) else t.column(c)
+            for c in cols
+        ]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, "|")
+        sigs = [
+            hashlib.md5((v or "").encode("utf-8")).hexdigest()
+            for v in joined.to_pylist()
+        ]
+        return _set(t, out, pa.array(sigs, pa.string()))
+    return s
+
+
+def ignore_large_docs(col: str, max_chars: int) -> Stage:
+    """``IgnoreLargeDocumentProcessorFactory``: drop documents whose
+    field exceeds the size limit (the reference measures the JavaBin
+    size; chars of the payload field are the engine's equivalent)."""
+    def s(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.less_equal(pc.utf8_length(t.column(col)), max_chars)
+        )
+    return s
+
+
+def classification_field(col: str, classify_fn: Callable[[List[str]],
+                                                          List[str]],
+                         out: str = "class") -> Stage:
+    """``ClassificationUpdateProcessorFactory``: assign a class at index
+    time with a trained classifier.  The reference delegates to the
+    classification module (KNN / SimpleNaiveBayes); here
+    ``classify_fn(texts) -> labels`` is that trained predictor — e.g. a
+    closure over ``stages/model.load_model`` logistic weights or a
+    driver-trained NB table — applied per batch."""
+    def s(t: pa.Table) -> pa.Table:
+        labels = classify_fn(t.column(col).to_pylist())
+        return _set(t, out, pa.array(labels, pa.string()))
+    return s
+
+
+def nested_docs(parent_col: str, path_col: str = "_nest_path_",
+                root_col: str = "_root_") -> Stage:
+    """``NestedUpdateProcessorFactory``: stamp the nested-document
+    bookkeeping fields — ``_root_`` (the block root id) and
+    ``_nest_path_`` (the path of this child under its parent) — onto
+    rows carrying a parent id.  Root documents (null parent) get their
+    own id as root and an empty path; children get ``#<n>`` suffixes in
+    input order per parent, the reference's path scheme."""
+    def s(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist() if "doc_id" in \
+            t.column_names else list(range(t.num_rows))
+        parents = t.column(parent_col).to_pylist()
+        roots, paths = [], []
+        counters: dict = {}
+        for i, p in zip(ids, parents):
+            if p is None:
+                roots.append(i)
+                paths.append("")
+            else:
+                n = counters.get(p, 0)
+                counters[p] = n + 1
+                roots.append(p)
+                paths.append(f"/children#{n}")
+        return _set(
+            _set(t, root_col, pa.array(roots)),
+            path_col, pa.array(paths, pa.string()),
+        )
+    return s

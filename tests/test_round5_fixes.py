@@ -224,3 +224,42 @@ def test_retention_query_with_wildcard(ray_session, tmp_path):
     assert after == {2, 4}
     total_soft = sum(len(soft_deleted_ords(d)) for d in idx.seg_dirs)
     assert total_soft == 2
+
+
+def test_urp_round5_factories(ray_session):
+    """SignatureUpdateProcessor / IgnoreLargeDocument / Classification /
+    NestedUpdate factories (round 5)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.stages import urp
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["short", "x" * 50, "alpha beta", "short"],
+        "brand": ["a", "b", "c", "a"],
+        "parent": pa.array([None, 1, 1, None], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = urp.chain(ds, [
+        urp.signature_field(["text", "brand"]),
+        urp.nested_docs("parent"),
+        urp.classification_field(
+            "text", lambda texts: ["long" if len(x) > 8 else "short"
+                                   for x in texts]),
+    ]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # identical (text, brand) → identical signature (docs 1 and 4)
+    assert out["signature"][0] == out["signature"][3]
+    assert out["signature"][0] == hashlib.md5(b"short|a").hexdigest()
+    assert out["signature"][1] != out["signature"][0]
+    # nested bookkeeping: roots get their own id + empty path; children
+    # get /children#n in input order per parent
+    assert out["_root_"].tolist() == [1, 1, 1, 4]
+    assert out["_nest_path_"].tolist() == ["", "/children#0",
+                                           "/children#1", ""]
+    assert out["class"].tolist() == ["short", "long", "long", "short"]
+    # size gate drops the oversized doc
+    kept = urp.chain(ds, [urp.ignore_large_docs("text", 20)]).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 4]
