@@ -1537,3 +1537,30 @@ ORDER BY nullCount
 
 QUERIES["stream_expr_plumbing"] = stream_expr_plumbing
 ORACLES["stream_expr_plumbing"] = STREAM_EXPR_PLUMBING_SQL
+
+
+def sql_in_subquery(sf_dir: str) -> pd.DataFrame:
+    """IN (SELECT ...) gate (round 5): the subquery compiles through the
+    same engine and its single column becomes a broadcast semi-join
+    build side; the SAME SQL text runs verbatim through DuckDB."""
+    from lucene_solr_ray.stages.sql import sql_query
+
+    out = sql_query(SQL_IN_SUB_TEXT, lambda name: _read(sf_dir, name))
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_IN_SUB_TEXT = (
+    "SELECT o_orderpriority, COUNT(*) AS n, MAX(o_totalprice) AS max_p "
+    "FROM orders WHERE o_custkey IN "
+    "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
+    "AND o_orderstatus IN ('F', 'O') "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+SQL_IN_SUB_SQL = SQL_IN_SUB_TEXT.replace(
+    "COUNT(*) AS n", "CAST(COUNT(*) AS BIGINT) AS n"
+)
+
+QUERIES["sql_in_subquery"] = sql_in_subquery
+ORACLES["sql_in_subquery"] = SQL_IN_SUB_SQL

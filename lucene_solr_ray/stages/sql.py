@@ -55,8 +55,19 @@ _TOKEN = re.compile(
 _KEYWORDS = {
     "select", "from", "where", "group", "by", "having", "order", "limit",
     "and", "or", "not", "as", "asc", "desc", "count", "sum", "avg", "min",
-    "max", "join", "inner", "left", "outer", "on", "distinct",
+    "max", "join", "inner", "left", "outer", "on", "distinct", "in",
 }
+
+
+def _render_tokens(toks: List[Tuple[str, str]]) -> str:
+    """Re-render a token slice back to SQL text (subquery capture)."""
+    parts = []
+    for k, v in toks:
+        if k == "str":
+            parts.append("'" + str(v).replace("'", "''") + "'")
+        else:
+            parts.append(str(v))
+    return " ".join(parts)
 
 
 def _lex(s: str) -> List[Tuple[str, str]]:
@@ -224,6 +235,51 @@ class _Parser:
 
     def _cmp(self):
         col = self.take("id")
+        negated = False
+        if self.at_kw("not"):
+            self.take()
+            negated = True
+        if self.at_kw("in"):
+            self.take()
+            self.take("op", "(")
+            if self.at_kw("select"):
+                # IN (SELECT ...): capture the balanced token slice —
+                # compiled later as a broadcast semi-join
+                depth = 1
+                start = self.i
+                while depth:
+                    k, v = self.peek()
+                    if k == "eof":
+                        raise SqlError("unterminated IN (SELECT ...)")
+                    if (k, v) == ("op", "("):
+                        depth += 1
+                    elif (k, v) == ("op", ")"):
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    self.i += 1
+                sub = _render_tokens(self.toks[start: self.i])
+                self.take("op", ")")
+                return ("insub", _split_qual(col)[1], sub, negated)
+            vals = []
+            while True:
+                k, v = self.peek()
+                if k == "num":
+                    self.take()
+                    vals.append(float(v) if "." in v else int(v))
+                elif k == "str":
+                    self.take()
+                    vals.append(v)
+                else:
+                    raise SqlError(f"expected literal in IN list, got {v!r}")
+                if self.peek() == ("op", ","):
+                    self.take()
+                    continue
+                break
+            self.take("op", ")")
+            return ("inlist", _split_qual(col)[1], vals, negated)
+        if negated:
+            raise SqlError("NOT here must be followed by IN")
         op = self.take("op")
         if op not in ("=", "<>", "!=", "<", "<=", ">", ">="):
             raise SqlError(f"bad comparison operator {op!r}")
@@ -280,6 +336,11 @@ def _expr_cols(node, out: set) -> set:
 
 def _pred_to_arrow(p, t: pa.Table):
     kind = p[0]
+    if kind == "inarr":
+        _, col, vals, neg = p
+        m = pc.is_in(t.column(col), value_set=vals)
+        m = pc.fill_null(m, False)
+        return pc.invert(m) if neg else m
     if kind == "cmp":
         _, col, op, lit = p
         c = t.column(col)
@@ -298,7 +359,7 @@ def _pred_to_arrow(p, t: pa.Table):
 
 
 def _pred_cols(p, out: set) -> set:
-    if p[0] == "cmp":
+    if p[0] in ("cmp", "inlist", "insub", "inarr"):
         out.add(p[1])
     elif p[0] == "not":
         _pred_cols(p[1], out)
@@ -306,6 +367,32 @@ def _pred_cols(p, out: set) -> set:
         _pred_cols(p[1], out)
         _pred_cols(p[2], out)
     return out
+
+
+def _resolve_subqueries(p, resolver):
+    """Replace IN-list / IN-(SELECT …) nodes with materialized value
+    arrays: the subquery runs through the same compiler and its single
+    output column becomes the semi-join's build side (dimension-sized by
+    construction; it rides into the filter tasks with the closure)."""
+    if p is None:
+        return None
+    k = p[0]
+    if k == "insub":
+        sub = sql_query(p[2], resolver)
+        if sub.shape[1] != 1:
+            raise SqlError(
+                "IN (SELECT ...) must produce exactly one column, got "
+                f"{list(sub.columns)}"
+            )
+        return ("inarr", p[1], pa.array(sub.iloc[:, 0].tolist()), p[3])
+    if k == "inlist":
+        return ("inarr", p[1], pa.array(p[2]), p[3])
+    if k in ("and", "or"):
+        return (k, _resolve_subqueries(p[1], resolver),
+                _resolve_subqueries(p[2], resolver))
+    if k == "not":
+        return ("not", _resolve_subqueries(p[1], resolver))
+    return p
 
 
 def _conjuncts(p) -> List:
@@ -430,6 +517,9 @@ def _compile(sql: str, resolver):
         limit = int(p.take("num"))
     if p.peek()[0] != "eof":
         raise SqlError(f"trailing tokens: {p.peek()!r}")
+
+    where = _resolve_subqueries(where, resolver)
+    having = _resolve_subqueries(having, resolver)
 
     # prune at the read: only columns the query references leave storage
     # (select_columns over a parquet read projects into the scan)
@@ -624,6 +714,10 @@ def _compile(sql: str, resolver):
 
 def _pred_to_pandas(p, df: pd.DataFrame):
     kind = p[0]
+    if kind == "inarr":
+        _, col, vals, neg = p
+        m = df[col].isin(vals.to_pylist())
+        return ~m if neg else m
     if kind == "cmp":
         _, col, op, lit = p
         c = df[col]

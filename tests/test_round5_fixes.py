@@ -263,3 +263,41 @@ def test_urp_round5_factories(ray_session):
     # size gate drops the oversized doc
     kept = urp.chain(ds, [urp.ignore_large_docs("text", 20)]).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 3, 4]
+
+
+def test_sql_in_and_subquery(ray_session):
+    """IN list / NOT IN / IN (SELECT ...) compile onto the streaming
+    algebra (round 5); results match pandas ground truth."""
+    import pandas as pd
+    import ray.data
+
+    from lucene_solr_ray.stages.sql import SqlError, sql_query
+
+    orders = pd.DataFrame({
+        "k": range(10),
+        "cust": [1, 2, 3, 1, 2, 3, 4, 5, 4, 5],
+        "st": list("FFOOPPFFOO"),
+    })
+    cust = pd.DataFrame({"id": [1, 2, 3, 4, 5],
+                         "seg": ["a", "b", "a", "b", "a"]})
+    tabs = {"orders": orders, "cust": cust}
+
+    def r(name):
+        return ray.data.from_pandas(tabs[name])
+
+    out = sql_query(
+        "SELECT COUNT(*) AS n FROM orders WHERE st IN ('F', 'P')", r)
+    assert out["n"][0] == 6
+    out = sql_query(
+        "SELECT COUNT(*) AS n FROM orders WHERE cust NOT IN (1, 2)", r)
+    assert out["n"][0] == 6
+    out = sql_query(
+        "SELECT COUNT(*) AS n FROM orders WHERE cust IN "
+        "(SELECT id FROM cust WHERE seg = 'a')", r)
+    assert out["n"][0] == 6  # custs 1,3,5 → rows 0,2,3,5,7,9
+    # subquery must be single-column
+    import pytest as _pytest
+    with _pytest.raises(SqlError):
+        sql_query(
+            "SELECT COUNT(*) AS n FROM orders WHERE cust IN "
+            "(SELECT id, seg FROM cust)", r)
