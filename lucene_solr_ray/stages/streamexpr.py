@@ -705,6 +705,76 @@ class StreamFactory:
         drains its inner stream (CommitStream's wrap-the-update role)."""
         return self._build(node.args[0])
 
+    def _s_features(self, node):
+        """features(stream, field=, outcome=, positiveLabel=, numTerms=,
+        id=): FeaturesSelectionStream — top-N terms by information
+        gain."""
+        from lucene_solr_ray.stages.ml import features_selection
+
+        ds = self._build(node.args[0])
+        return features_selection(
+            ds,
+            str(node.params["field"]),
+            str(node.params["outcome"]),
+            str(node.params.get("id", "doc_id")),
+            self._coerce_scalar(node.params.get("positiveLabel", 1)),
+            top_n=int(node.params.get("numTerms", 10)),
+        )
+
+    def _s_train(self, node):
+        """train(stream, features(...), field=, outcome=,
+        positiveLabel=, maxIterations=): TextLogitStream — returns the
+        final model tuple (terms_ss, weights_ds, error)."""
+        import ray.data
+
+        from lucene_solr_ray.stages.ml import TextLogit
+
+        ds = self._build(node.args[0])
+        feats_node = node.args[1]
+        feats = self._build(feats_node) if isinstance(feats_node, _Node) \
+            else feats_node
+        if hasattr(feats, "to_pandas"):
+            feats = feats.to_pandas()
+        terms = list(feats["term"]) if hasattr(feats, "__getitem__") \
+            else list(feats)
+        model = TextLogit(
+            terms,
+            iterations=int(node.params.get("maxIterations", 20)),
+        )
+        model.fit(
+            ds, str(node.params["field"]), str(node.params["outcome"]),
+            self._coerce_scalar(node.params.get("positiveLabel", 1)),
+        )
+        return ray.data.from_items([{
+            "terms_ss": terms,
+            "weights_ds": [float(w) for w in model.weights],
+            "iteration_i": int(model.iterations),
+            "error_d": float(model.history[-1]) if model.history else 0.0,
+        }])
+
+    def _s_knnSearch(self, node):
+        """knnSearch(indexName, q="text", k=n): MoreLikeThis over an
+        index resolver (KnnStream)."""
+        import ray.data
+
+        name = node.args[0]
+        idx = self.indexes.get(name)
+        if idx is None:
+            raise StreamExprError(f"knnSearch needs an index: {name!r}")
+        t = idx.more_like_this(
+            str(node.params["q"]), k=int(node.params.get("k", 10)),
+        )
+        return ray.data.from_arrow(t)
+
+    @staticmethod
+    def _coerce_scalar(v):
+        s = str(v)
+        if re.fullmatch(r"-?\d+", s):
+            return int(s)
+        if re.fullmatch(r"-?\d+\.\d+", s):
+            return float(s)
+        return v
+
 
 def _node_to_eval_expr(v) -> str:
     """Render a parsed evaluator subtree back to the evaluator-compiler

@@ -330,3 +330,53 @@ def test_classify_textual(ray_session, tmp_path):
     rows = (out.to_pandas() if hasattr(out, "to_pandas") else out)
     assert "probability_d" in rows.columns
     assert rows["probability_d"][0] > rows["probability_d"][1]
+
+
+def test_features_train_knn_textual(ray_session, tmp_path):
+    """Round-5 ML textual forms: features()/train() over a labeled
+    corpus; knnSearch() over an index resolver."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Index
+    from lucene_solr_ray.stages.streamexpr import StreamFactory
+
+    docs = pd.DataFrame({
+        "doc_id": range(20),
+        "text": [("spam offer money" if i % 2 else "meeting notes agenda")
+                 + f" filler{i}" for i in range(20)],
+        "label": [1 if i % 2 else 0 for i in range(20)],
+    })
+    tabs = {"docs": docs}
+    f = StreamFactory(tables=lambda n: ray.data.from_pandas(tabs[n]))
+    feats = f.run(
+        'features(search(docs, q="*:*"), field="text", outcome="label", '
+        'positiveLabel=1, numTerms=3)'
+    )
+    feats_df = feats.to_pandas() if hasattr(feats, "to_pandas") else feats
+    assert set(feats_df["term"]) <= {"spam", "offer", "money", "meeting",
+                                     "notes", "agenda"}
+    model = f.run(
+        'train(search(docs, q="*:*"), '
+        'features(search(docs, q="*:*"), field="text", outcome="label", '
+        'positiveLabel=1, numTerms=3), '
+        'field="text", outcome="label", positiveLabel=1, '
+        'maxIterations=30)'
+    ).take_all()[0]
+    assert len(model["weights_ds"]) == len(model["terms_ss"]) + 1
+    # the positive-class terms carry positive weights
+    w = dict(zip(model["terms_ss"],
+                 model["weights_ds"][:len(model["terms_ss"])]))
+    assert all(v > 0 for t, v in w.items()
+               if t in {"spam", "offer", "money"})
+
+    # knnSearch over a real index
+    p = str(tmp_path / "d.parquet")
+    pq.write_table(pa.Table.from_pandas(docs[["doc_id", "text"]]), p)
+    out = str(tmp_path / "idx")
+    build_index(p, out, text_col="text", id_col="doc_id")
+    f2 = StreamFactory(indexes={"idx": Index(out)})
+    got = f2.run('knnSearch(idx, q="spam offer money", k=5)').take_all()
+    assert len(got) == 5
+    assert all(r["doc_id"] % 2 == 1 for r in got)  # spam docs
