@@ -1564,3 +1564,48 @@ SQL_IN_SUB_SQL = SQL_IN_SUB_TEXT.replace(
 
 QUERIES["sql_in_subquery"] = sql_in_subquery
 ORACLES["sql_in_subquery"] = SQL_IN_SUB_SQL
+
+
+def stream_expr_reduce(sf_dir: str) -> pd.DataFrame:
+    """ReducerStream textual gate (round 5): reduce(search(orders),
+    by=priority, group(sort="totalprice desc, orderkey asc", n=3)) —
+    one tuple per priority whose head fields are the group's top order
+    (reference ``ReducerStream.java:60`` + ``ops/GroupOperation.java:44``);
+    the oracle replays the argmax with a window function and the group
+    size with LEAST(count, n)."""
+    from lucene_solr_ray.stages.streamexpr import StreamFactory
+
+    f = StreamFactory(tables=lambda name: _read(sf_dir, name))
+    out = f.run(
+        'reduce(search(orders, '
+        'fl="o_orderkey,o_orderpriority,o_totalprice"), '
+        'by="o_orderpriority", '
+        'group(sort="o_totalprice desc, o_orderkey asc", n=3))'
+    ).to_pandas()
+    out["group_n"] = out["group"].map(len).astype("int64")
+    out = out.drop(columns=["group"]).rename(columns={
+        "o_orderpriority": "pri", "o_orderkey": "top_key",
+        "o_totalprice": "top_price",
+    })
+    out["top_key"] = out["top_key"].astype("int64")
+    out["top_price"] = out["top_price"].round(4)
+    return out.sort_values("pri").reset_index(drop=True)
+
+
+STREAM_EXPR_REDUCE_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority AS pri, o_orderkey AS top_key,
+         o_totalprice AS top_price,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders)
+SELECT pri, CAST(top_key AS BIGINT) AS top_key,
+       ROUND(top_price, 4) AS top_price,
+       CAST(LEAST(cnt, 3) AS BIGINT) AS group_n
+FROM ranked WHERE rn = 1 ORDER BY pri
+"""
+
+QUERIES["stream_expr_reduce"] = stream_expr_reduce
+ORACLES["stream_expr_reduce"] = STREAM_EXPR_REDUCE_SQL

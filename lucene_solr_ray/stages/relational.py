@@ -49,6 +49,7 @@ __all__ = [
     "sort_stream",
     "rank_stream",
     "unique_stream",
+    "reducer_stream",
     "merge_stream",
     "intersect_stream",
     "complement_stream",
@@ -161,6 +162,43 @@ def unique_stream(ds, key: str | Sequence[str]):
     return ds.groupby(keys).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+def reducer_stream(ds, by, sort_keys, sort_desc=None, n: int = 5,
+                   group_col: str = "group"):
+    """ReducerStream + GroupOperation (``solr/solrj/.../io/stream/
+    ReducerStream.java:60``, ``io/ops/GroupOperation.java:44``): one tuple
+    per distinct ``by`` group whose fields are the group's top tuple under
+    the operation's sort, plus ``group`` = the top-``n`` tuples of the
+    group as a list of maps (``Tuple.getMaps()``).
+
+    The reference requires the underlying stream to be sorted by ``by``
+    and emits the first-encountered tuple as the head; here the groupby
+    co-locates each group and the head is the operation-sort top — a
+    deterministic choice the textual form documents (intra-group stream
+    order is otherwise unspecified unless the sort covers it).
+
+    Ray shape: ``groupby(by).map_groups`` — one shuffle on the group key;
+    each group's top-n selection runs where the group lives.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    sort_keys = [sort_keys] if isinstance(sort_keys, str) \
+        else list(sort_keys)
+    if sort_desc is None:
+        sort_desc = [False] * len(sort_keys)
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        order = g.sort_values(
+            sort_keys, ascending=[not d for d in sort_desc],
+            kind="mergesort",
+        )
+        head = order.iloc[0].to_dict()
+        head[group_col] = order.head(n).to_dict("records")
+        return pd.DataFrame([[head[c] for c in list(g.columns)
+                              + [group_col]]],
+                            columns=list(g.columns) + [group_col])
+
+    return ds.groupby(by).map_groups(_reduce, batch_format="pandas")
 
 
 def merge_stream(a, b):

@@ -169,6 +169,7 @@ class StreamFactory:
                  indexes: Optional[Dict[str, object]] = None):
         self.tables = tables
         self.indexes = dict(indexes or {})
+        self._let_env: Dict[str, object] = {}
 
     def run(self, expr: str | _Node):
         node = parse_expr(expr) if isinstance(expr, str) else expr
@@ -568,14 +569,113 @@ class StreamFactory:
             else:
                 env[k] = math_eval(_node_to_eval_expr(v), env) \
                     if isinstance(v, _Node) else math_eval(str(v), env)
-        if node.args:
-            last = node.args[-1]
-            return math_eval(
-                _node_to_eval_expr(last) if isinstance(last, _Node)
-                else str(last),
-                env,
+        saved = self._let_env
+        self._let_env = {**saved, **env}
+        try:
+            if node.args:
+                last = node.args[-1]
+                # a trailing STREAM expression (e.g. get(a), select(get(a)
+                # ...)) builds through the factory with the bindings
+                # visible; anything else runs through the math world
+                if isinstance(last, _Node) and hasattr(
+                        self, f"_s_{last.name}"):
+                    return self._build(last)
+                return math_eval(
+                    _node_to_eval_expr(last) if isinstance(last, _Node)
+                    else str(last),
+                    env,
+                )
+            return env
+        finally:
+            self._let_env = saved
+
+    def _s_get(self, node):
+        """get(name): re-emit a stream bound by an enclosing let()
+        (``GetStream.java:38`` — reads the stream variable from the
+        StreamContext ``let`` placed it in)."""
+        import ray.data
+
+        name = str(node.args[0])
+        v = self._let_env.get(name)
+        if v is None:
+            raise StreamExprError(f"get({name!r}): no let() binding")
+        if isinstance(v, pd.DataFrame):
+            return ray.data.from_pandas(v)
+        if hasattr(v, "map_batches"):
+            return v
+        # math-world binding (vector/matrix) → one-tuple stream, the
+        # shape let's own trailing-expr return takes
+        return ray.data.from_items([{name: v}])
+
+    def _s_calc(self, node):
+        """calc(): a single empty tuple (``CalculatorStream.java:37``) —
+        the canonical source under select(calc(), add(1, 2) as s)."""
+        from lucene_solr_ray.stages.plumbing import tup_stream
+
+        return tup_stream(_calc=1)
+
+    def _s_plot(self, node):
+        """plot(x=array(...), y=array(...), type="scatter"): one tuple
+        carrying the series + plot type (``PlotStream.java``)."""
+        from lucene_solr_ray.stages.matheval import math_eval
+
+        def _series(v):
+            if v is None:
+                return None
+            out = math_eval(
+                _node_to_eval_expr(v) if isinstance(v, _Node) else str(v),
+                dict(self._let_env),
             )
-        return env
+            return [float(x) for x in out]
+
+        x = _series(node.params.get("x"))
+        y = _series(node.params.get("y"))
+        if y is None:
+            raise StreamExprError("plot() needs y=")
+        if x is None:
+            x = [float(i) for i in range(len(y))]
+        return pd.DataFrame([{
+            "plot": str(node.params.get("type", "scatter")),
+            "x": x, "y": y,
+        }])
+
+    def _s_reduce(self, node):
+        """reduce(stream, by="a", group(sort="b desc", n=5)): one tuple
+        per group — head fields + `group` = top-n maps
+        (``ReducerStream.java:60`` + ``ops/GroupOperation.java:44``)."""
+        from lucene_solr_ray.stages.relational import reducer_stream
+
+        ds = self._build(node.args[0])
+        op = next((a for a in node.args[1:] if isinstance(a, _Node)
+                   and a.name == "group"), None)
+        if op is None:
+            raise StreamExprError(
+                "reduce() requires a group(sort=..., n=...) operation"
+            )
+        keys, desc = _sort_keys(op.params["sort"])
+        return reducer_stream(
+            ds, _split_list(node.params["by"]), keys, desc,
+            n=int(op.params.get("n", 5)),
+        )
+
+    def _s_outerHashJoin(self, node):
+        """outerHashJoin(stream, hashed=small, on=...): broadcast LEFT
+        join (``OuterHashJoinStream.java``) — unmatched left tuples pass
+        through with nulls."""
+        from lucene_solr_ray.stages.relational import hash_join
+
+        lk, rk = self._join_keys(node)
+        hashed = node.params.get("hashed", node.args[1]
+                                 if len(node.args) > 1 else None)
+        small = self._build(hashed).to_pandas()
+        return hash_join(self._build(node.args[0]), small, on=[lk],
+                         how="left", right_on=[rk])
+
+    def _s_shuffle(self, node):
+        """shuffle(collection, ...): search's /export twin — same build;
+        every stage here already streams the full sorted result set
+        (``ShuffleStream.java`` only changes the transport qt)."""
+        return self._s_search(node)
 
     # -- plumbing / orchestration decorators (round 5: the textual forms
     # of the programmatic streams in stages/plumbing.py, model.py,

@@ -380,3 +380,46 @@ def test_features_train_knn_textual(ray_session, tmp_path):
     got = f2.run('knnSearch(idx, q="spam offer money", k=5)').take_all()
     assert len(got) == 5
     assert all(r["doc_id"] % 2 == 1 for r in got)  # spam docs
+
+
+def test_reduce_get_calc_plot_decorators(factory):
+    f, orders, items = factory
+    # reduce: one tuple per pri, head = top price, group = top-2 maps
+    out = f.run('reduce(search(orders, fl="k,pri,price"), by="pri", '
+                'group(sort="price desc", n=2))').to_pandas()
+    assert len(out) == 4
+    for _, row in out.iterrows():
+        grp = orders[orders.pri == row.pri].sort_values(
+            "price", ascending=False)
+        assert row.price == grp.price.iloc[0]
+        assert [g["k"] for g in row.group] == list(grp.k[:2])
+    # let + get: bound stream re-emitted, selectable
+    got = f.run('let(a=search(orders, fl="k,price"), '
+                'select(get(a), k as kk))').to_pandas()
+    assert list(got.columns) == ["kk"] and len(got) == 40
+    assert f._let_env == {}  # bindings scoped to the let()
+    with pytest.raises(StreamExprError):
+        f.run("get(a)")
+    # calc: single-tuple source for evaluator selects
+    c = f.run('select(calc(), add(1, 2) as s)').to_pandas()
+    assert list(c.columns) == ["s"] and c.s.tolist() == [3]
+    # plot: one tuple with series + default x
+    p = f.run('plot(y=array(3, 1, 2), type="scatter")')
+    assert p["plot"].tolist() == ["scatter"]
+    assert p.x.tolist() == [[0.0, 1.0, 2.0]]
+    assert p.y.tolist() == [[3.0, 1.0, 2.0]]
+
+
+def test_outer_hash_join_shuffle_decorators(factory):
+    f, orders, items = factory
+    out = f.run('outerHashJoin(search(items, fl="fk,qty"), '
+                'hashed=top(search(orders, fl="k,price"), '
+                'sort="k asc", n=5), on="fk=k")').to_pandas()
+    assert len(out) == 40  # left join keeps every item row
+    matched = out[out.fk < 5]
+    assert matched.price.notna().all()
+    assert out[out.fk >= 5].price.isna().all()
+    # shuffle() == search()'s build
+    a = f.run('search(orders, fl="k", sort="k desc")').to_pandas()
+    b = f.run('shuffle(orders, fl="k", sort="k desc")').to_pandas()
+    assert a.equals(b)
