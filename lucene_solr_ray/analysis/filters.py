@@ -496,7 +496,7 @@ class CustomAnalyzer(StandardAnalyzer):
 
     def __init__(self, filters: Sequence[TokenFilter] = (),
                  max_token_length: Optional[int] = None,
-                 char_filters: Sequence = ()):
+                 char_filters: Sequence = (), tokenizer=None):
         super().__init__(
             max_token_length=max_token_length
             or StandardAnalyzer().max_token_length
@@ -506,6 +506,10 @@ class CustomAnalyzer(StandardAnalyzer):
         #: applied in order before tokenization; their OffsetMaps chain
         #: token offsets back to the ORIGINAL text
         self.char_filters = list(char_filters)
+        #: None = UAX#29 StandardTokenizer; else a
+        #: :class:`~lucene_solr_ray.analysis.tokenizers.TokenizerFactory`
+        #: (Whitespace/Keyword/Letter/PathHierarchy/Pattern/NGram/...)
+        self.tokenizer = tokenizer
 
     def _char_filter(self, text: str):
         """Run the CharFilter chain; returns (clean_text, maps) where
@@ -524,6 +528,20 @@ class CustomAnalyzer(StandardAnalyzer):
 
         if self.char_filters:
             text, _ = self._char_filter(text)
+
+        if self.tokenizer is not None:
+            stream = [
+                (t, p) for t, p, _, _ in
+                self.tokenizer.run(text, self.max_token_length)
+            ]
+            for f in self.filters:
+                if getattr(f, "needs_offsets", False):
+                    raise NotImplementedError(
+                        f"{type(f).__name__} needs source offsets; use "
+                        "the default StandardTokenizer"
+                    )
+                stream = f.apply(stream)
+            return stream
 
         if any(getattr(f, "needs_offsets", False) for f in self.filters):
             # offset-consuming filters (CJKBigramFilter) see the source
@@ -592,7 +610,16 @@ class CustomAnalyzer(StandardAnalyzer):
         maps = []
         if self.char_filters:
             text, maps = self._char_filter(text)
-        triples = tokenize_with_offsets(text, self.max_token_length)
+        if self.tokenizer is not None:
+            if getattr(self.tokenizer, "stacks_positions", False):
+                raise NotImplementedError(
+                    "offsets need unique positions; "
+                    f"{type(self.tokenizer).__name__} stacks tokens"
+                )
+            quads = self.tokenizer.run(text, self.max_token_length)
+            triples = [(t, s, e) for t, _, s, e in quads]
+        else:
+            triples = tokenize_with_offsets(text, self.max_token_length)
         # run the chain over (term, position) while carrying spans by
         # POSITION: every offset-safe filter maps position→position
         stream: Stream = [(t, p) for p, (t, _, _) in enumerate(triples)]

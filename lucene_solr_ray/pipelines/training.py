@@ -673,3 +673,66 @@ ORDER BY doc_id
 
 QUERIES["classify_stream_docs"] = classify_stream_docs
 ORACLES["classify_stream_docs"] = CLASSIFY_STREAM_SQL
+
+
+# -- tokenizer factories (round 5) -------------------------------------------
+
+def path_hierarchy_docs(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer-factory gate: PathHierarchyTokenizer over a synthesized
+    ``source/lang`` path column — every prefix path is a term (reference
+    ``analysis/path/PathHierarchyTokenizer.java:33``), counted with one
+    token-hash groupby; the oracle replays the two prefix levels with a
+    UNION ALL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lucene_solr_ray.analysis.filters import CustomAnalyzer
+    from lucene_solr_ray.analysis.tokenizers import PathHierarchyTokenizer
+    from lucene_solr_ray.sources.parquet import split_read
+    from ray.data.aggregate import Sum
+
+    ds = split_read(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang"], rows_per_block=256,
+    )
+
+    class _Explode:
+        """Actor-pool stage: the analyzer builds once per actor."""
+
+        def __init__(self):
+            self.an = CustomAnalyzer(tokenizer=PathHierarchyTokenizer())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            paths = pc.binary_join_element_wise(
+                t.column("source").cast(pa.string()),
+                t.column("lang").cast(pa.string()), "/",
+            )
+            # per-batch partial counts: only (tok, n) rows shuffle
+            counts: dict = {}
+            for p in paths.to_pylist():
+                for tok in self.an.analyze(p):
+                    counts[tok] = counts.get(tok, 0) + 1
+            return pa.table({
+                "tok": pa.array(list(counts), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            })
+
+    out = (
+        ds.map_batches(_Explode, batch_format="pyarrow", concurrency=2)
+        .groupby("tok").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("tok").reset_index(drop=True)
+
+
+PATH_HIERARCHY_SQL = """
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT source AS tok FROM documents
+  UNION ALL
+  SELECT source || '/' || lang FROM documents
+) GROUP BY tok ORDER BY tok
+"""
+
+QUERIES["path_hierarchy_docs"] = path_hierarchy_docs
+ORACLES["path_hierarchy_docs"] = PATH_HIERARCHY_SQL
