@@ -3,7 +3,7 @@
 The Solr URP factories re-expressed as composable vectorized
 ``map_batches`` stages (reference
 ``solr/core/src/java/org/apache/solr/update/processor/`` — ~60 factories;
-implemented here: 34 covering the text/value mutators, multivalued
+implemented here: 42 covering the text/value mutators, multivalued
 subsetters (first/last/min/max/uniq), type parsers (date/number/boolean
 + schemaless guessing), langid/URL/TTL enrichment, template rendering,
 field renaming, and the stateless-script escape hatch):
@@ -76,6 +76,14 @@ __all__ = [
     "ignore_large_docs",
     "classification_field",
     "nested_docs",
+    "parse_int",
+    "parse_long",
+    "parse_float",
+    "parse_double",
+    "regexp_boost",
+    "pre_analyzed",
+    "version_constraints",
+    "skip_existing",
 ]
 
 Stage = Callable[[pa.Table], pa.Table]
@@ -564,3 +572,130 @@ def nested_docs(parent_col: str, path_col: str = "_nest_path_",
             path_col, pa.array(paths, pa.string()),
         )
     return s
+
+
+def parse_int(col: str, out: Optional[str] = None) -> Stage:
+    """``ParseIntFieldUpdateProcessorFactory``."""
+    return parse_number(col, out, pa.int32())
+
+
+def parse_long(col: str, out: Optional[str] = None) -> Stage:
+    """``ParseLongFieldUpdateProcessorFactory``."""
+    return parse_number(col, out, pa.int64())
+
+
+def parse_float(col: str, out: Optional[str] = None) -> Stage:
+    """``ParseFloatFieldUpdateProcessorFactory``."""
+    return parse_number(col, out, pa.float32())
+
+
+def parse_double(col: str, out: Optional[str] = None) -> Stage:
+    """``ParseDoubleFieldUpdateProcessorFactory``."""
+    return parse_number(col, out, pa.float64())
+
+
+def regexp_boost(col: str, rules, boost_col: str = "boost") -> Stage:
+    """``RegexpBoostProcessor(Factory)``: multiply ``boost_col`` by the
+    boost of every rule whose regex matches the FULL value of ``col``
+    (the reference's ``matches()`` contract), starting from the existing
+    boost (default 1.0).  ``rules`` = [(pattern, boost), ...] — compiled
+    once at construction, the boost file's in-memory form."""
+    compiled = [(re.compile(p), float(b)) for p, b in rules]
+
+    def s(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pylist()
+        if boost_col in t.column_names:
+            boosts = [1.0 if b is None else float(b)
+                      for b in t.column(boost_col).to_pylist()]
+        else:
+            boosts = [1.0] * len(vals)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            for rx, b in compiled:
+                if rx.fullmatch(v):
+                    boosts[i] *= b
+        return _set(t, boost_col, pa.array(boosts, pa.float64()))
+
+    return s
+
+
+def pre_analyzed(col: str, tokens_out: Optional[str] = None) -> Stage:
+    """``PreAnalyzedUpdateProcessorFactory`` + the PreAnalyzed JSON field
+    format (v=1): parse ``{"v":"1","str":stored,"tokens":[{"t":term,
+    "s":start,"e":end,"i":posIncr},...]}`` — the stored text replaces the
+    column, the token terms land in ``tokens_out`` (default
+    ``<col>_tokens``) for the indexing chain to consume verbatim."""
+    import json
+
+    out_col = tokens_out or f"{col}_tokens"
+
+    def s(t: pa.Table) -> pa.Table:
+        stored, toks = [], []
+        for v in t.column(col).to_pylist():
+            if not v:
+                stored.append(v)
+                toks.append([])
+                continue
+            try:
+                obj = json.loads(v)
+            except (TypeError, ValueError):
+                stored.append(v)  # not pre-analyzed: pass through
+                toks.append([])
+                continue
+            stored.append(obj.get("str"))
+            toks.append([tk["t"] for tk in obj.get("tokens", [])])
+        t2 = _set(t, col, pa.array(stored, pa.string()))
+        return _set(t2, out_col, pa.array(toks, pa.list_(pa.string())))
+
+    return s
+
+
+# -- Dataset-level URPs (need cross-row state: a groupby or an index) --------
+
+def version_constraints(ds, id_col: str, version_col: str):
+    """``DocBasedVersionConstraintsProcessor(Factory)``: among competing
+    updates for one doc id, only the highest ``version_col`` survives
+    (older versions are silently dropped, the reference's
+    leader-side constraint).  One groupby(id) shuffle; ties keep the
+    first-encountered row, matching the reference's ``newVersion <=
+    oldVersion → drop``."""
+    import pandas as pd
+
+    def best(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.sort_values(version_col, ascending=False,
+                             kind="mergesort").head(1)
+
+    return ds.groupby(id_col).map_groups(best, batch_format="pandas")
+
+
+def skip_existing(ds, index_dir: str, id_col: str = "doc_id"):
+    """``SkipExistingDocumentsProcessorFactory``: drop rows whose id is
+    already in the committed index.  The existing-id side is read as a
+    Dataset (one column per segment dir) and anti-joined via
+    ``complement_stream`` — broadcast under the key limit, hash-partition
+    shuffle above it; never a driver-side id set."""
+    import os
+
+    import ray.data
+
+    from lucene_solr_ray.index.manifest import (
+        read_latest_manifest,
+        segment_dir_name,
+    )
+    from lucene_solr_ray.stages.relational import complement_stream
+
+    manifest = read_latest_manifest(index_dir)
+    if manifest is None:
+        return ds
+    files = [
+        os.path.join(index_dir, segment_dir_name(s["segment_id"]),
+                     "docmeta.parquet")
+        for s in manifest["segments"]
+    ]
+    existing = ray.data.read_parquet(files, columns=["doc_id"])
+    if id_col != "doc_id":
+        existing = existing.map_batches(
+            lambda t: t.rename_columns([id_col]), batch_format="pyarrow"
+        )
+    return complement_stream(ds, existing, on=id_col)

@@ -301,3 +301,79 @@ def test_sql_in_and_subquery(ray_session):
         sql_query(
             "SELECT COUNT(*) AS n FROM orders WHERE cust IN "
             "(SELECT id, seg FROM cust)", r)
+
+
+def test_urp_parse_boost_preanalyzed(ray_session):
+    """Typed parsers, RegexpBoost, PreAnalyzed (round 5 batch 2)."""
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.stages import urp
+
+    pre = json.dumps({"v": "1", "str": "stored text", "tokens": [
+        {"t": "one", "s": 0, "e": 3, "i": 1},
+        {"t": "two", "s": 4, "e": 7, "i": 1},
+    ]})
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "n": ["3", "4"],
+        "url": ["http://a.example.com/x", "https://b.org/y"],
+        "body": [pre, "plain words"],
+    })
+    ds = ray.data.from_arrow(t)
+    out = urp.chain(ds, [
+        urp.parse_int("n", out="n_i"),
+        urp.parse_long("n", out="n_l"),
+        urp.parse_float("n", out="n_f"),
+        urp.parse_double("n", out="n_d"),
+        urp.regexp_boost("url", [(r"http://.*", 0.5),
+                                 (r".*\.example\.com.*", 3.0)]),
+        urp.pre_analyzed("body"),
+    ]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_i"].tolist() == [3, 4] and str(out["n_i"].dtype) == "int32"
+    assert str(out["n_l"].dtype) == "int64"
+    assert str(out["n_f"].dtype) == "float32"
+    assert out["n_d"].tolist() == [3.0, 4.0]
+    # both rules match row 1 (full-match semantics): 1.0 * 0.5 * 3.0
+    assert out["boost"].tolist() == [1.5, 1.0]
+    assert out["body"][0] == "stored text"
+    assert list(out["body_tokens"][0]) == ["one", "two"]
+    # non-JSON passes through with empty tokens
+    assert out["body"][1] == "plain words"
+    assert list(out["body_tokens"][1]) == []
+
+
+def test_urp_version_constraints_and_skip_existing(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.stages import urp
+
+    # version constraints: highest version per id survives
+    updates = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 1, 2, 2, 2, 3],
+        "version": [5, 9, 1, 3, 2, 7],
+        "text": ["a", "b", "c", "d", "e", "f"],
+    }))
+    out = urp.version_constraints(updates, "doc_id", "version").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["version"].tolist() == [9, 3, 7]
+    assert out["text"].tolist() == ["b", "d", "f"]
+
+    # skip_existing: ids already committed to an index are dropped
+    src = tmp_path / "src.parquet"
+    pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha one", "beta two", "gamma three"],
+    }).to_parquet(src)
+    idx_dir = str(tmp_path / "idx")
+    build_index(str(src), idx_dir, text_col="text", id_col="doc_id")
+    incoming = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["x", "y", "z", "w"],
+    }))
+    kept = urp.skip_existing(incoming, idx_dir).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [3, 4]
