@@ -233,21 +233,143 @@ def porter2_stem(word: str) -> str:
     return w.replace("Y", "y")
 
 
+# ---------------------------------------------------------------------------
+# Snowball German
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = frozenset("aeiouyäöü")
+_DE_S_END = frozenset("bdfghklmnrt")   # valid s-ending
+_DE_ST_END = frozenset("bdfghklmnt")   # valid st-ending (no r)
+
+
+def _de_regions(w: str):
+    """Standard R1/R2 over the marked word, then R1 adjusted so at least
+    3 letters precede it (the german script's special rule)."""
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
+            r2 = i + 1
+            break
+    return max(r1, 3), r2
+
+
+def german_stem(word: str) -> str:
+    """Snowball "german" (the public script; generated form
+    ``org/tartarus/snowball/ext/GermanStemmer.java``): ß→ss, u/y between
+    vowels marked consonant, three backward suffix steps over R1/R2,
+    then umlauts folded."""
+    w = word.replace("ß", "ss")
+    if len(w) < 2:
+        return w
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()  # mark as consonant
+    w = "".join(chars)
+    r1, r2 = _de_regions(w)
+
+    def in_r1(start: int) -> bool:
+        return start >= r1
+
+    def in_r2(start: int) -> bool:
+        return start >= r2
+
+    # step 1: em ern er | e en es (+niss) | s after valid s-ending
+    for suf in ("ern", "em", "er", "en", "es", "e", "s"):
+        if not w.endswith(suf):
+            continue
+        start = len(w) - len(suf)
+        if suf in ("ern", "em", "er"):
+            if in_r1(start):
+                w = w[:start]
+        elif suf == "s":
+            if in_r1(start) and start >= 1 and w[start - 1] in _DE_S_END:
+                w = w[:start]
+        else:
+            if in_r1(start):
+                w = w[:start]
+                if w.endswith("niss"):
+                    w = w[:-1]
+        break
+
+    # step 2: en er est | st after valid st-ending with >=3 before it
+    for suf in ("est", "en", "er", "st"):
+        if not w.endswith(suf):
+            continue
+        start = len(w) - len(suf)
+        if suf == "st":
+            if in_r1(start) and start >= 1 and w[start - 1] in _DE_ST_END \
+                    and start - 1 >= 3:
+                w = w[:start]
+        else:
+            if in_r1(start):
+                w = w[:start]
+        break
+
+    # step 3 (d-suffixes)
+    for suf in ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"):
+        if not w.endswith(suf):
+            continue
+        start = len(w) - len(suf)
+        if suf in ("end", "ung"):
+            if in_r2(start):
+                w = w[:start]
+                if w.endswith("ig") and not w.endswith("eig") \
+                        and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("ig", "ik", "isch"):
+            if in_r2(start) and not (start >= 1 and w[start - 1] == "e"):
+                w = w[:start]
+        elif suf in ("lich", "heit"):
+            if in_r2(start):
+                w = w[:start]
+                for pre in ("er", "en"):
+                    if w.endswith(pre) and in_r1(len(w) - 2):
+                        w = w[:-2]
+                        break
+        else:  # keit
+            if in_r2(start):
+                w = w[:start]
+                for pre in ("lich", "ig"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        break
+
+    return (
+        w.replace("U", "u").replace("Y", "y")
+        .replace("ä", "a").replace("ö", "o").replace("ü", "u")
+    )
+
+
 class SnowballFilter(TokenFilter):
-    """``SnowballFilterFactory`` (language="English"): the Porter2
-    stemmer over each token.  Other Snowball languages are not bundled —
-    their scripts are language-specific rule packs this engine only adds
-    with exact public sources."""
+    """``SnowballFilterFactory``: language="English" (Porter2) or
+    "German" (the german script).  Other Snowball languages are not
+    bundled — their scripts are language-specific rule packs this engine
+    only adds with exact public sources."""
 
     def __init__(self, language: str = "English"):
-        if language.lower() not in ("english", "porter2"):
+        lang = language.lower()
+        if lang in ("english", "porter2"):
+            self._stem = porter2_stem
+        elif lang == "german":
+            self._stem = german_stem
+        else:
             raise NotImplementedError(
                 f"Snowball language {language!r} not bundled; English "
-                "(Porter2) is"
+                "(Porter2) and German are"
             )
 
     #: term rewrite only — offsets stay valid
     offset_safe = True
 
     def apply(self, stream: Stream) -> Stream:
-        return [(porter2_stem(t), p) for t, p in stream]
+        stem = self._stem
+        return [(stem(t), p) for t, p in stream]

@@ -81,4 +81,41 @@ def test_snowball_filter_in_chain():
         "nation", "knit", "hope"
     ]
     with pytest.raises(NotImplementedError):
-        SnowballFilter(language="German2")
+        SnowballFilter(language="Finnish")
+
+
+GERMAN_VECTORS = {
+    # step 1: er/ern/em, e/en/es, valid-s-ending s
+    "kinder": "kind", "bücher": "buch", "büchern": "buch",
+    "aufgabe": "aufgab", "schönen": "schon", "abends": "abend",
+    "aufeinander": "aufeinand", "kategorie": "kategori",
+    # s after an INVALID s-ending survives
+    "verständnis": "verstandnis",
+    # the niss rule after an e/en/es deletion
+    "verhältnisse": "verhaltnis", "bedürfnissen": "bedurfnis",
+    # u/y between vowels marked consonant (drives R1)
+    "treue": "treu", "bauen": "bau",
+    # R1 adjusted to >= 3 letters
+    "mädchen": "madch",
+    # step 3: ung/heit/keit/ig with R2 + e-guards
+    "zufriedenheit": "zufried", "ungeduldig": "ungeduld",
+    "häufig": "haufig", "billig": "billig", "feinheit": "feinheit",
+    "königin": "konigin",
+    # ß → ss and umlaut folding
+    "straße": "strass", "größe": "gross",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(GERMAN_VECTORS.items()))
+def test_german_stem(word, want):
+    from lucene_solr_ray.analysis.snowball import german_stem
+
+    assert german_stem(word) == want
+
+
+def test_snowball_filter_german():
+    f = SnowballFilter("German")
+    assert f.apply([("kinder", 0), ("bauen", 1)]) == [
+        ("kind", 0), ("bau", 1)]
+    with pytest.raises(NotImplementedError):
+        SnowballFilter("Klingon")
