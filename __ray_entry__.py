@@ -35,7 +35,7 @@ _PRIORITY: list[str] = [
     "synonym_graph_docs", "html_highlight_docs", "atomic_update_docs",
     "elevation_docs", "sql_two_joins", "sql_distinct",
     "stream_expr_plumbing", "sql_in_subquery", "stream_expr_reduce",
-    "path_hierarchy_docs",
+    "path_hierarchy_docs", "sql_like_between", "sql_count_distinct",
     # -- new round-4 gates (never driver-verified) ------------------------
     "common_terms_docs", "intervals_docs", "taxonomy_facet_docs",
     "drill_sideways_docs", "sql_select_limit", "sql_join_orders",

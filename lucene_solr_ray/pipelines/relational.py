@@ -1609,3 +1609,62 @@ FROM ranked WHERE rn = 1 ORDER BY pri
 
 QUERIES["stream_expr_reduce"] = stream_expr_reduce
 ORACLES["stream_expr_reduce"] = STREAM_EXPR_REDUCE_SQL
+
+
+def sql_like_between(sf_dir: str) -> pd.DataFrame:
+    """SQL predicate-breadth gate (round 5 batch 2): BETWEEN + LIKE +
+    NOT LIKE + IS NOT NULL through the streaming compiler; the SAME SQL
+    text runs verbatim through DuckDB."""
+    from lucene_solr_ray.stages.sql import sql_query
+
+    out = sql_query(SQL_LIKE_BETWEEN_TEXT, lambda name: _read(sf_dir, name))
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(4)
+    return out.reset_index(drop=True)
+
+
+SQL_LIKE_BETWEEN_TEXT = (
+    "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+    "WHERE o_totalprice BETWEEN 50000.0 AND 60000.0 "
+    "AND o_orderpriority LIKE '%-%' "
+    "AND o_orderpriority NOT LIKE '%URGENT%' "
+    "AND o_orderstatus IS NOT NULL "
+    "ORDER BY o_orderkey LIMIT 25"
+)
+
+SQL_LIKE_BETWEEN_SQL = SQL_LIKE_BETWEEN_TEXT.replace(
+    "o_orderkey, o_orderpriority, o_totalprice",
+    "CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority, "
+    "ROUND(o_totalprice, 4) AS o_totalprice"
+)
+
+QUERIES["sql_like_between"] = sql_like_between
+ORACLES["sql_like_between"] = SQL_LIKE_BETWEEN_SQL
+
+
+def sql_count_distinct(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT) gate (round 5 batch 2): grouped distinct counts
+    compile to a (keys, col) dedup shuffle + per-key count, joined to the
+    regular rollup — exact at any scale, never a driver-side set."""
+    from lucene_solr_ray.stages.sql import sql_query
+
+    out = sql_query(SQL_COUNT_DISTINCT_TEXT,
+                    lambda name: _read(sf_dir, name))
+    for c in ("nc", "n"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_COUNT_DISTINCT_TEXT = (
+    "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS nc, "
+    "COUNT(*) AS n FROM orders GROUP BY o_orderpriority "
+    "ORDER BY o_orderpriority"
+)
+
+SQL_COUNT_DISTINCT_SQL = SQL_COUNT_DISTINCT_TEXT.replace(
+    "COUNT(DISTINCT o_custkey) AS nc",
+    "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nc"
+).replace("COUNT(*) AS n", "CAST(COUNT(*) AS BIGINT) AS n")
+
+QUERIES["sql_count_distinct"] = sql_count_distinct
+ORACLES["sql_count_distinct"] = SQL_COUNT_DISTINCT_SQL

@@ -56,6 +56,7 @@ _KEYWORDS = {
     "select", "from", "where", "group", "by", "having", "order", "limit",
     "and", "or", "not", "as", "asc", "desc", "count", "sum", "avg", "min",
     "max", "join", "inner", "left", "outer", "on", "distinct", "in",
+    "between", "like", "is", "null",
 }
 
 
@@ -139,6 +140,15 @@ class _Parser:
             self.take()
             self.take("op", "(")
             col = None
+            if self.at_kw("distinct"):
+                if v != "count":
+                    raise SqlError("DISTINCT only supported in COUNT()")
+                self.take()
+                col = self.take("id")
+                self.take("op", ")")
+                alias = self._alias() or f"count_distinct_{col}"
+                return ("agg", "count_distinct",
+                        _split_qual(col)[1], alias)
             if self.peek() == ("op", "*"):
                 self.take()
             else:
@@ -278,8 +288,30 @@ class _Parser:
                 break
             self.take("op", ")")
             return ("inlist", _split_qual(col)[1], vals, negated)
+        if self.at_kw("between"):
+            self.take()
+            lo = self._literal()
+            if not self.at_kw("and"):
+                raise SqlError("BETWEEN needs AND")
+            self.take()
+            hi = self._literal()
+            return ("between", _split_qual(col)[1], lo, hi, negated)
+        if self.at_kw("like"):
+            self.take()
+            pat = self.take("str")
+            return ("like", _split_qual(col)[1], pat, negated)
         if negated:
-            raise SqlError("NOT here must be followed by IN")
+            raise SqlError("NOT here must be followed by IN/BETWEEN/LIKE")
+        if self.at_kw("is"):
+            self.take()
+            isneg = False
+            if self.at_kw("not"):
+                self.take()
+                isneg = True
+            if not self.at_kw("null"):
+                raise SqlError("IS must be followed by [NOT] NULL")
+            self.take()
+            return ("isnull", _split_qual(col)[1], isneg)
         op = self.take("op")
         if op not in ("=", "<>", "!=", "<", "<=", ">", ">="):
             raise SqlError(f"bad comparison operator {op!r}")
@@ -299,6 +331,21 @@ class _Parser:
         else:
             raise SqlError(f"expected literal, got {v!r}")
         return ("cmp", _split_qual(col)[1], op, lit)
+
+    def _literal(self):
+        neg = False
+        if self.peek() == ("op", "-"):
+            self.take()
+            neg = True
+        k, v = self.peek()
+        if k == "num":
+            self.take()
+            lit = float(v) if "." in v else int(v)
+            return -lit if neg else lit
+        if k == "str" and not neg:
+            self.take()
+            return v
+        raise SqlError(f"expected literal, got {v!r}")
 
 
 def _expr_to_arrow(node, t: pa.Table):
@@ -338,9 +385,12 @@ def _pred_to_arrow(p, t: pa.Table):
     kind = p[0]
     if kind == "inarr":
         _, col, vals, neg = p
-        m = pc.is_in(t.column(col), value_set=vals)
-        m = pc.fill_null(m, False)
-        return pc.invert(m) if neg else m
+        c = t.column(col)
+        m = pc.fill_null(pc.is_in(c, value_set=vals), False)
+        if neg:
+            # SQL three-valued logic: NULL NOT IN (...) is NULL → excluded
+            m = pc.and_(pc.invert(m), pc.is_valid(c))
+        return m
     if kind == "cmp":
         _, col, op, lit = p
         c = t.column(col)
@@ -349,6 +399,24 @@ def _pred_to_arrow(p, t: pa.Table):
             "<": pc.less, "<=": pc.less_equal, ">": pc.greater,
             ">=": pc.greater_equal,
         }[op](c, pa.scalar(lit))
+    if kind == "between":
+        _, col, lo, hi, neg = p
+        c = t.column(col)
+        m = pc.and_(pc.greater_equal(c, pa.scalar(lo)),
+                    pc.less_equal(c, pa.scalar(hi)))
+        if neg:
+            m = pc.invert(m)  # null comparisons stay null → filtered out
+        return pc.fill_null(m, False)
+    if kind == "like":
+        _, col, pat, neg = p
+        m = pc.match_like(t.column(col), pat)
+        if neg:
+            m = pc.invert(m)  # NULL NOT LIKE stays NULL → excluded
+        return pc.fill_null(m, False)
+    if kind == "isnull":
+        _, col, neg = p
+        c = t.column(col)
+        return pc.is_valid(c) if neg else pc.is_null(c)
     if kind == "and":
         return pc.and_(_pred_to_arrow(p[1], t), _pred_to_arrow(p[2], t))
     if kind == "or":
@@ -359,7 +427,8 @@ def _pred_to_arrow(p, t: pa.Table):
 
 
 def _pred_cols(p, out: set) -> set:
-    if p[0] in ("cmp", "inlist", "insub", "inarr"):
+    if p[0] in ("cmp", "inlist", "insub", "inarr", "between", "like",
+                "isnull"):
         out.add(p[1])
     elif p[0] == "not":
         _pred_cols(p[1], out)
@@ -641,10 +710,12 @@ def _compile(sql: str, resolver):
     plain = [it for it in items if it[0] == "col"]
     if distinct and aggs:
         raise SqlError("SELECT DISTINCT with aggregates is not supported")
+    cd_aggs = [it for it in aggs if it[1] == "count_distinct"]
+    reg_aggs = [it for it in aggs if it[1] != "count_distinct"]
     if aggs:
         spec = [
             (fn, col, alias) if fn != "count" else ("count", None, alias)
-            for _, fn, col, alias in aggs
+            for _, fn, col, alias in reg_aggs
         ]
         if not group_by:
             from lucene_solr_ray.stages.relational import stats
@@ -653,12 +724,43 @@ def _compile(sql: str, resolver):
                 raise SqlError(
                     f"column {plain[0][1]!r} not in GROUP BY"
                 )
-            row = stats(ds, spec)
-            out = pd.DataFrame([{a: row[a] for _, _, a in spec}])
+            row = dict(stats(ds, spec)) if spec else {}
+            for _, _, col, alias in cd_aggs:
+                # exact distinct count, computed IN the cluster: dedupe
+                # on the value (one grouped shuffle), count rows
+                row[alias] = (
+                    ds.select_columns([col]).groupby(col)
+                    .count().count()
+                )
+            out = pd.DataFrame(
+                [{it[3]: row[it[3]] for it in aggs}]
+            )
             if having is not None:
                 out = out[_pred_to_pandas(having, out)]
             return None, out.reset_index(drop=True)
-        out_ds = rollup(ds, group_by, spec)
+        out_ds = rollup(ds, group_by, spec) if spec else None
+        for _, _, col, alias in cd_aggs:
+            # COUNT(DISTINCT col) GROUP BY keys: dedupe (keys, col) with
+            # one grouped shuffle, then count per key — both exact, both
+            # in-cluster; grouped results are bounded by key cardinality
+            from ray.data.aggregate import Count
+
+            dd = (
+                ds.select_columns(list(group_by) + [col])
+                .groupby(list(group_by) + [col]).count()
+                .groupby(list(group_by))
+                .aggregate(Count(alias_name=alias))
+            )
+            if out_ds is None:
+                out_ds = dd
+            else:
+                from lucene_solr_ray.stages.relational import inner_join
+
+                out_ds = inner_join(
+                    out_ds, dd,
+                    on=group_by[0] if len(group_by) == 1 else tuple(group_by),
+                )
+        assert out_ds is not None
         # projection/rename of grouped keys per the select-list order —
         # IN the cluster, so HAVING/ORDER see output aliases
         cols, rename = [], {}
@@ -717,7 +819,7 @@ def _pred_to_pandas(p, df: pd.DataFrame):
     if kind == "inarr":
         _, col, vals, neg = p
         m = df[col].isin(vals.to_pylist())
-        return ~m if neg else m
+        return (~m & df[col].notna()) if neg else m
     if kind == "cmp":
         _, col, op, lit = p
         c = df[col]
@@ -725,6 +827,19 @@ def _pred_to_pandas(p, df: pd.DataFrame):
             "=": c.eq, "<>": c.ne, "!=": c.ne, "<": c.lt, "<=": c.le,
             ">": c.gt, ">=": c.ge,
         }[op](lit)
+    if kind == "between":
+        _, col, lo, hi, neg = p
+        m = df[col].ge(lo) & df[col].le(hi)
+        return (~m & df[col].notna()) if neg else m
+    if kind == "like":
+        _, col, pat, neg = p
+        rx = "^" + re.escape(pat).replace("%", ".*").replace("_", ".") + "$"
+        if neg:
+            return ~df[col].str.match(rx, na=True)
+        return df[col].str.match(rx, na=False)
+    if kind == "isnull":
+        _, col, neg = p
+        return df[col].notna() if neg else df[col].isna()
     if kind == "and":
         return _pred_to_pandas(p[1], df) & _pred_to_pandas(p[2], df)
     if kind == "or":

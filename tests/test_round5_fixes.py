@@ -377,3 +377,49 @@ def test_urp_version_constraints_and_skip_existing(ray_session, tmp_path):
     }))
     kept = urp.skip_existing(incoming, idx_dir).to_pandas()
     assert sorted(kept["doc_id"].tolist()) == [3, 4]
+
+
+def test_sql_between_like_null_count_distinct(ray_session):
+    """BETWEEN / [NOT] LIKE / IS [NOT] NULL predicates + COUNT(DISTINCT)
+    (round 5 batch 2); ground truth by hand over a small frame."""
+    import pandas as pd
+    import ray.data
+
+    from lucene_solr_ray.stages.sql import SqlError, sql_query
+
+    df = pd.DataFrame({
+        "k": range(8),
+        "p": [10.0, 25.0, 40.0, 55.0, 70.0, 85.0, 100.0, None],
+        "tag": ["1-URGENT", "2-HIGH", "1-URGENT", "3-LOW", "2-HIGH",
+                "1-URGENT", None, "3-LOW"],
+        "cust": [1, 1, 2, 2, 3, 3, 3, 4],
+    })
+
+    def r(name):
+        return ray.data.from_pandas(df)
+
+    q = sql_query
+    assert q("SELECT COUNT(*) AS n FROM t WHERE p BETWEEN 25.0 AND 70.0",
+             r)["n"][0] == 4
+    assert q("SELECT COUNT(*) AS n FROM t WHERE p NOT BETWEEN 25.0 "
+             "AND 70.0", r)["n"][0] == 3  # NULL drops out
+    assert q("SELECT COUNT(*) AS n FROM t WHERE tag LIKE '1-%'",
+             r)["n"][0] == 3
+    assert q("SELECT COUNT(*) AS n FROM t WHERE tag LIKE '%H_GH'",
+             r)["n"][0] == 2
+    assert q("SELECT COUNT(*) AS n FROM t WHERE tag NOT LIKE '1-%'",
+             r)["n"][0] == 4  # NULL tag is not TRUE under NOT LIKE
+    assert q("SELECT COUNT(*) AS n FROM t WHERE tag IS NULL",
+             r)["n"][0] == 1
+    assert q("SELECT COUNT(*) AS n FROM t WHERE p IS NOT NULL",
+             r)["n"][0] == 7
+    # COUNT(DISTINCT): ungrouped, grouped, and mixed with other aggs
+    assert q("SELECT COUNT(DISTINCT cust) AS nc FROM t", r)["nc"][0] == 4
+    g = q("SELECT tag, COUNT(DISTINCT cust) AS nc, COUNT(*) AS n FROM t "
+          "WHERE tag IS NOT NULL GROUP BY tag ORDER BY tag", r)
+    assert g["tag"].tolist() == ["1-URGENT", "2-HIGH", "3-LOW"]
+    assert g["nc"].tolist() == [3, 2, 2]
+    assert g["n"].tolist() == [3, 2, 2]
+    import pytest as _pytest
+    with _pytest.raises(SqlError):
+        q("SELECT SUM(DISTINCT p) AS s FROM t", r)
