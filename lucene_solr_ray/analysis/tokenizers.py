@@ -36,6 +36,7 @@ __all__ = [
     "PatternTokenizer",
     "NGramTokenizer",
     "EdgeNGramTokenizer",
+    "ClassicTokenizer",
 ]
 
 Quad = Tuple[str, int, int, int]  # (term, position, start, end)
@@ -227,3 +228,127 @@ class EdgeNGramTokenizer(TokenizerFactory):
         return [(text[:g], p, 0, g)
                 for p, g in enumerate(range(
                     self.min_gram, min(self.max_gram, len(text)) + 1))]
+
+
+# ---------------------------------------------------------------------------
+# ClassicTokenizer — the pre-3.1 StandardTokenizer grammar
+# ---------------------------------------------------------------------------
+
+#: Chinese/Japanese ranges the grammar tokenizes char-by-char (NOT Korean)
+_CJ_CLS = ("㄀-ㄯ぀-ゟ゠-ヿㇰ-ㇿ"
+           "㌀-㍿㐀-䶿一-鿿豈-﫿"
+           "･-ﾟ")
+_C_LETTER = rf"(?:(?![{_CJ_CLS}])[^\W\d_])"        # [:letter:] minus CJ
+_C_THAI = "฀-๙"
+_C_AN = rf"(?:{_C_LETTER}|[{_C_THAI}]|\d)+"        # ALPHANUM
+_C_ALPHA = rf"{_C_LETTER}+"
+
+_C_AN_RE = re.compile(_C_AN)
+_C_DIGIT_RE = re.compile(r"\d")
+_C_P = "_-/.,"
+
+#: (type, regex) in the jflex rule-priority order; NUM and CJ are handled
+#: out-of-band (NUM needs true longest-match over its alternation)
+_C_RULES = [
+    ("<ALPHANUM>", _C_AN_RE),
+    ("<APOSTROPHE>", re.compile(rf"{_C_ALPHA}(?:'{_C_ALPHA})+")),
+    ("<ACRONYM>", re.compile(rf"{_C_LETTER}\.(?:{_C_LETTER}\.)+")),
+    ("<COMPANY>", re.compile(rf"{_C_ALPHA}[&@]{_C_ALPHA}")),
+    ("<EMAIL>", re.compile(
+        rf"{_C_AN}(?:[._\-]{_C_AN})*@{_C_AN}(?:[.\-]{_C_AN})+")),
+    ("<HOST>", re.compile(rf"{_C_AN}(?:\.{_C_AN})+")),
+]
+_C_ACRO_DEP = re.compile(rf"{_C_AN}\.(?:{_C_AN}\.)+")
+_C_CJ_RE = re.compile(rf"[{_CJ_CLS}]")
+
+
+def _classic_num_end(text: str, i: int) -> int:
+    """Longest NUM match at ``i`` (jflex longest-match over the six
+    alternatives): a chain of >=2 ALPHANUM segments joined by single
+    punctuation where every other segment contains a digit — track both
+    parities and keep the longest prefix either one admits."""
+    segs = []  # (end, has_digit)
+    pos = i
+    while True:
+        m = _C_AN_RE.match(text, pos)
+        if m is None:
+            break
+        segs.append((m.end(), bool(_C_DIGIT_RE.search(m.group()))))
+        pos = m.end()
+        if pos < len(text) and text[pos] in _C_P \
+                and _C_AN_RE.match(text, pos + 1):
+            pos += 1
+            continue
+        break
+    best = i
+    odd_ok = even_ok = True
+    for j, (end, hd) in enumerate(segs):
+        if j % 2 == 1 and not hd:
+            odd_ok = False
+        if j % 2 == 0 and not hd:
+            even_ok = False
+        if j >= 1 and (odd_ok or even_ok):
+            best = end
+    return best
+
+
+class ClassicTokenizer(TokenizerFactory):
+    """The classic (pre-3.1) StandardTokenizer grammar
+    (``lucene/analysis/common/.../standard/ClassicTokenizerImpl.jflex``,
+    ``ClassicTokenizer.java:131``): ALPHANUM, APOSTROPHE (O'Reilly's),
+    ACRONYM (U.S.A.), COMPANY (AT&T), EMAIL, HOST, NUM (alphanum chains
+    where every other segment has a digit), CJ chars one-by-one.
+    ACRONYM_DEP (dotted-alphanum with trailing dot) emits as HOST with
+    the final dot dropped, exactly the reference's incrementToken.
+    Over-long tokens are SKIPPED (position gap), not chunked.
+
+    Longest match across rules, first rule winning ties — jflex
+    semantics replayed with per-rule longest matches.  [:letter:] is the
+    running Python build's Unicode table; the generated reference tables
+    froze Unicode 3.0 (divergence only on codepoints assigned since)."""
+
+    def run(self, text: str, max_token_length: int) -> List[Quad]:
+        return [
+            (t, p, s, e)
+            for t, p, s, e, _ in self.run_with_types(
+                text, max_token_length)
+        ]
+
+    def run_with_types(self, text: str, max_token_length: int):
+        out = []
+        pos_counter = 0
+        i = 0
+        n = len(text)
+        while i < n:
+            best_len, best_type, best_term_end = 0, None, 0
+            for typ, rx in _C_RULES:
+                m = rx.match(text, i)
+                if m is not None and m.end() - i > best_len:
+                    best_len = m.end() - i
+                    best_type = typ
+                    best_term_end = m.end()
+            num_end = _classic_num_end(text, i)
+            if num_end - i > best_len:
+                best_len = num_end - i
+                best_type = "<NUM>"
+                best_term_end = num_end
+            if best_len == 0 and _C_CJ_RE.match(text, i):
+                best_len, best_type, best_term_end = 1, "<CJ>", i + 1
+            m = _C_ACRO_DEP.match(text, i)
+            if m is not None and m.end() - i > best_len:
+                # ACRONYM_DEP → HOST with the trailing '.' dropped from
+                # the term (end offset keeps it, as the reference does)
+                best_len = m.end() - i
+                best_type = "<HOST>"
+                best_term_end = m.end() - 1
+            if best_type is None:
+                i += 1
+                continue
+            end = i + best_len
+            if best_len <= max_token_length:
+                out.append((text[i:best_term_end], pos_counter, i, end,
+                            best_type))
+            # a skipped over-long token still advances the position
+            pos_counter += 1
+            i = end
+        return out

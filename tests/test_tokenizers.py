@@ -122,3 +122,65 @@ def test_custom_analyzer_tokenizer_slot():
     assert ph.analyze("/a/b") == ["/a", "/a/b"]
     with pytest.raises(NotImplementedError):
         ph.analyze_with_offsets("/a/b")
+
+
+def test_classic_tokenizer_vectors():
+    from lucene_solr_ray.analysis.tokenizers import ClassicTokenizer
+
+    t = ClassicTokenizer()
+
+    def terms_types(s):
+        return [(x[0], x[4]) for x in t.run_with_types(s, 255)]
+
+    assert terms_types("O'Reilly's book") == [
+        ("O'Reilly's", "<APOSTROPHE>"), ("book", "<ALPHANUM>")]
+    # ACRONYM keeps its dots; ACRONYM_DEP → HOST minus the trailing dot
+    assert terms_types("U.S.A. and I.B.M.8. deal") == [
+        ("U.S.A.", "<ACRONYM>"), ("and", "<ALPHANUM>"),
+        ("I.B.M.8", "<HOST>"), ("deal", "<ALPHANUM>")]
+    assert terms_types("AT&T excite@home.com") == [
+        ("AT&T", "<COMPANY>"), ("excite@home.com", "<EMAIL>")]
+    assert terms_types("3.14 1-a-2 1,000") == [
+        ("3.14", "<HOST>"), ("1-a-2", "<NUM>"), ("1,000", "<NUM>")]
+    # CJ chars tokenize one-by-one; Korean stays ALPHANUM
+    assert terms_types("東京 한글") == [
+        ("東", "<CJ>"), ("京", "<CJ>"), ("한글", "<ALPHANUM>")]
+    # over-long tokens are skipped with a position gap, not chunked
+    quads = ClassicTokenizer().run("x" * 300 + " ok", 255)
+    assert [(q[0], q[1]) for q in quads] == [("ok", 1)]
+
+
+def test_classic_tokenizer_fuzz_vs_reference_dfa():
+    """Fuzz-compare (term, start, end, type) against the reference
+    ClassicTokenizerImpl DFA replayed from its packed jflex tables
+    (tools/ref_dfa.RefClassicTokenizer, the same dev-only-oracle pattern
+    the UAX#29 tokenizer was verified with)."""
+    import random
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.ref_dfa import RefClassicTokenizer
+
+    from lucene_solr_ray.analysis.tokenizers import ClassicTokenizer
+
+    ref = RefClassicTokenizer()
+    mine = ClassicTokenizer()
+    alphabet = (
+        "abcXYZ012.,-_/'&@  .."
+        "éßαд"      # Unicode 1.x letters (inside the frozen ref tables)
+        "ไ๑"        # Thai letter + digit (explicit THAI class)
+        "東京ドあ"   # CJ
+        "한"         # Korean: [:letter:], NOT CJ
+        "\t$%(){}"
+    )
+    rng = random.Random(421)
+    checked = 0
+    for _ in range(2500):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 40)))
+        want = ref.tokenize_with_types(s, 255)
+        got = [(t, st, e, ty)
+               for t, _, st, e, ty in mine.run_with_types(s, 255)]
+        assert got == want, (s, got, want)
+        checked += 1
+    assert checked == 2500

@@ -171,3 +171,81 @@ if __name__ == "__main__":
         "",
     ]:
         print(repr(case[:50]), "->", rt.tokenize(case))
+
+
+# ---------------------------------------------------------------------------
+# ClassicTokenizerImpl oracle (same dev-only role)
+# ---------------------------------------------------------------------------
+
+CLASSIC_REF = Path(
+    "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/"
+    "analysis/standard/ClassicTokenizerImpl.java"
+)
+
+#: jflex action -> ClassicTokenizer type constant
+CLASSIC_ACTION_TYPES = {
+    2: "<ALPHANUM>", 3: "<CJ>", 4: "<HOST>", 5: "<NUM>",
+    6: "<APOSTROPHE>", 7: "<COMPANY>", 8: "<ACRONYM_DEP>",
+    9: "<ACRONYM>", 10: "<EMAIL>",
+}
+
+
+class RefClassicTokenizer(RefTokenizer):
+    """Replays ClassicTokenizerImpl's packed DFA.  Unlike the Standard
+    scanner (buffer == maxTokenLength), Classic keeps a 4096 buffer and
+    SKIPS tokens longer than maxTokenLength (position gap), and rewrites
+    ACRONYM_DEP to HOST minus the trailing dot
+    (``ClassicTokenizer.java:148-151``)."""
+
+    def __init__(self, path: Path = CLASSIC_REF):
+        src = path.read_text()
+        # cmap packed length is generator-dependent: parse it from the
+        # unpack loop rather than hardcoding
+        m = re.search(r"while \(i < (\d+)\)", src)
+        cmap_len = int(m.group(1))
+        cmap_packed = _extract_packed(src, "ZZ_CMAP_PACKED")
+        self.cmap = [0] * 0x110000
+        i = j = 0
+        while i < cmap_len:
+            count = ord(cmap_packed[i]); value = ord(cmap_packed[i + 1])
+            i += 2
+            for _ in range(count):
+                self.cmap[j] = value; j += 1
+        self.action = _unpack_pairs(_extract_packed(src, "ZZ_ACTION_PACKED_0"))
+        rm = _extract_packed(src, "ZZ_ROWMAP_PACKED_0")
+        self.rowmap = [
+            (ord(rm[k]) << 16) | ord(rm[k + 1]) for k in range(0, len(rm), 2)
+        ]
+        self.trans = [v - 1 for v in _unpack_pairs(
+            _extract_packed(src, "ZZ_TRANS_PACKED_0"))]
+        self.attr = _unpack_pairs(_extract_packed(src, "ZZ_ATTRIBUTE_PACKED_0"))
+
+    def tokenize_with_types(
+        self, text: str, max_token_length: int = 255
+    ) -> List[Tuple[str, int, int, str]]:
+        """Returns (term, start, end, type) after the ACRONYM_DEP rewrite
+        and the too-long skip; the 4096 scan window is the full input for
+        these fixture-scale strings."""
+        cps = [ord(c) for c in text]
+        n = len(cps)
+        out = []
+        pos = 0
+        while pos < n:
+            end_read = min(n, pos + 4096)
+            action, s, e = self._next(cps, pos, end_read)
+            if e == s:
+                if action == 0 and s >= n:
+                    break
+                pos += 1
+                continue
+            pos = e
+            if action == 1:  # ignore rule
+                continue
+            if e - s > max_token_length:
+                continue  # skipped (position gap in the reference)
+            typ = CLASSIC_ACTION_TYPES[action]
+            if typ == "<ACRONYM_DEP>":
+                out.append((text[s:e - 1], s, e, "<HOST>"))
+            else:
+                out.append((text[s:e], s, e, typ))
+        return out
