@@ -423,3 +423,36 @@ def test_sql_between_like_null_count_distinct(ray_session):
     import pytest as _pytest
     with _pytest.raises(SqlError):
         q("SELECT SUM(DISTINCT p) AS s FROM t", r)
+
+
+def test_session_two_phase_identity(ray_session):
+    """session(chunk_s=) — the bot-scale two-phase shape — is row-exact
+    vs the single-phase path, including sessions spanning chunk edges."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from lucene_solr_ray.stages.windows import session
+
+    rng = np.random.RandomState(7)
+    rows = []
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    for user in range(6):
+        t = base + np.timedelta64(int(rng.randint(0, 3600) * 1e6), "us")
+        for _ in range(rng.randint(30, 120)):
+            # mixed dense bursts and > gap pauses, crossing chunk edges
+            step = rng.choice([5, 20, 90, 400, 1800])
+            t = t + np.timedelta64(int(step * 1e6), "us")
+            rows.append({"user_id": user, "ts": t})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(8)
+    one = session(ds, "user_id", "ts", gap_s=300).to_pandas()
+    two = session(ds, "user_id", "ts", gap_s=300, chunk_s=600).to_pandas()
+    k = ["user_id", "session_id", "session_start", "session_end",
+         "n_events"]
+    one = one[k].sort_values(["user_id", "session_id"]).reset_index(
+        drop=True)
+    two = two[k].sort_values(["user_id", "session_id"]).reset_index(
+        drop=True)
+    two["n_events"] = two["n_events"].astype(one["n_events"].dtype)
+    pd.testing.assert_frame_equal(one, two)
