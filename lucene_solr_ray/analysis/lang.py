@@ -33,6 +33,8 @@ __all__ = [
     "ArabicNormalizationFilter", "PersianNormalizationFilter",
     "GreekLowerCaseFilter", "ScandinavianFoldingFilter", "ElisionFilter",
     "FRENCH_ARTICLES",
+    "GermanNormalizationFilter",
+    "SerbianNormalizationFilter",
 ]
 
 
@@ -308,6 +310,75 @@ class ElisionFilter(_MapFilter):
         return s
 
 
+# -- German normalization (de/GermanNormalizationFilter.java:41) -------------
+
+
+class GermanNormalizationFilter(_MapFilter):
+    """The German2-snowball umlaut normalization as a standalone filter:
+    ``ß``→``ss``; ``ä ö ü``→``a o u``; ``ae oe``→``a o``; ``ue``→``u``
+    unless the ``u`` follows a vowel or ``q`` — replayed with the
+    reference's 3-state FSM (N ordinary / V vowel-blocked / U umlaut)."""
+
+    def _map(self, s: str) -> str:
+        N, V, U = 0, 1, 2
+        state = N
+        out = []
+        for c in s:
+            if c in "ao":
+                out.append(c)
+                state = U
+            elif c == "u":
+                out.append(c)
+                state = U if state == N else V
+            elif c == "e":
+                if state == U:
+                    state = V
+                    continue  # delete the e of ae/oe/ue
+                out.append(c)
+                state = V
+            elif c in "iqy":
+                out.append(c)
+                state = V
+            elif c == "ä":
+                out.append("a")
+                state = V
+            elif c == "ö":
+                out.append("o")
+                state = V
+            elif c == "ü":
+                out.append("u")
+                state = V
+            elif c == "ß":
+                out.append("ss")
+                state = N
+            else:
+                out.append(c)
+                state = N
+        return "".join(out)
+
+
+# -- Serbian normalization (sr/SerbianNormalizationFilter.java:37) -----------
+
+_SR_MAP = {
+    # Cyrillic → bald Latin (Gaj transliteration, diacritics folded)
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "dj",
+    "е": "e", "ж": "z", "з": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o",
+    "п": "p", "р": "r", "с": "s", "т": "t", "ћ": "c", "у": "u",
+    "ф": "f", "х": "h", "ц": "c", "ч": "c", "џ": "dz", "ш": "s",
+    # Latin diacritics → bald Latin (đ keeps its dj digraph)
+    "đ": "dj", "č": "c", "ć": "c", "ž": "z", "š": "s",
+}
+
+
+class SerbianNormalizationFilter(_MapFilter):
+    """Serbian Cyrillic and Latin → "bald" Latin; expects lowercased
+    input, ``đ``/``ђ`` become ``dj`` (the one non-folding exception)."""
+
+    def _map(self, s: str) -> str:
+        return "".join(_SR_MAP.get(c, c) for c in s)
+
+
 #: all lang filters are 1:1 term rewrites (or drops): offsets stay valid
 def _register_offset_safe():
     from lucene_solr_ray.analysis.filters import CustomAnalyzer
@@ -317,6 +388,7 @@ def _register_offset_safe():
         FrenchMinimalStemFilter, RussianLightStemFilter,
         ArabicNormalizationFilter, PersianNormalizationFilter,
         GreekLowerCaseFilter, ScandinavianFoldingFilter, ElisionFilter,
+        GermanNormalizationFilter, SerbianNormalizationFilter,
     )
 
 

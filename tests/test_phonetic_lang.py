@@ -186,3 +186,36 @@ def test_filters_compose_in_custom_analyzer():
     a = CustomAnalyzer([ElisionFilter(), LowerCaseFilter(),
                         FrenchMinimalStemFilter()])
     assert a.analyze("L'avion des chevaux") == ["avion", "des", "cheval"]
+
+
+def test_german_normalization_filter():
+    """de/GermanNormalizationFilter.java:41 — the 3-state FSM."""
+    from lucene_solr_ray.analysis.lang import GermanNormalizationFilter
+
+    f = GermanNormalizationFilter()
+    vectors = {
+        "schön": "schon", "grüße": "grusse", "häufig": "haufig",
+        # ae/oe → a/o
+        "schoen": "schon", "aepfel": "apfel",
+        # ue → u only when not after vowel/q
+        "mueller": "muller", "bauer": "bauer", "quelle": "quelle",
+        "neue": "neue", "weißbier": "weissbier",
+    }
+    assert f.apply([(w, i) for i, w in enumerate(vectors)]) == [
+        (v, i) for i, v in enumerate(vectors.values())]
+
+
+def test_serbian_normalization_filter():
+    """sr/SerbianNormalizationFilter.java:37 — Cyrillic + Latin to bald
+    Latin, đ → dj."""
+    from lucene_solr_ray.analysis.lang import SerbianNormalizationFilter
+
+    f = SerbianNormalizationFilter()
+    assert f._map("ђаче") == "djace"
+    assert f._map("đurđevdan") == "djurdjevdan"
+    assert f._map("чевапчићи") == "cevapcici"
+    assert f._map("škola") == "skola"
+    assert f._map("љубљана") == "ljubljana"
+    assert f._map("њива") == "njiva"
+    assert f._map("џеп") == "dzep"
+    assert f._map("beograd") == "beograd"
