@@ -31,6 +31,9 @@ __all__ = [
     "CATENATE_NUMBERS", "CATENATE_ALL", "PRESERVE_ORIGINAL",
     "SPLIT_ON_CASE_CHANGE", "SPLIT_ON_NUMERICS",
     "STEM_ENGLISH_POSSESSIVE",
+    "DelimitedTermFrequencyTokenFilter",
+    "LimitTokenPositionFilter",
+    "LimitTokenOffsetFilter",
 ]
 
 
@@ -469,3 +472,54 @@ class EnglishMinimalStemFilter(TokenFilter):
 CustomAnalyzer._OFFSET_SAFE = CustomAnalyzer._OFFSET_SAFE + (
     TurkishLowerCaseFilter,
 )
+
+
+class DelimitedTermFrequencyTokenFilter(TokenFilter):
+    """``DelimitedTermFrequencyTokenFilterFactory`` (reference
+    ``miscellaneous/DelimitedTermFrequencyTokenFilter.java:35``):
+    ``term|3`` sets termFrequency=3.  This engine's postings count
+    occurrences, so the filter emits the term ``freq`` times at ONE
+    position — identical scoring freq and field length
+    (``FieldInvertState`` adds termFrequency to length the same way)."""
+
+    def __init__(self, delimiter: str = "|"):
+        self.delimiter = delimiter
+
+    def apply(self, stream):
+        out = []
+        for t, p in stream:
+            term, _, freq = t.rpartition(self.delimiter)
+            if term and freq.isdigit():
+                out.extend([(term, p)] * max(1, int(freq)))
+            else:
+                out.append((t, p))
+        return out
+
+
+class LimitTokenPositionFilter(TokenFilter):
+    """``LimitTokenPositionFilterFactory``: keep tokens whose position
+    (1-based, increments included) is <= ``max_token_position``."""
+
+    offset_safe = True
+
+    def __init__(self, max_token_position: int):
+        self.max_token_position = int(max_token_position)
+
+    def apply(self, stream):
+        return [(t, p) for t, p in stream
+                if p + 1 <= self.max_token_position]
+
+
+class LimitTokenOffsetFilter(TokenFilter):
+    """``LimitTokenOffsetFilterFactory``: keep tokens whose START offset
+    is <= ``max_start_offset`` (consumes source spans, so it must run
+    before any span-invalidating filter)."""
+
+    needs_offsets = True
+
+    def __init__(self, max_start_offset: int):
+        self.max_start_offset = int(max_start_offset)
+
+    def apply_spans(self, stream, spans):
+        return [(t, p) for t, p in stream
+                if spans[p][0] <= self.max_start_offset]

@@ -16,7 +16,7 @@ from typing import List, Optional, Sequence
 
 import pyarrow as pa
 
-__all__ = ["read_line_docs", "to_corpus_parquet"]
+__all__ = ["read_line_docs", "read_trec_docs", "to_corpus_parquet"]
 
 #: LineDocSource's field separator (``WriteLineDocTask.SEP``)
 SEP = "\t"
@@ -98,3 +98,52 @@ def corpus_from_csv(path: str, text_field: str, id_field: str = None):
         return pa.table(cols)
 
     return ds.map_batches(_project, batch_format="pyarrow")
+
+
+def read_trec_docs(paths: Sequence[str] | str):
+    """TREC SGML corpus files → Dataset(docno, date, text) — the
+    ``TrecContentSource`` role (reference ``lucene/benchmark/.../feeds/
+    TrecContentSource.java:65``: scan to ``<DOC>``, capture
+    ``<DOCNO>…</DOCNO>``, body until ``</DOC>``; ``TrecDocParser``
+    strips the remaining tags).
+
+    Ray shape: one task per FILE (``read_binary_files`` — TREC corpora
+    ship as many mid-sized files, the natural split unit), a stateless
+    flat-map parse per file; no driver-side content."""
+    import re as _re
+
+    import ray.data
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    doc_re = _re.compile(rb"<DOC>(.*?)</DOC>", _re.S)
+    docno_re = _re.compile(rb"<DOCNO>\s*(.*?)\s*</DOCNO>", _re.S)
+    date_re = _re.compile(rb"<DATE>\s*(.*?)\s*</DATE>", _re.S)
+    tag_re = _re.compile(rb"<[^>]+>")
+
+    def _parse(t: pa.Table) -> pa.Table:
+        docnos, dates, texts, srcs = [], [], [], []
+        for path, blob in zip(t.column("path").to_pylist(),
+                              t.column("bytes").to_pylist()):
+            for m in doc_re.finditer(blob):
+                body = m.group(1)
+                dn = docno_re.search(body)
+                dt = date_re.search(body)
+                # remove header fields, then strip remaining SGML tags
+                stripped = docno_re.sub(b"", body)
+                stripped = date_re.sub(b"", stripped)
+                stripped = tag_re.sub(b" ", stripped)
+                docnos.append(
+                    dn.group(1).decode("utf-8", "replace") if dn else "")
+                dates.append(
+                    dt.group(1).decode("utf-8", "replace") if dt else "")
+                texts.append(
+                    " ".join(stripped.decode("utf-8", "replace").split()))
+                srcs.append(path)
+        return pa.table({
+            "docno": pa.array(docnos, pa.string()),
+            "date": pa.array(dates, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "src_file": pa.array(srcs, pa.string()),
+        })
+
+    return ds.map_batches(_parse, batch_format="pyarrow")

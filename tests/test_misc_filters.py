@@ -186,3 +186,31 @@ def test_classic_turkish_minimal_stem():
     assert st("ties") == "tie"
     assert st("is") == "is"
     assert st("abs") == "abs"
+
+
+def test_delimited_term_frequency_and_limit_filters():
+    """DelimitedTermFrequencyTokenFilter.java:35 + LimitTokenPosition /
+    LimitTokenOffset factories (round 5)."""
+    from lucene_solr_ray.analysis.filters import CustomAnalyzer
+    from lucene_solr_ray.analysis.misc import (
+        DelimitedTermFrequencyTokenFilter,
+        LimitTokenOffsetFilter,
+        LimitTokenPositionFilter,
+    )
+    from lucene_solr_ray.analysis.tokenizers import WhitespaceTokenizer
+
+    a = CustomAnalyzer(tokenizer=WhitespaceTokenizer(),
+                       filters=[DelimitedTermFrequencyTokenFilter()])
+    # freq copies stack at ONE position; field length counts them
+    terms, positions, n = a.analyze_with_positions("apple|3 banana")
+    assert terms == ["apple", "apple", "apple", "banana"]
+    assert positions == [0, 0, 0, 1] and n == 4
+    # non-numeric suffix / plain terms pass through
+    assert a.analyze("a|b c") == ["a|b", "c"]
+
+    b = CustomAnalyzer(filters=[LimitTokenPositionFilter(2)])
+    assert b.analyze("one two three four") == ["one", "two"]
+
+    c = CustomAnalyzer(filters=[LimitTokenOffsetFilter(4)])
+    # tokens starting at offset <= 4 survive ("two" starts at 4)
+    assert c.analyze("one two three") == ["one", "two"]

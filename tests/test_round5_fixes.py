@@ -456,3 +456,21 @@ def test_session_two_phase_identity(ray_session):
         drop=True)
     two["n_events"] = two["n_events"].astype(one["n_events"].dtype)
     pd.testing.assert_frame_equal(one, two)
+
+
+def test_read_trec_docs(ray_session, tmp_path):
+    """TrecContentSource role: SGML DOC/DOCNO/DATE parse + tag strip."""
+    f = tmp_path / "fbis.sgml"
+    f.write_text(
+        "<DOC>\n<DOCNO> FBIS-1 </DOCNO>\n<DATE> 1 May 1996 </DATE>\n"
+        "<HEADER><AU>x</AU></HEADER>\n<TEXT>alpha <b>beta</b>\n"
+        "gamma</TEXT>\n</DOC>\n"
+        "<DOC><DOCNO>FBIS-2</DOCNO><TEXT>second doc</TEXT></DOC>\n"
+    )
+    from lucene_solr_ray.sources.textline import read_trec_docs
+
+    out = read_trec_docs(str(f)).to_pandas().sort_values(
+        "docno").reset_index(drop=True)
+    assert out["docno"].tolist() == ["FBIS-1", "FBIS-2"]
+    assert out["date"].tolist() == ["1 May 1996", ""]
+    assert out["text"].tolist() == ["x alpha beta gamma", "second doc"]
