@@ -34,6 +34,8 @@ __all__ = [
     "DelimitedTermFrequencyTokenFilter",
     "LimitTokenPositionFilter",
     "LimitTokenOffsetFilter",
+    "PatternCaptureGroupTokenFilter",
+    "DictionaryCompoundWordTokenFilter",
 ]
 
 
@@ -523,3 +525,84 @@ class LimitTokenOffsetFilter(TokenFilter):
     def apply_spans(self, stream, spans):
         return [(t, p) for t, p in stream
                 if spans[p][0] <= self.max_start_offset]
+
+
+class PatternCaptureGroupTokenFilter(TokenFilter):
+    """``PatternCaptureGroupFilterFactory`` (reference
+    ``pattern/PatternCaptureGroupTokenFilter.java:55``): emit every
+    capture group of every pattern as a token at the SAME position;
+    ``preserve_original=True`` keeps the input token first.  A token
+    none of the patterns match passes through unchanged."""
+
+    def __init__(self, patterns, preserve_original: bool = True):
+        import re
+
+        self.patterns = [re.compile(p) if isinstance(p, str) else p
+                         for p in patterns]
+        self.preserve_original = bool(preserve_original)
+
+    def apply(self, stream):
+        out = []
+        for t, p in stream:
+            caps = []
+            for rx in self.patterns:
+                for m in rx.finditer(t):
+                    for gi in range(1, (m.re.groups or 0) + 1):
+                        g = m.group(gi)
+                        if g:
+                            caps.append(g)
+            if not caps:
+                out.append((t, p))
+                continue
+            if self.preserve_original:
+                out.append((t, p))
+                # the reference skips a capture identical to the input
+                caps = [c for c in caps if c != t]
+            elif caps:
+                pass
+            for c in caps:
+                out.append((c, p))
+        return out
+
+
+class DictionaryCompoundWordTokenFilter(TokenFilter):
+    """``DictionaryCompoundWordTokenFilterFactory`` (reference
+    ``compound/DictionaryCompoundWordTokenFilter.java:75``): for each
+    token of at least ``min_word_size`` chars, emit every dictionary
+    subword of length ``min_subword_size..max_subword_size`` found at
+    any offset (``only_longest_match`` keeps one per start offset),
+    stacked at the original's position AFTER it.  The dictionary is
+    caller-supplied — no word list ships with the engine."""
+
+    def __init__(self, dictionary, min_word_size: int = 5,
+                 min_subword_size: int = 2, max_subword_size: int = 15,
+                 only_longest_match: bool = False):
+        self.dictionary = frozenset(w.lower() for w in dictionary)
+        self.min_word_size = int(min_word_size)
+        self.min_subword_size = int(min_subword_size)
+        self.max_subword_size = int(max_subword_size)
+        self.only_longest_match = bool(only_longest_match)
+
+    def apply(self, stream):
+        out = []
+        for t, p in stream:
+            out.append((t, p))
+            if len(t) < self.min_word_size:
+                continue
+            low = t.lower()
+            n = len(low)
+            for i in range(0, n - self.min_subword_size + 1):
+                longest = None
+                for j in range(self.min_subword_size,
+                               self.max_subword_size + 1):
+                    if i + j > n:
+                        break
+                    if low[i:i + j] in self.dictionary:
+                        if self.only_longest_match:
+                            if longest is None or len(longest) < j:
+                                longest = t[i:i + j]
+                        else:
+                            out.append((t[i:i + j], p))
+                if self.only_longest_match and longest is not None:
+                    out.append((longest, p))
+        return out

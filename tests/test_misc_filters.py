@@ -214,3 +214,37 @@ def test_delimited_term_frequency_and_limit_filters():
     c = CustomAnalyzer(filters=[LimitTokenOffsetFilter(4)])
     # tokens starting at offset <= 4 survive ("two" starts at 4)
     assert c.analyze("one two three") == ["one", "two"]
+
+
+def test_pattern_capture_group_filter():
+    from lucene_solr_ray.analysis.misc import PatternCaptureGroupTokenFilter
+
+    f = PatternCaptureGroupTokenFilter([r"([a-z]+)(\d+)"])
+    assert f.apply([("abc123", 0), ("plain", 1)]) == [
+        ("abc123", 0), ("abc", 0), ("123", 0), ("plain", 1)]
+    g = PatternCaptureGroupTokenFilter([r"([a-z]+)"],
+                                       preserve_original=False)
+    assert g.apply([("ab12cd", 0)]) == [("ab", 0), ("cd", 0)]
+
+
+def test_dictionary_compound_word_filter():
+    """compound/DictionaryCompoundWordTokenFilter.java:75 — the
+    donaudampfschiff fixture shape from the reference tests."""
+    from lucene_solr_ray.analysis.misc import (
+        DictionaryCompoundWordTokenFilter,
+    )
+
+    dic = ["dampf", "schiff", "fahrt", "donau"]
+    f = DictionaryCompoundWordTokenFilter(dic)
+    out = f.apply([("donaudampfschifffahrt", 0)])
+    assert out == [("donaudampfschifffahrt", 0), ("donau", 0),
+                   ("dampf", 0), ("schiff", 0), ("fahrt", 0)]
+    # short tokens don't decompose; originals always survive
+    assert f.apply([("bau", 1)]) == [("bau", 1)]
+    # a dictionary word at min_word_size self-matches (the reference
+    # emits the duplicate subword too; RemoveDuplicates cleans it)
+    assert f.apply([("dampf", 1)]) == [("dampf", 1), ("dampf", 1)]
+    # only_longest_match keeps one subword per start offset
+    g = DictionaryCompoundWordTokenFilter(
+        ["schiff", "schi"], min_word_size=5, only_longest_match=True)
+    assert g.apply([("schiffe", 0)]) == [("schiffe", 0), ("schiff", 0)]
