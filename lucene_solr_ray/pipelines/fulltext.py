@@ -3204,3 +3204,64 @@ SELECT CAST(r + 2 AS INTEGER) AS rank, doc_id, FALSE AS elevated, score
 FROM org_ranked WHERE r <= 8
 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser gate (round 5): the +|-"()* syntax over documents
+# ---------------------------------------------------------------------------
+
+#: (qid, simple-syntax query, oracle condition groups) — each group is
+#: OR-of-tokens; groups AND together; a leading "!" group negates
+SIMPLE_QUERY_SET = [
+    (0, "join +hash", [("join",), ("hash",)]),
+    (1, "row | batch scan", [("row", "batch"), ("scan",)]),
+    (2, '"hash join"', "PHRASE:hash join"),
+    (3, "merge -vector", [("merge",), ("!", "vector")]),
+    (4, "(customer | filter) +small", [("customer", "filter"),
+                                       ("small",)]),
+]
+
+
+def simple_query_hits(sf_dir: str) -> pa.Table:
+    """Hit counts for SimpleQueryParser-parsed queries — the parser gate
+    (``queryparser/simple/SimpleQueryParser.java:63``); MUST default so
+    `-` negation is effective (the oracle's NOT arm)."""
+    from lucene_solr_ray.search.query import Occur
+    from lucene_solr_ray.search.searcher import count_hits
+    from lucene_solr_ray.search.simpleparser import SimpleQueryParser
+
+    idx = documents_index(sf_dir)
+    parser = SimpleQueryParser(default_operator=Occur.MUST)
+    return count_hits(
+        idx, {qid: qs for qid, qs, _ in SIMPLE_QUERY_SET}, parser=parser
+    )
+
+
+def simple_query_hits_sql() -> str:
+    parts = []
+    for qid, _, groups in SIMPLE_QUERY_SET:
+        if isinstance(groups, str):  # PHRASE:a b
+            phrase = groups.split(":", 1)[1]
+            cond = f"contains(' ' || text || ' ', ' {phrase} ')"
+        else:
+            conds = []
+            for g in groups:
+                if g[0] == "!":
+                    conds.append("NOT ({})".format(" OR ".join(
+                        f"list_contains(toks, '{t}')" for t in g[1:]
+                    )))
+                else:
+                    conds.append("({})".format(" OR ".join(
+                        f"list_contains(toks, '{t}')" for t in g
+                    )))
+            cond = " AND ".join(conds)
+        parts.append(
+            f"SELECT {qid} AS qid, CAST(COUNT(*) AS BIGINT) AS total_hits "
+            f"FROM tok WHERE {cond}"
+        )
+    return (
+        "WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks "
+        "FROM documents WHERE text <> '')\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY qid"
+    )

@@ -1227,11 +1227,15 @@ class _CountFn:
 
 
 def count_hits(index: "Index", queries,
-               analyzer: Optional[StandardAnalyzer] = None) -> pa.Table:
-    """Exact total hit counts per query: (qid, total_hits)."""
+               analyzer: Optional[StandardAnalyzer] = None,
+               parser=None) -> pa.Table:
+    """Exact total hit counts per query: (qid, total_hits).
+    ``parser`` overrides the classic parser (e.g. a
+    :class:`~lucene_solr_ray.search.simpleparser.SimpleQueryParser`)."""
     import ray.data
 
-    parser = index.make_parser(analyzer)
+    if parser is None:
+        parser = index.make_parser(analyzer)
     items = (
         sorted(queries.items()) if isinstance(queries, dict)
         else list(enumerate(queries))
