@@ -53,3 +53,97 @@ def suggest_corrections(
         key=lambda x: (x[1], -x[2], x[0]),
     )
     return ranked[:n]
+
+
+# ---------------------------------------------------------------------------
+# WordBreakSpellChecker (reference ``lucene/suggest/src/java/org/apache/
+# lucene/search/spell/WordBreakSpellChecker.java:34``)
+# ---------------------------------------------------------------------------
+
+
+def word_break_suggestions(
+    index, term: str, k: int = 5, min_suggestion_freq: int = 1,
+    min_break_word_length: int = 1, max_changes: int = 1,
+    max_evaluations: int = 1000,
+):
+    """``suggestWordBreaks``: split a run-on term into dictionary words.
+
+    Ray shape: ONE distributed stats pass over ALL contiguous substrings
+    of ``term`` (O(len²) tiny strings — ``Index.collect_stats`` is the
+    ``ir.docFreq`` oracle, exact across segments), then the reference's
+    break recursion runs driver-side on that small df map.  Returns up
+    to ``k`` suggestions as dicts ``{words, freqs, num_changes}``,
+    fewest-changes-then-highest-max-freq first
+    (``NUM_CHANGES_THEN_MAX_FREQUENCY``)."""
+    mbl = max(1, int(min_break_word_length))
+    n = len(term)
+    if n < 2 * mbl:
+        return []
+    subs = sorted({
+        term[i:j] for i in range(n) for j in range(i + 1, n + 1)
+        if j - i >= mbl
+    })
+    stats, _ = index.collect_stats(subs)
+    df = stats.df
+    out = []
+    evals = [0]
+
+    def rec(text: str, prefix, breaks: int):
+        m = len(text)
+        if m < 2 * mbl:
+            return
+        for i in range(mbl, m - mbl + 1):
+            left, right = text[:i], text[i:]
+            lf = df.get(left, 0)
+            if lf >= min_suggestion_freq:
+                rf = df.get(right, 0)
+                if rf >= min_suggestion_freq:
+                    words = prefix + [(left, lf), (right, rf)]
+                    out.append({
+                        "words": [w for w, _ in words],
+                        "freqs": [f for _, f in words],
+                        "num_changes": len(words) - 1,
+                    })
+                if breaks + 1 <= max_changes:
+                    rec(right, prefix + [(left, lf)], breaks + 1)
+            evals[0] += 1
+            if evals[0] >= max_evaluations:
+                break
+
+    rec(term, [], 0)
+    out.sort(key=lambda s: (s["num_changes"], -max(s["freqs"]),
+                            s["words"]))
+    return out[:k]
+
+
+def combine_word_suggestions(
+    index, terms, k: int = 5, min_suggestion_freq: int = 1,
+    max_changes: int = 1, max_combine_word_length: int = 20,
+):
+    """``suggestWordCombinations``: join runs of adjacent query terms
+    into one dictionary word (``thequick`` ← ``the quick``).  One stats
+    pass over every candidate join; returns dicts ``{start, end, word,
+    freq, num_changes}`` sorted fewest-changes-then-freq-desc."""
+    terms = list(terms)
+    cands = {}
+    for i in range(len(terms) - 1):
+        if len(terms[i]) > max_combine_word_length:
+            continue
+        joined = terms[i]
+        for j in range(i + 1, min(len(terms), i + 1 + max_changes)):
+            joined = joined + terms[j]
+            if len(joined) > max_combine_word_length:
+                break
+            cands.setdefault(joined, []).append((i, j))
+    if not cands:
+        return []
+    stats, _ = index.collect_stats(sorted(cands))
+    out = []
+    for word, spans in cands.items():
+        f = stats.df.get(word, 0)
+        if f >= min_suggestion_freq:
+            for i, j in spans:
+                out.append({"start": i, "end": j, "word": word,
+                            "freq": int(f), "num_changes": j - i})
+    out.sort(key=lambda s: (s["num_changes"], -s["freq"], s["word"]))
+    return out[:k]

@@ -3265,3 +3265,35 @@ def simple_query_hits_sql() -> str:
         + "\nUNION ALL\n".join(parts)
         + "\nORDER BY qid"
     )
+
+
+def word_break_docs(sf_dir: str) -> pa.Table:
+    """WordBreakSpellChecker gate: the best break of the run-on term
+    ``hashjoin`` over the documents index — (pos, word, freq) rows whose
+    freq is the word's exact docFreq; the oracle recomputes both from
+    the token lists."""
+    from lucene_solr_ray.functions.spell import word_break_suggestions
+
+    idx = documents_index(sf_dir)
+    best = word_break_suggestions(idx, "hashjoin", k=1)[0]
+    return pa.table({
+        "pos": pa.array(range(len(best["words"])), pa.int64()),
+        "word": pa.array(best["words"], pa.string()),
+        "freq": pa.array(best["freqs"], pa.int64()),
+    })
+
+
+WORD_BREAK_SQL = """
+WITH tok AS (SELECT string_split(text, ' ') AS toks
+             FROM documents WHERE text <> '')
+SELECT 0 AS pos, 'hash' AS word, CAST(COUNT(*) AS BIGINT) AS freq
+FROM tok WHERE list_contains(toks, 'hash')
+UNION ALL
+SELECT 1, 'join', CAST(COUNT(*) AS BIGINT)
+FROM tok WHERE list_contains(toks, 'join')
+ORDER BY pos
+"""
+
+
+def word_break_docs_sql() -> str:
+    return WORD_BREAK_SQL

@@ -474,3 +474,41 @@ def test_read_trec_docs(ray_session, tmp_path):
     assert out["docno"].tolist() == ["FBIS-1", "FBIS-2"]
     assert out["date"].tolist() == ["1 May 1996", ""]
     assert out["text"].tolist() == ["x alpha beta gamma", "second doc"]
+
+
+def test_word_break_spellchecker(ray_session, tmp_path):
+    """WordBreakSpellChecker.java:34 — break + combine suggestions
+    against the live index's exact df."""
+    import pandas as pd
+
+    from lucene_solr_ray.functions.spell import (
+        combine_word_suggestions,
+        word_break_suggestions,
+    )
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Index
+
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["hash join index", "hash map", "join order",
+                 "hashjoin plans"],
+    }).to_parquet(src)
+    idx_dir = str(tmp_path / "idx")
+    build_index(str(src), idx_dir, text_col="text", id_col="doc_id")
+    idx = Index(idx_dir)
+
+    got = word_break_suggestions(idx, "hashjoin", k=5)
+    assert got and got[0]["words"] == ["hash", "join"]
+    assert got[0]["freqs"] == [2, 2] and got[0]["num_changes"] == 1
+    # two breaks only when allowed
+    two = word_break_suggestions(idx, "hashjoinorder", max_changes=2)
+    assert ["hash", "join", "order"] in [s["words"] for s in two]
+    assert word_break_suggestions(idx, "zzzqqq") == []
+
+    comb = combine_word_suggestions(idx, ["hash", "join", "plans"])
+    assert comb and comb[0]["word"] == "hashjoin"
+    assert comb[0]["start"] == 0 and comb[0]["end"] == 1
+    assert comb[0]["freq"] == 1
+    assert combine_word_suggestions(idx, ["join", "order"],
+                                    min_suggestion_freq=2) == []
