@@ -147,3 +147,69 @@ def combine_word_suggestions(
                             "freq": int(f), "num_changes": j - i})
     out.sort(key=lambda s: (s["num_changes"], -s["freq"], s["word"]))
     return out[:k]
+
+
+# ---------------------------------------------------------------------------
+# SpellCheckCollator (reference ``solr/core/src/java/org/apache/solr/
+# spelling/SpellCheckCollator.java:44``)
+# ---------------------------------------------------------------------------
+
+
+def collate(
+    index: Index, query_str: str, max_collations: int = 1,
+    max_tries: int = 10, max_edits: int = 2,
+    max_doc_freq_frac: float = 0.01, analyzer=None,
+):
+    """``spellcheck.collate``: rewrite the query with per-term
+    corrections, keep only rewrites that actually produce hits (the
+    collator re-queries the index with each candidate combination,
+    best-correction-first, up to ``max_tries``).
+
+    Returns [{collation, hits, corrections: {orig: fixed}}, ...] sorted
+    by hits descending — the reference's collation list."""
+    import itertools
+
+    from lucene_solr_ray.search.searcher import count_hits
+
+    parser = index.make_parser(analyzer)
+    q = parser.parse(query_str)
+    terms = list(dict.fromkeys(q.terms()))
+    # per-term candidate lists, own-term first when it exists at all
+    per_term = {}
+    for t in terms:
+        sug = suggest_corrections(
+            index, t, n=3, max_edits=max_edits,
+            max_doc_freq_frac=max_doc_freq_frac,
+        )
+        if sug and sug[0][0] == t and sug[0][1] == 0:
+            per_term[t] = [t]  # correctly spelled
+        else:
+            per_term[t] = [s[0] for s in sug] or [t]
+    combos = list(itertools.islice(
+        itertools.product(*(per_term[t] for t in terms)), max_tries
+    ))
+    if not combos:
+        return []
+    # ONE distributed count pass over every candidate collation
+    rewrites = []
+    for combo in combos:
+        mapping = dict(zip(terms, combo))
+        text = " ".join(
+            mapping.get(w.lower(), w) for w in query_str.split()
+        )
+        rewrites.append((mapping, text))
+    counts = count_hits(index, [text for _, text in rewrites])
+    hits = dict(zip(counts.column("qid").to_pylist(),
+                    counts.column("total_hits").to_pylist()))
+    out = []
+    for i, (mapping, text) in enumerate(rewrites):
+        n = int(hits.get(i, 0))
+        if n > 0 and text != query_str:
+            out.append({
+                "collation": text,
+                "hits": n,
+                "corrections": {o: c for o, c in mapping.items()
+                                if o != c},
+            })
+    out.sort(key=lambda r: (-r["hits"], r["collation"]))
+    return out[:max_collations]

@@ -512,3 +512,30 @@ def test_word_break_spellchecker(ray_session, tmp_path):
     assert comb[0]["freq"] == 1
     assert combine_word_suggestions(idx, ["join", "order"],
                                     min_suggestion_freq=2) == []
+
+
+def test_spellcheck_collate(ray_session, tmp_path):
+    """SpellCheckCollator.java:44 — corrected rewrites verified to hit."""
+    import pandas as pd
+
+    from lucene_solr_ray.functions.spell import collate
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import Index
+
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": range(5),
+        "text": ["hash join order", "hash join index", "hash map",
+                 "merge join", "sort order"],
+    }).to_parquet(src)
+    idx_dir = str(tmp_path / "idx")
+    build_index(str(src), idx_dir, text_col="text", id_col="doc_id")
+    idx = Index(idx_dir)
+
+    got = collate(idx, "hach joyn", max_collations=2)
+    assert got and got[0]["collation"] == "hash join"
+    # default-OR query semantics: docs with hash OR join
+    assert got[0]["hits"] == 4
+    assert got[0]["corrections"] == {"hach": "hash", "joyn": "join"}
+    # a clean query needs no collation
+    assert collate(idx, "hash join") == []
