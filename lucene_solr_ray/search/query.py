@@ -305,6 +305,30 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class ComplexPhraseQuery(Query):
+    """A phrase whose slots are ALTERNATIVE-TERM sets — the compiled
+    form of ``ComplexPhraseQueryParser``'s quoted wildcard phrases
+    (reference ``lucene/queryparser/src/java/org/apache/lucene/
+    queryparser/complexPhrase/ComplexPhraseQueryParser.java:63``, which
+    rewrites to SpanNear over SpanOr).  Each slot matches at a position
+    if ANY of its terms occurs there; spans evaluate exactly like
+    SpanNearQuery (minimal spans, sloppyFreq).  Patterns are expanded
+    against the live dictionary BEFORE construction (see
+    ``search/complexphrase.py``)."""
+
+    slots: Tuple[Tuple[str, ...], ...]
+    slop: int = 0
+    in_order: bool = True
+    field: Optional[str] = None
+
+    def terms(self) -> List[str]:
+        from lucene_solr_ray.index.segment import field_term
+
+        return [field_term(self.field, t)
+                for slot in self.slots for t in slot]
+
+
+@dataclass(frozen=True)
 class CommonTermsQuery(Query):
     """High/low-frequency clause splitting (reference ``lucene/queries/
     src/java/org/apache/lucene/queries/CommonTermsQuery.java:60,

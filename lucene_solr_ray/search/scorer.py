@@ -55,6 +55,7 @@ from lucene_solr_ray.search.query import (
     PointRangeQuery,
     Query,
     SpanFirstQuery,
+    ComplexPhraseQuery,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
@@ -129,6 +130,8 @@ class _Eval:
             return ords, np.full(len(ords), dt(boost), dtype=dt)
         if isinstance(q, SpanNearQuery):
             return self._span_near(q, boost)
+        if isinstance(q, ComplexPhraseQuery):
+            return self._complex_phrase(q, boost)
         if isinstance(q, IntervalQuery):
             return self._interval_query(q, boost)
         if isinstance(q, CommonTermsQuery):
@@ -218,6 +221,75 @@ class _Eval:
             )
         idf = dt(idf_acc)
         sc = self.sim.scorer_from_idf(boost, idf, doc_count, sttf)
+        norms = self.reader.norms_for(q.field) if q.field else self.norms
+        return ords, sc.score(freqs, norms[ords])
+
+    def _complex_phrase(self, q: "ComplexPhraseQuery", boost: float):
+        """ComplexPhraseQuery: SpanNear semantics with per-slot
+        alternative-term sets — each slot's position list for a doc is
+        the sorted union of its alternatives' positions (exactly what
+        NearSpans sees over a SpanOr subclause); scored like
+        ``_span_near`` with the summed distinct idf of the PRESENT
+        alternatives (SpanWeight skips absent TermStates)."""
+        from lucene_solr_ray.index.segment import field_term
+
+        slot_readers = []
+        cand = None
+        present: List[str] = []
+        for slot in q.slots:
+            rs = []
+            docs = None
+            for t in slot:
+                k = field_term(q.field, t)
+                pr = self.reader.positions(k)
+                if pr is None:
+                    continue
+                rs.append(pr)
+                present.append(k)
+                docs = pr[0] if docs is None else np.union1d(docs, pr[0])
+            if docs is None or len(docs) == 0:
+                return _EMPTY_I, _EMPTY_F
+            slot_readers.append(rs)
+            cand = docs if cand is None else np.intersect1d(cand, docs)
+        if cand is None or len(cand) == 0:
+            return _EMPTY_I, _EMPTY_F
+        out_ords: List[int] = []
+        out_freqs: List[float] = []
+        for d in cand:
+            pls = []
+            ok = True
+            for rs in slot_readers:
+                parts = []
+                for (ords, posfn) in rs:
+                    i = np.searchsorted(ords, d)
+                    if i < len(ords) and ords[i] == d:
+                        parts.append(posfn(int(i)))
+                if not parts:
+                    ok = False
+                    break
+                pls.append(np.sort(np.concatenate(parts))
+                           if len(parts) > 1 else parts[0])
+            if not ok:
+                continue
+            f = (
+                _span_freq_ordered(pls, q.slop)
+                if q.in_order else _span_freq_unordered(pls, q.slop)
+            )
+            if f > 0:
+                out_ords.append(int(d))
+                out_freqs.append(f)
+        if not out_ords:
+            return _EMPTY_I, _EMPTY_F
+        ords = np.asarray(out_ords, dtype=np.int32)
+        freqs = np.asarray(out_freqs, dtype=np.float64)
+        dt = self.sim.out_dtype
+        doc_count, sttf = self.stats.collection_for(q.field)
+        idf_acc = 0.0
+        for key in dict.fromkeys(present):
+            idf_acc += float(
+                dt(self.sim.idf_value(self.stats.df.get(key, 0), doc_count))
+            )
+        sc = self.sim.scorer_from_idf(boost, dt(idf_acc), doc_count, sttf)
         norms = self.reader.norms_for(q.field) if q.field else self.norms
         return ords, sc.score(freqs, norms[ords])
 

@@ -825,6 +825,7 @@ def _has_phrase(q: Query) -> bool:
     from lucene_solr_ray.search.join import ToParentBlockJoinQuery
     from lucene_solr_ray.search.query import (
         IntervalQuery,
+        ComplexPhraseQuery,
         PayloadScoreQuery,
         SpanFirstQuery,
         SpanNearQuery,
@@ -835,7 +836,8 @@ def _has_phrase(q: Query) -> bool:
 
     if isinstance(q, (PhraseQuery, SpanNearQuery, SpanTermQuery,
                       SpanFirstQuery, SpanNotQuery, SpanOrQuery,
-                      PayloadScoreQuery, IntervalQuery)):
+                      PayloadScoreQuery, IntervalQuery,
+                      ComplexPhraseQuery)):
         return True
     if isinstance(q, ToParentBlockJoinQuery):
         return _has_phrase(q.child_query)
