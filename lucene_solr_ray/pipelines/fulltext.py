@@ -3297,3 +3297,34 @@ ORDER BY pos
 
 def word_break_docs_sql() -> str:
     return WORD_BREAK_SQL
+
+
+def complex_phrase_docs(sf_dir: str) -> pa.Table:
+    """ComplexPhraseQueryParser gate: ``"(hash merge) jo*"`` — an
+    alternation slot and a prefix slot, exact adjacency; the oracle
+    replays it as an adjacent-token-pair scan (matching doc set only —
+    slop=0 makes match semantics score-free)."""
+    from lucene_solr_ray.search.complexphrase import complex_phrase_query
+
+    idx = documents_index(sf_dir)
+    q = complex_phrase_query(idx, "(hash merge) jo*")
+    t = idx.search_parsed([(0, q, 100000)])
+    ids = sorted(t.column("doc_id").to_pylist())
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+COMPLEX_PHRASE_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents WHERE text <> ''),
+pairs AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+  FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM pairs
+WHERE a IN ('hash', 'merge') AND b LIKE 'jo%'
+ORDER BY doc_id
+"""
+
+
+def complex_phrase_docs_sql() -> str:
+    return COMPLEX_PHRASE_SQL
