@@ -37,6 +37,7 @@ _PRIORITY: list[str] = [
     "stream_expr_plumbing", "sql_in_subquery", "stream_expr_reduce",
     "path_hierarchy_docs", "sql_like_between", "sql_count_distinct",
     "simple_query_hits", "word_break_docs", "complex_phrase_docs",
+    "blended_infix_docs",
     # -- new round-4 gates (never driver-verified) ------------------------
     "common_terms_docs", "intervals_docs", "taxonomy_facet_docs",
     "drill_sideways_docs", "sql_select_limit", "sql_join_orders",
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simple_query_hits": fulltext.simple_query_hits,
         "word_break_docs": fulltext.word_break_docs,
         "complex_phrase_docs": fulltext.complex_phrase_docs,
+        "blended_infix_docs": fulltext.blended_infix_docs,
         "multifield_topk": fulltext.multifield_topk,
         "field_wildcard_docs": fulltext.field_wildcard_docs,
         "synonym_graph_docs": fulltext.synonym_graph_docs,
@@ -176,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "simple_query_hits": fulltext.simple_query_hits_sql(),
         "word_break_docs": fulltext.word_break_docs_sql(),
         "complex_phrase_docs": fulltext.complex_phrase_docs_sql(),
+        "blended_infix_docs": fulltext.blended_infix_docs_sql(),
         "multifield_topk": fulltext.multifield_topk_sql(),
         "field_wildcard_docs": fulltext.field_wildcard_docs_sql(),
         "synonym_graph_docs": fulltext.synonym_graph_docs_sql(),

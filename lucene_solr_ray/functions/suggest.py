@@ -285,3 +285,64 @@ def free_text_suggest(ds, col: str, context: str, n: int = 5,
     pass) and look up ``context`` — for repeated lookups build a
     :class:`FreeTextSuggester` once and reuse it."""
     return FreeTextSuggester.build(ds, col).lookup(context, n=n)
+
+
+def blended_infix_suggest(
+    entries, fragment: str, n: int = 10, blender: str = "linear",
+    exponent: float = 2.0, text_col: str = "text",
+    weight_col: str = "weight", id_col: str = "doc_id",
+):
+    """``BlendedInfixSuggester`` (reference ``lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java:58``): suggestions whose TEXT contains a
+    token starting with ``fragment``, ranked by
+    ``weight × coefficient(position of the first matching token)`` —
+    linear ``1 − 0.10·pos``, reciprocal ``1/(pos+1)``, or exponential
+    reciprocal ``1/(pos+1)^e``.
+
+    Ray shape: one vectorized ``map_batches`` computes each entry's
+    first-match position + blended score (per-batch partial top-n), then
+    a tiny global sort — no full materialization.  Returns a pa.Table
+    (id, score) of the top ``n`` (score desc, id asc)."""
+    import numpy as np
+
+    frag = fragment.lower()
+
+    def coef(pos: "np.ndarray") -> "np.ndarray":
+        if blender == "linear":
+            return 1.0 - 0.10 * pos
+        if blender == "reciprocal":
+            return 1.0 / (pos + 1.0)
+        if blender == "exponential_reciprocal":
+            return 1.0 / np.power(pos + 1.0, exponent)
+        raise ValueError(f"unknown blender {blender!r}")
+
+    def _score(t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        ws = t.column(weight_col).to_numpy(zero_copy_only=False)
+        for rid, text, w in zip(t.column(id_col).to_pylist(),
+                                t.column(text_col).to_pylist(), ws):
+            toks = (text or "").lower().split()
+            pos = next((i for i, tk in enumerate(toks)
+                        if tk.startswith(frag)), None)
+            if pos is None:
+                continue
+            ids.append(rid)
+            scores.append(float(w) * float(coef(np.float64(pos))))
+        if not ids:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        tb = pa.table({id_col: pa.array(ids, pa.int64()),
+                       "score": pa.array(scores, pa.float64())})
+        # per-batch partial top-n: only n rows leave each task
+        order = pa.compute.sort_indices(
+            tb, sort_keys=[("score", "descending"), (id_col, "ascending")]
+        )[:n]
+        return tb.take(order)
+
+    parts = entries.map_batches(_score, batch_format="pyarrow").take_all()
+    rows = sorted(parts, key=lambda r: (-r["score"], r[id_col]))[:n]
+    return pa.table({
+        id_col: pa.array([r[id_col] for r in rows], pa.int64()),
+        "score": pa.array([round(r["score"], 4) for r in rows],
+                          pa.float64()),
+    })

@@ -3328,3 +3328,41 @@ ORDER BY doc_id
 
 def complex_phrase_docs_sql() -> str:
     return COMPLEX_PHRASE_SQL
+
+
+def blended_infix_docs(sf_dir: str) -> pa.Table:
+    """BlendedInfixSuggester gate: documents as (text, weight=n_chars)
+    entries, fragment ``jo``, reciprocal blender — the oracle replays
+    weight × 1/(first-matching-token position + 1) with a token scan."""
+    import ray.data
+
+    from lucene_solr_ray.functions.suggest import blended_infix_suggest
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    return blended_infix_suggest(
+        ds, "jo", n=10, blender="reciprocal", weight_col="n_chars",
+    )
+
+
+BLENDED_INFIX_SQL = """
+WITH tok AS (
+  SELECT doc_id, n_chars, toks[i] AS tk, i
+  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        FROM documents WHERE text <> ''),
+       UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+firstpos AS (
+  SELECT doc_id, n_chars, MIN(i) - 1 AS pos
+  FROM tok WHERE tk LIKE 'jo%' GROUP BY doc_id, n_chars
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(n_chars * 1.0 / (pos + 1), 4) AS score
+FROM firstpos ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def blended_infix_docs_sql() -> str:
+    return BLENDED_INFIX_SQL

@@ -539,3 +539,29 @@ def test_spellcheck_collate(ray_session, tmp_path):
     assert got[0]["corrections"] == {"hach": "hash", "joyn": "join"}
     # a clean query needs no collation
     assert collate(idx, "hash join") == []
+
+
+def test_blended_infix_suggester(ray_session):
+    """BlendedInfixSuggester.java:58 — positional weight blending."""
+    import pandas as pd
+    import ray.data
+
+    from lucene_solr_ray.functions.suggest import blended_infix_suggest
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["john works here", "here works john",
+                 "nothing relevant", "johnson early"],
+        "weight": [100, 100, 100, 50],
+    })
+    ds = ray.data.from_pandas(df)
+    out = blended_infix_suggest(ds, "john", n=3, blender="reciprocal")
+    ids = out.column("doc_id").to_pylist()
+    scores = out.column("score").to_pylist()
+    # doc1: pos 0 → 100; doc4: pos 0 → 50; doc2: pos 2 → 100/3
+    assert ids == [1, 4, 2]
+    assert scores == [100.0, 50.0, round(100 / 3, 4)]
+    lin = blended_infix_suggest(ds, "john", n=3, blender="linear")
+    # linear decays slower: doc2 at pos 2 → 80 outranks doc4's 50
+    assert lin.column("score").to_pylist() == [100.0, 80.0, 50.0]
+    assert lin.column("doc_id").to_pylist() == [1, 2, 4]
