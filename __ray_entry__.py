@@ -38,6 +38,8 @@ _PRIORITY: list[str] = [
     "path_hierarchy_docs", "sql_like_between", "sql_count_distinct",
     "simple_query_hits", "word_break_docs", "complex_phrase_docs",
     "blended_infix_docs",
+    # -- flagship core (always in the window) -----------------------------
+    "bm25_topk", "term_stats", "doc_norms", "phrase_topk",
     # -- new round-4 gates (never driver-verified) ------------------------
     "common_terms_docs", "intervals_docs", "taxonomy_facet_docs",
     "drill_sideways_docs", "sql_select_limit", "sql_join_orders",
@@ -52,8 +54,6 @@ _PRIORITY: list[str] = [
     "features_selection_docs", "significant_terms_en",
     "delete_then_search", "dv_update_then_sort", "realtime_get_docs",
     "expr_sort_orders", "ltr_rerank_docs", "math_stats_lineitem",
-    # -- flagship core (always in the window) -----------------------------
-    "bm25_topk", "term_stats", "doc_norms", "phrase_topk",
     # -- stalest greens (last driver-verified r1/r2) rotate back in -------
     "fetch_topk", "multifield_topk", "terms_enum_docs", "mlt_doc0",
     "textprofile_dedup", "knn_classify_docs", "field_wildcard_docs",
