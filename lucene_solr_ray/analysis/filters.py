@@ -662,3 +662,75 @@ CustomAnalyzer._OFFSET_SAFE = (
     StemmerOverrideFilter, KeywordMarkerFilter, TruncateFilter,
     PatternReplaceFilter, ReverseStringFilter,
 )
+
+
+def parse_solr_synonyms(text: str, expand: bool = True
+                        ) -> Dict[str, List[str]]:
+    """The Solr ``synonyms.txt`` format (reference
+    ``lucene/analysis/common/src/java/org/apache/lucene/analysis/synonym/
+    SolrSynonymParser.java:49``) → the rule dict
+    :class:`SynonymGraphFilter` consumes:
+
+    - ``a, b, c`` — an equivalence set: ``expand=True`` maps every entry
+      to every OTHER entry (the filter keeps the original token);
+      ``expand=False`` maps every entry to the FIRST;
+    - ``a, b => x, y`` — explicit mapping: each LHS alternative maps to
+      every RHS term;
+    - ``#`` comments, blank lines, ``\\,`` ``\\=>`` escapes, trimmed
+      whitespace; multi-word entries keep interior spaces."""
+    out: Dict[str, List[str]] = {}
+
+    def _split(s: str) -> List[str]:
+        parts, cur, i = [], [], 0
+        while i < len(s):
+            c = s[i]
+            if c == "\\" and i + 1 < len(s):
+                cur.append(s[i + 1])
+                i += 2
+                continue
+            if c == ",":
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+            i += 1
+        parts.append("".join(cur).strip())
+        return [p for p in parts if p]
+
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        # find an unescaped "=>"
+        arrow = -1
+        i = 0
+        while i < len(line) - 1:
+            if line[i] == "\\":
+                i += 2
+                continue
+            if line[i : i + 2] == "=>":
+                arrow = i
+                break
+            i += 1
+        if arrow >= 0:
+            lhs = _split(line[:arrow])
+            rhs = _split(line[arrow + 2:])
+            for src in lhs:
+                out.setdefault(src, []).extend(
+                    t for t in rhs if t not in out.get(src, ())
+                )
+        else:
+            group = _split(line)
+            if len(group) < 2:
+                continue
+            if expand:
+                for src in group:
+                    out.setdefault(src, []).extend(
+                        t for t in group if t not in out.get(src, ())
+                    )
+            else:
+                first = group[0]
+                for src in group:
+                    if first not in out.setdefault(src, []):
+                        out[src].append(first)
+    return out

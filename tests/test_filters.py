@@ -128,3 +128,40 @@ def test_custom_analyzer_offsets_reject_graph_filters():
     a = chain(LowerCaseFilter(), ShingleFilter(2, 2))
     with pytest.raises(NotImplementedError, match="ShingleFilter"):
         a.analyze_with_offsets("a b c")
+
+
+def test_parse_solr_synonyms():
+    """SolrSynonymParser.java:49 — the synonyms.txt format; paired with
+    keep_original=False for exact reference emission."""
+    from lucene_solr_ray.analysis.filters import (
+        CustomAnalyzer,
+        LowerCaseFilter,
+        SynonymGraphFilter,
+        parse_solr_synonyms,
+    )
+
+    txt = (
+        "# comment\n"
+        "couch, sofa, divan\n"
+        "small => tiny, teeny\n"
+        "new york, big apple => nyc\n"
+        "foo\\,bar => baz\n"
+    )
+    rules = parse_solr_synonyms(txt)
+    assert rules["couch"] == ["couch", "sofa", "divan"]  # incl. self
+    assert rules["small"] == ["tiny", "teeny"]
+    assert rules["new york"] == ["nyc"] and rules["big apple"] == ["nyc"]
+    assert rules["foo,bar"] == ["baz"]
+    a = CustomAnalyzer(filters=[
+        LowerCaseFilter(),
+        SynonymGraphFilter(rules, keep_original=False),
+    ])
+    # equivalence keeps the original via its self-mapping; explicit
+    # mapping consumes it; multi-word LHS collapses to the replacement
+    assert a.analyze("the sofa is small") == [
+        "the", "couch", "sofa", "divan", "is", "tiny", "teeny"]
+    assert a.analyze("big apple tours") == ["nyc", "tours"]
+    # expand=False: everything maps to the first entry
+    nrules = parse_solr_synonyms("couch, sofa, divan", expand=False)
+    assert nrules == {"couch": ["couch"], "sofa": ["couch"],
+                      "divan": ["couch"]}
