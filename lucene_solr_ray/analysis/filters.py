@@ -734,3 +734,67 @@ def parse_solr_synonyms(text: str, expand: bool = True
                     if first not in out.setdefault(src, []):
                         out[src].append(first)
     return out
+
+
+def parse_wordnet_synonyms(text: str, expand: bool = True
+                           ) -> Dict[str, List[str]]:
+    """WordNet prolog format (reference ``analysis/synonym/
+    WordnetSynonymParser.java:40``): ``s(<synset-9-digits>,wordNo,
+    'word',...)`` lines; consecutive lines sharing a synset id form one
+    equivalence set (``''`` escapes a quote).  Returns the same rule
+    dict shape as :func:`parse_solr_synonyms` (self-mappings included;
+    pair with ``keep_original=False``)."""
+    out: Dict[str, List[str]] = {}
+    synset: List[str] = []
+    last_id = ""
+
+    def flush():
+        if len(synset) <= 1:
+            return
+        if expand:
+            for src in synset:
+                out.setdefault(src, []).extend(
+                    t for t in synset if t not in out.get(src, ())
+                )
+        else:
+            first = synset[0]
+            for src in synset:
+                if first not in out.setdefault(src, []):
+                    out[src].append(first)
+
+    for line in text.splitlines():
+        if not line.startswith("s("):
+            continue
+        sid = line[2:11]
+        if sid != last_id:
+            flush()
+            synset = []
+        start = line.index("'") + 1
+        end = line.rindex("'")
+        synset.append(line[start:end].replace("''", "'"))
+        last_id = sid
+    flush()
+    return out
+
+
+def parse_elevate_xml(text: str) -> Dict[str, Dict[str, list]]:
+    """The ``elevate.xml`` config (reference ``solr/core/.../component/
+    QueryElevationComponent.java`` + ``conf/elevate.xml``):
+    ``<query text="..."><doc id="..." [exclude="true"]/></query>`` →
+    the ``elevations`` dict :func:`~lucene_solr_ray.search.searcher
+    .elevated_search` consumes (ids parsed as ints when numeric)."""
+    import xml.etree.ElementTree as ET
+
+    def _id(v: str):
+        return int(v) if v.lstrip("-").isdigit() else v
+
+    root = ET.fromstring(text)
+    out: Dict[str, Dict[str, list]] = {}
+    for q in root.findall("query"):
+        entry = out.setdefault(q.get("text", ""),
+                               {"elevate": [], "exclude": []})
+        for d in q.findall("doc"):
+            tgt = "exclude" if (d.get("exclude", "").lower()
+                                in ("true", "1", "yes")) else "elevate"
+            entry[tgt].append(_id(d.get("id")))
+    return out

@@ -165,3 +165,31 @@ def test_parse_solr_synonyms():
     nrules = parse_solr_synonyms("couch, sofa, divan", expand=False)
     assert nrules == {"couch": ["couch"], "sofa": ["couch"],
                       "divan": ["couch"]}
+
+
+def test_parse_wordnet_synonyms_and_elevate_xml():
+    from lucene_solr_ray.analysis.filters import (
+        parse_elevate_xml,
+        parse_wordnet_synonyms,
+    )
+
+    wn = (
+        "s(100001740,1,'entity',n,1,11).\n"
+        "s(100001740,2,'thing',n,1,0).\n"
+        "s(100002137,1,'it''s',n,1,0).\n"      # quote escape, singleton
+        "s(100002452,1,'object',n,1,0).\n"
+        "s(100002452,2,'item',n,1,0).\n"
+    )
+    rules = parse_wordnet_synonyms(wn)
+    assert rules["entity"] == ["entity", "thing"]
+    assert rules["item"] == ["object", "item"]
+    assert "it's" not in rules  # singleton synsets produce no rule
+
+    elev = parse_elevate_xml(
+        "<elevate>"
+        '<query text="aaa"><doc id="7"/></query>'
+        '<query text="bbb"><doc id="5"/><doc id="6" exclude="true"/>'
+        "</query></elevate>"
+    )
+    assert elev == {"aaa": {"elevate": [7], "exclude": []},
+                    "bbb": {"elevate": [5], "exclude": [6]}}
