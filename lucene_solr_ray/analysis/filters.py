@@ -798,3 +798,64 @@ def parse_elevate_xml(text: str) -> Dict[str, Dict[str, list]]:
                                 in ("true", "1", "yes")) else "elevate"
             entry[tgt].append(_id(d.get("id")))
     return out
+
+
+def parse_wordlist(text: str, snowball: bool = False) -> frozenset:
+    """``WordlistLoader`` (reference ``lucene/core/.../analysis/
+    WordlistLoader.java:127``): plain format = one word per line,
+    ``#`` comments, trimmed; snowball format = multiple words per line,
+    ``|`` starts a comment.  Feeds StopFilter / KeywordMarkerFilter /
+    KeepWordFilter / compound dictionaries."""
+    words = []
+    for line in text.splitlines():
+        if snowball:
+            cut = line.find("|")
+            if cut >= 0:
+                line = line[:cut]
+            words.extend(line.split())
+        else:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                words.append(line)
+    return frozenset(words)
+
+
+def parse_mapping_rules(text: str):
+    """The MappingCharFilter config format (reference
+    ``analysis/charfilter/MappingCharFilterFactory.java:89``):
+    ``"source" => "target"`` lines with ``\\"`` ``\\\\`` ``\\n`` ``\\t``
+    ``\\r`` ``\\b`` ``\\f`` and ``\\uXXXX`` escapes; returns
+    [(source, target), ...] for
+    :class:`~lucene_solr_ray.analysis.charfilter.MappingCharFilter`."""
+    import re as _re
+
+    rule = _re.compile(r'"(.*)"\s*=>\s*"(.*)"\s*$')
+    esc = {"\\": "\\", '"': '"', "n": "\n", "t": "\t", "r": "\r",
+           "b": "\b", "f": "\f"}
+
+    def unescape(s: str) -> str:
+        out, i = [], 0
+        while i < len(s):
+            c = s[i]
+            if c == "\\" and i + 1 < len(s):
+                nxt = s[i + 1]
+                if nxt == "u" and i + 5 < len(s):
+                    out.append(chr(int(s[i + 2:i + 6], 16)))
+                    i += 6
+                    continue
+                out.append(esc.get(nxt, nxt))
+                i += 2
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    pairs = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = rule.match(line)
+        if m:
+            pairs.append((unescape(m.group(1)), unescape(m.group(2))))
+    return pairs

@@ -193,3 +193,26 @@ def test_parse_wordnet_synonyms_and_elevate_xml():
     )
     assert elev == {"aaa": {"elevate": [7], "exclude": []},
                     "bbb": {"elevate": [5], "exclude": [6]}}
+
+
+def test_parse_wordlist_and_mapping_rules():
+    from lucene_solr_ray.analysis.charfilter import MappingCharFilter
+    from lucene_solr_ray.analysis.filters import (
+        parse_mapping_rules,
+        parse_wordlist,
+    )
+
+    assert parse_wordlist("# c\nthe\n a \n\nof\n") == {"the", "a", "of"}
+    assert parse_wordlist("the a | article\nof | prep\n",
+                          snowball=True) == {"the", "a", "of"}
+    rules = parse_mapping_rules(
+        '"á" => "a"\n'
+        '"\\"" => "\'"\n'
+        '"\\u00df" => "ss"\n'
+        "# comment\n"
+        '"c\\td" => "cd"\n'
+    )
+    assert rules == [("á", "a"), ('"', "'"), ("ß", "ss"), ("c\td", "cd")]
+    cf = MappingCharFilter(rules)
+    out, omap = cf.apply('groß "á"')
+    assert out == "gross 'a'"
