@@ -38,7 +38,7 @@ from lucene_solr_ray.analysis.charfilter import (
     MappingCharFilter,
 )
 
-__all__ = ["custom_analyzer_from_config"]
+__all__ = ["custom_analyzer_from_config", "index_config_from_schema"]
 
 
 def _b(v, default=False) -> bool:
@@ -279,3 +279,77 @@ def custom_analyzer_from_config(
         filters=filt, char_filters=char_filters, tokenizer=tok,
         max_token_length=max_token_length,
     )
+
+
+def index_config_from_schema(
+    schema: Dict, loader: Optional[Callable[[str], str]] = None,
+) -> Dict:
+    """A managed-schema-style dict → ``build_index`` keyword args
+    (the ``IndexSchema``/``FieldTypePluginLoader`` role)::
+
+        {"fields": {
+            "content": {"type": "text", "analyzer": {...}},   # default
+            "title":   {"type": "text", "analyzer": {...}},
+            "price":   {"type": "double"},                    # point
+            "sku":     {"type": "string", "stored": true},    # keyword
+         },
+         "defaultField": "content",
+         "indexSort": [["price", false]]}
+
+    ``type: text`` fields index through their (optional) analyzer
+    config; ``string`` fields index as keyword fields and may also be
+    stored; numeric types (int/long/float/double/date) become point
+    fields.  Returns kwargs for
+    :func:`lucene_solr_ray.index.build.build_index`."""
+    from lucene_solr_ray.analysis.analyzer import KeywordAnalyzer
+
+    numeric_types = {"int", "long", "float", "double",
+                     "pint", "plong", "pfloat", "pdouble"}
+    fields = schema.get("fields", {})
+    default = schema.get("defaultField")
+    if default is None:
+        texts = [n for n, f in fields.items()
+                 if f.get("type", "text") == "text"]
+        if not texts:
+            raise ValueError("schema has no text field")
+        default = texts[0]
+    out: Dict = {"text_col": default}
+    field_analyzers: Dict = {}
+    extra_fields: Dict[str, str] = {}
+    numeric_fields: Dict[str, str] = {}
+    stored: List[str] = []
+    for name, f in fields.items():
+        ftype = f.get("type", "text")
+        if name == default:
+            if f.get("analyzer"):
+                out["analyzer"] = custom_analyzer_from_config(
+                    f["analyzer"], loader=loader)
+            continue
+        if ftype == "text":
+            extra_fields[name] = name
+            if f.get("analyzer"):
+                field_analyzers[name] = custom_analyzer_from_config(
+                    f["analyzer"], loader=loader)
+        elif ftype == "string":
+            extra_fields[name] = name
+            field_analyzers[name] = KeywordAnalyzer()
+        elif ftype in numeric_types or ftype == "date":
+            # build_index numeric_fields maps field -> SOURCE COLUMN;
+            # the point dtype is inferred from the column
+            numeric_fields[name] = name
+        else:
+            raise ValueError(f"unknown field type {ftype!r} for {name!r}")
+        if _b(f.get("stored")):
+            stored.append(name)
+    if extra_fields:
+        out["extra_fields"] = extra_fields
+    if field_analyzers:
+        out["field_analyzers"] = field_analyzers
+    if numeric_fields:
+        out["numeric_fields"] = numeric_fields
+    if stored:
+        out["stored_cols"] = tuple(stored)
+    isort = schema.get("indexSort")
+    if isort:
+        out["index_sort"] = [tuple(pair) for pair in isort]
+    return out
